@@ -1,0 +1,140 @@
+"""cvsteer-run equivalent: batch steerable-filter analysis of images.
+
+TPU-native re-design of the reference CLI (example/steer.cpp:133-173):
+  --input   single image, OR a .txt / extensionless newline-delimited list
+            of image paths (parity with steer.cpp:156-165)
+  --output  output directory; writes <base>_edges.png, <base>_lines_dark.png,
+            <base>_lines_bright.png per image (steer.cpp:106-122)
+  --gain    fixed 8-bit gain; <= 0 means per-image min-max normalize
+            (steer.cpp:93-104). NOTE: the reference CLI has a bug (C23 in
+            SURVEY.md) where --gain is parsed but the verbose bool is passed
+            instead (steer.cpp:167-168); here --gain actually works.
+  --filters g2 (default) or g4
+  --verbose per-image progress logging (parsed-but-dead in the reference)
+
+Where the reference parallelizes with a host thread pool over images
+(cv::parallel_for_, steer.cpp:169), this CLI batches same-shaped images into
+one device invocation (vmap over the batch) and pipelines host decode with
+device compute.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+
+def _expand_inputs(inp: str) -> List[str]:
+    """Single file, or newline-delimited list if .txt / no extension."""
+    p = Path(inp)
+    if inp.endswith(".txt") or "." not in p.name:
+        with open(inp) as f:
+            return [line.strip() for line in f if line.strip()]
+    return [inp]
+
+
+def _basename(path: str) -> str:
+    name = Path(path).name
+    stem = name.rsplit(".", 1)[0] if "." in name else name
+    return stem
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="cvsteer-run",
+        description="Steerable-filter edge/line analysis (G2/H2 quadrature pair) on TPU.",
+    )
+    ap.add_argument("--input", required=True, help="input image or newline-delimited list file")
+    ap.add_argument("--output", default="", help="output directory")
+    ap.add_argument("--gain", type=float, default=0.0, help="gain for 8-bit output; <=0 = minmax normalize")
+    ap.add_argument("--filters", choices=["g2", "g4"], default="g2")
+    ap.add_argument("--width", type=int, default=None, help="kernel half-width (default: 4 for g2, 6 for g4)")
+    ap.add_argument("--spacing", type=float, default=None, help="tap spacing (default: 0.67 g2, 0.5 g4)")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvsteer_tpu.io.imageio import imread_gray_f32, imwrite_u8
+    from cvsteer_tpu.utils.imageproc import convert_scale_u8, normalize_minmax_u8
+
+    filenames = _expand_inputs(args.input)
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+
+    if args.filters == "g2":
+        from cvsteer_tpu.filters.g2 import g2_bank, steerable_pipeline_g2 as pipeline
+
+        bank = g2_bank(args.width or 4, args.spacing or 0.67)
+    else:
+        from cvsteer_tpu.filters.g4 import g4_bank, steerable_pipeline_g4
+
+        bank = g4_bank(args.width or 6, args.spacing or 0.5)
+
+        def pipeline(batch, bank=None, method="auto"):
+            m = steerable_pipeline_g4(batch, bank)
+            # expose the same three output maps via the quadrature phase
+            from cvsteer_tpu.filters import g2 as fg2
+
+            edges = fg2.find_edges(m.magnitude, m.phase)
+            dark = fg2.find_dark_lines(m.magnitude, m.phase)
+            bright = fg2.find_bright_lines(m.magnitude, m.phase)
+            return m._replace()._asdict() | {
+                "edges": edges, "lines_dark": dark, "lines_bright": bright
+            }
+
+    # Group same-shaped images into device batches (vmap over batch axis).
+    images, shapes = [], defaultdict(list)
+    for i, fn in enumerate(filenames):
+        img = imread_gray_f32(fn)
+        if img is None:
+            if args.verbose:
+                print(f"skip unreadable: {fn}", file=sys.stderr)
+            images.append(None)
+            continue
+        images.append(img)
+        shapes[img.shape].append(i)
+
+    @jax.jit
+    def run_batch(batch):
+        maps = pipeline(batch, bank)
+        if isinstance(maps, dict):
+            edges, dark, bright = maps["edges"], maps["lines_dark"], maps["lines_bright"]
+        else:
+            edges, dark, bright = maps.edges, maps.lines_dark, maps.lines_bright
+        if args.gain > 0:
+            to8 = lambda x: convert_scale_u8(x, args.gain)
+        else:
+            to8 = lambda x: normalize_minmax_u8(x, axes=(-2, -1))
+        return to8(edges), to8(dark), to8(bright)
+
+    t0 = time.time()
+    n_done = 0
+    for shape, idxs in shapes.items():
+        batch = jnp.stack([jnp.asarray(images[i]) for i in idxs])
+        edges8, dark8, bright8 = jax.device_get(run_batch(batch))
+        for j, i in enumerate(idxs):
+            n_done += 1
+            if args.verbose:
+                print(f"[{n_done}/{len(filenames)}] {filenames[i]} {shape}")
+            if args.output:
+                base = os.path.join(args.output, _basename(filenames[i]))
+                imwrite_u8(base + "_edges.png", edges8[j])
+                imwrite_u8(base + "_lines_dark.png", dark8[j])
+                imwrite_u8(base + "_lines_bright.png", bright8[j])
+    if args.verbose:
+        dt = time.time() - t0
+        print(f"processed {n_done} images in {dt:.3f}s ({n_done / max(dt, 1e-9):.1f} im/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,7 @@
+"""Image IO and dataset loading (native C++ codecs with Python fallbacks)."""
+
+from cvsteer_tpu.io.imageio import (  # noqa: F401
+    imdecode_gray_f32,
+    imread_gray_f32,
+    imwrite_u8,
+)

@@ -1,0 +1,7 @@
+"""TPU compute primitives: separable bank convolution, pyramids, NMS."""
+
+from cvsteer_tpu.ops.sepconv import (  # noqa: F401
+    filter_bank_shifts,
+    filter_bank_xla,
+    reflect_pad_2d,
+)

@@ -1,0 +1,260 @@
+"""Fused Pallas TPU kernels for the steerable-filter front-end.
+
+The reference's hot path is 2*K one-dimensional convolution passes over
+HBM-resident images plus ~20 elementwise full-image passes
+(cvsteer/SteerableFiltersG2.cpp:60-99, :147-177, :179-199). Here the whole
+front-end is ONE VMEM-resident kernel per image tile:
+
+  HBM read:  the padded image, once.
+  VMEM:      row pass  R_k = sum_t xtap[k,t] * img[:, t:t+W]      (K row convs)
+             col pass  B_k = sum_t ytap[k,t] * R_k[t:t+H, :]      (K col convs)
+             energy coefficients c1, c2, c3 (16 products)
+             dominant-orientation steering + phase-selective maps.
+  HBM write: only the requested output maps.
+
+Transcendental-free steering: the pipeline needs cos/sin of
+theta = arctan2(c3, c2) / 2, which follow algebraically from half-angle
+identities (rho = hypot(c2, c3); cos 2t = c2/rho; sin 2t = c3/rho;
+cos t = sqrt((1+cos 2t)/2), sin t = sign(c3) * sqrt((1-cos 2t)/2) — valid
+because theta in (-pi/2, pi/2]). The phase-selective extractors collapse to
+algebra too (magnitude = hypot(g2, h2), cos(phase) = g2/mag,
+sin(phase) = h2/mag):
+
+  edges  = mag * cos^2(|phase|-pi/2 err) = h2^2 / mag
+  dark   = mag * cos^2(phase) [cos(phase) > 0] = g2^2 * [g2 > 0] / mag
+  bright = mag * cos^2(phase) [cos(phase) < 0] = g2^2 * [g2 < 0] / mag
+
+matching find{Edges,DarkLines,BrightLines}(magnitude, phase, ...) as the
+reference CLI/test call them (example/steer.cpp:88-90, quirk C23).
+
+Layout: lanes = image width (padded to 128), sublanes = image height
+(padded to 8). Whole-tile-in-VMEM for images up to ~1k x 1k; larger images
+currently fall back to the XLA path (tiled halo-DMA variant is the planned
+extension).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU test meshes)."""
+    return jax.default_backend() != "tpu"
+
+
+def _pad_for_kernel(image: jax.Array, r: int, ho: int, wo: int) -> jax.Array:
+    """Reflect-pad by r (REFLECT_101 parity), then zero-pad to (ho+2r, wo+2r)."""
+    *b, h, w = image.shape
+    pad_hw = [(0, 0)] * (image.ndim - 2) + [(r, r), (r, r)]
+    img = jnp.pad(image.astype(jnp.float32), pad_hw, mode="reflect")
+    extra = [(0, 0)] * (image.ndim - 2) + [(0, ho - h), (0, wo - w)]
+    return jnp.pad(img, extra)
+
+
+def _row_col_bank(padded, xtaps: np.ndarray, ytaps: np.ndarray, h: int, w: int):
+    """Unrolled separable bank over a VMEM-resident padded tile.
+
+    padded: [h + 2r, w + 2r(+align)] array value. Returns list of K [h, w]
+    basis arrays. Taps are baked as python-float constants.
+    """
+    K, T = xtaps.shape
+    out = []
+    for k in range(K):
+        xt = [float(v) for v in xtaps[k]]
+        yt = [float(v) for v in ytaps[k]]
+        row = None
+        for t in range(T):
+            term = padded[:, t : t + w] * xt[t]
+            row = term if row is None else row + term
+        col = None
+        for t in range(T):
+            term = row[t : t + h, :] * yt[t]
+            col = term if col is None else col + term
+        out.append(col)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Generic basis-bank kernel: image -> [K, H, W]
+# ---------------------------------------------------------------------------
+
+
+def _bank_kernel(img_ref, out_ref, *, xtaps, ytaps, h, w):
+    padded = img_ref[0]
+    basis = _row_col_bank(padded, xtaps, ytaps, h, w)
+    for k, b in enumerate(basis):
+        out_ref[0, k] = b
+
+
+def _vmem_bytes_estimate(hi: int, wi: int, k: int) -> int:
+    # padded tile + K live basis buffers + ~3 transient temporaries, fp32
+    return 4 * hi * wi * (k + 4)
+
+
+# VMEM is ~16 MB/core on v5e; leave headroom for Mosaic's own buffers.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def pallas_supported(h: int, w: int, k: int, radius: int) -> bool:
+    hi = _round_up(h, 8) + 2 * radius
+    wi = _round_up(w, 128) + 2 * radius
+    return _vmem_bytes_estimate(hi, wi, k) <= _VMEM_BUDGET
+
+
+def filter_bank_pallas(image: jax.Array, xtaps, ytaps) -> jax.Array:
+    """Pallas version of :func:`cvsteer_tpu.ops.sepconv.filter_bank_xla`.
+
+    image [..., H, W] -> basis [..., K, H, W]. Falls back to the XLA path when
+    the tile would not fit VMEM.
+    """
+    xtaps = np.asarray(xtaps, np.float32)
+    ytaps = np.asarray(ytaps, np.float32)
+    K, T = xtaps.shape
+    r = (T - 1) // 2
+    *batch, h, w = image.shape
+
+    if not pallas_supported(h, w, K, r):
+        from cvsteer_tpu.ops.sepconv import filter_bank_xla
+
+        return filter_bank_xla(image, xtaps, ytaps)
+
+    ho, wo = _round_up(h, 8), _round_up(w, 128)
+    hi, wi = ho + 2 * r, wo + 2 * r
+    img = _pad_for_kernel(image.reshape((-1, h, w)), r, ho, wo)
+    n = img.shape[0]
+
+    kernel = functools.partial(_bank_kernel, xtaps=xtaps, ytaps=ytaps, h=ho, w=wo)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hi, wi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, K, ho, wo), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, K, ho, wo), jnp.float32),
+        interpret=_interpret(),
+    )(img)
+    return out[:, :, :h, :w].reshape(tuple(batch) + (K, h, w))
+
+
+# ---------------------------------------------------------------------------
+# Fully fused G2 pipeline kernel: image -> (edges, dark, bright[, extras])
+# ---------------------------------------------------------------------------
+
+
+def _g2_maps_kernel(img_ref, edges_ref, dark_ref, bright_ref, *, xtaps, ytaps, h, w):
+    padded = img_ref[0]
+    g2a, g2b, g2c, h2a, h2b, h2c, h2d = _row_col_bank(padded, xtaps, ytaps, h, w)
+
+    # Oriented-energy Fourier coefficients (SteerableFiltersG2.cpp:93-95).
+    g2aa, g2cc, g2bb = g2a * g2a, g2c * g2c, g2b * g2b
+    h2aa, h2bb, h2cc, h2dd = h2a * h2a, h2b * h2b, h2c * h2c, h2d * h2d
+    h2ac, h2bd = h2a * h2c, h2b * h2d
+    c2 = 0.5 * (g2aa - g2cc) + 0.46875 * (h2aa - h2dd) + 0.28125 * (h2bb - h2cc) + 0.1875 * (h2ac - h2bd)
+    c3 = (
+        -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
+        - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
+    )
+
+    # Half-angle steering weights without atan2: theta = arctan2(c3, c2)/2.
+    rho = jnp.sqrt(c2 * c2 + c3 * c3)
+    inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
+    cos2t = c2 * inv_rho
+    ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
+    st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
+    st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
+
+    ct2, st2 = ct * ct, st * st
+    ct3, st3 = ct2 * ct, st2 * st
+    g2v = ct2 * g2a - 2.0 * ct * st * g2b + st2 * g2c
+    h2v = ct3 * h2a - 3.0 * ct2 * st * h2b + 3.0 * ct * st2 * h2c - st3 * h2d
+
+    mag2 = g2v * g2v + h2v * h2v
+    inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
+
+    # Algebraic phase-selective maps (see module docstring).
+    edges_ref[0] = (h2v * h2v) * inv_mag
+    g2sq_over_mag = (g2v * g2v) * inv_mag
+    dark_ref[0] = jnp.where(g2v > 0.0, g2sq_over_mag, 0.0)
+    bright_ref[0] = jnp.where(g2v < 0.0, g2sq_over_mag, 0.0)
+
+
+def g2_maps_pallas(
+    image: jax.Array, xtaps, ytaps
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused front-end: image [..., H, W] -> (edges, lines_dark, lines_bright).
+
+    One HBM read of the image, three map writes; everything else VMEM/VPU.
+    """
+    xtaps = np.asarray(xtaps, np.float32)
+    ytaps = np.asarray(ytaps, np.float32)
+    K, T = xtaps.shape
+    r = (T - 1) // 2
+    *batch, h, w = image.shape
+
+    ho, wo = _round_up(h, 8), _round_up(w, 128)
+    hi, wi = ho + 2 * r, wo + 2 * r
+    img = _pad_for_kernel(image.reshape((-1, h, w)), r, ho, wo)
+    n = img.shape[0]
+
+    kernel = functools.partial(_g2_maps_kernel, xtaps=xtaps, ytaps=ytaps, h=ho, w=wo)
+    spec = pl.BlockSpec((1, ho, wo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)
+    edges, dark, bright = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, hi, wi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        cost_estimate=pl.CostEstimate(
+            flops=n * ho * wo * (4 * K * T + 60),
+            bytes_accessed=n * (hi * wi + 3 * ho * wo) * 4,
+            transcendentals=n * ho * wo * 3,
+        ),
+        interpret=_interpret(),
+    )(img)
+    crop = lambda x: x[:, :h, :w].reshape(tuple(batch) + (h, w))
+    return crop(edges), crop(dark), crop(bright)
+
+
+def steerable_pipeline_g2_pallas(image: jax.Array, bank=None):
+    """Full G2Maps with the Pallas basis kernel + XLA-fused elementwise chain.
+
+    Used by steerable_pipeline_g2(method='auto') on TPU. The minimal-output
+    fast path for benchmarks/CLI is :func:`g2_maps_pallas`.
+    """
+    from cvsteer_tpu.filters import g2 as fg2
+
+    if bank is None:
+        bank = fg2.g2_bank()
+    basis = filter_bank_pallas(image, bank.xtaps, bank.ytaps)
+    c1, c2, c3 = fg2.energy_coefficients(basis)
+    theta, strength = fg2.dominant_orientation(c2, c3)
+    g2v, h2v = fg2.steer(basis, theta)
+    magnitude, phase = fg2.magnitude_phase(g2v, h2v)
+    e = fg2.oriented_energy(c1, c2, c3, theta)
+    return fg2.G2Maps(
+        g2=g2v,
+        h2=h2v,
+        energy=e,
+        magnitude=magnitude,
+        phase=phase,
+        theta=theta,
+        strength=strength,
+        edges=fg2.find_edges(magnitude, phase),
+        lines_dark=fg2.find_dark_lines(magnitude, phase),
+        lines_bright=fg2.find_bright_lines(magnitude, phase),
+    )

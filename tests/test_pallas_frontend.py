@@ -1,0 +1,71 @@
+"""Pallas fused front-end kernels vs the XLA reference path.
+
+On CPU test meshes the kernels run in Pallas interpreter mode; the same code
+compiles with Mosaic on real TPU (exercised by bench.py / the CLI).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cvsteer_tpu.filters.g2 import g2_bank, steerable_pipeline_g2
+from cvsteer_tpu.filters.taps import g2h2_bank, g4h4_bank
+from cvsteer_tpu.ops.pallas_frontend import (
+    filter_bank_pallas,
+    g2_maps_pallas,
+    pallas_supported,
+)
+from cvsteer_tpu.ops.sepconv import filter_bank_xla
+
+
+@pytest.fixture(scope="module")
+def small_fish(fish_gray):
+    # keep interpreter-mode runtime low: 64 x 160 crop
+    return fish_gray[40:104, 40:200]
+
+
+def test_bank_pallas_matches_xla_g2(small_fish):
+    bank = g2h2_bank()
+    ref = np.asarray(filter_bank_xla(jnp.asarray(small_fish), bank.xtaps, bank.ytaps))
+    pal = np.asarray(filter_bank_pallas(jnp.asarray(small_fish), bank.xtaps, bank.ytaps))
+    assert pal.shape == ref.shape
+    np.testing.assert_allclose(pal, ref, atol=5e-3, rtol=1e-5)
+
+
+def test_bank_pallas_matches_xla_g4(small_fish):
+    bank = g4h4_bank()
+    ref = np.asarray(filter_bank_xla(jnp.asarray(small_fish), bank.xtaps, bank.ytaps))
+    pal = np.asarray(filter_bank_pallas(jnp.asarray(small_fish), bank.xtaps, bank.ytaps))
+    np.testing.assert_allclose(pal, ref, atol=5e-3, rtol=1e-5)
+
+
+def test_bank_pallas_batched(small_fish):
+    bank = g2h2_bank()
+    batch = jnp.stack([jnp.asarray(small_fish), jnp.asarray(small_fish[::-1])])
+    pal = filter_bank_pallas(batch, bank.xtaps, bank.ytaps)
+    assert pal.shape == (2, 7, 64, 160)
+    ref = filter_bank_xla(batch, bank.xtaps, bank.ytaps)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=5e-3, rtol=1e-5)
+
+
+def test_fused_maps_match_xla_pipeline(small_fish):
+    bank = g2_bank()
+    maps = steerable_pipeline_g2(jnp.asarray(small_fish), bank, method="xla")
+    e, d, b = g2_maps_pallas(jnp.asarray(small_fish), bank.xtaps, bank.ytaps)
+    for ours, ref, name in [
+        (e, maps.edges, "edges"),
+        (d, maps.lines_dark, "dark"),
+        (b, maps.lines_bright, "bright"),
+    ]:
+        diff = np.abs(np.asarray(ours) - np.asarray(ref))
+        scale = np.abs(np.asarray(ref)).mean() + 1e-6
+        assert diff.max() / scale < 5e-3, f"{name}: {diff.max()} vs scale {scale}"
+
+
+def test_vmem_gate_falls_back():
+    # a 4k image must not claim pallas whole-tile support (16MB VMEM)
+    assert not pallas_supported(2160, 4096, 7, 4)
+    # the golden test image and VGA-third tiles fit comfortably
+    assert pallas_supported(185, 256, 7, 4)
+    assert pallas_supported(256, 384, 11, 6)
