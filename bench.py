@@ -1,0 +1,160 @@
+"""Benchmark: steerable front-end frames/s per chip vs the reference on CPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+- value: throughput of the fused Pallas G2 front-end (image -> edges /
+  dark-lines / bright-lines maps) on the default JAX device.
+- vs_baseline: ratio against the reference pipeline driven exactly as
+  `example/steer.cpp` drives it — cv2.sepFilter2D x7 + elementwise OpenCV
+  math, parallel across images with a thread pool (the reference's
+  cv::parallel_for_, example/steer.cpp:169) — on this host's CPU. The
+  reference publishes no numbers of its own (BASELINE.md), so its own code
+  on CPU is the baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+B, H, W = 16, 512, 512
+DEVICE_ITERS = 128  # scan iterations inside one jitted dispatch
+BASE_MIN_ITERS = 2
+BASE_MIN_SECONDS = 3.0
+
+
+def _images():
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    return rng.uniform(0.0, 255.0, (B, H, W)).astype("float32")
+
+
+def bench_device(images) -> float:
+    """Time DEVICE_ITERS front-end batches chained in one lax.scan.
+
+    A host loop of dispatches is not reliably serialized through the remote
+    TPU tunnel (block_until_ready can return before device completion), so
+    the iteration loop lives on device and the fetched scalar checksum
+    forces end-to-end execution.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cvsteer_tpu.filters.g2 import g2_bank
+    from cvsteer_tpu.ops.pallas_frontend import g2_maps_pallas
+
+    bank = g2_bank()
+    x = jnp.asarray(images)
+
+    @jax.jit
+    def run(x):
+        def body(carry, i):
+            # vary the input per iteration so nothing can be memoized
+            e, d, b = g2_maps_pallas(x + carry * 1e-6, bank.xtaps, bank.ytaps)
+            return carry + e[0, 0, 0] + d[0, 0, 0] + b[0, 0, 0], None
+
+        c, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(DEVICE_ITERS))
+        return c
+
+    float(run(x))  # compile + warm
+    t0 = time.perf_counter()
+    c = float(run(x))  # fetch forces completion of the whole chain
+    dt = time.perf_counter() - t0
+    assert c == c, "NaN checksum"
+    return B * DEVICE_ITERS / dt
+
+
+def bench_reference_cpu(images) -> float:
+    """The reference pipeline (OpenCV primitives, threaded across images)."""
+    import concurrent.futures as cf
+
+    import cv2
+    import numpy as np
+
+    from cvsteer_tpu.filters.taps import g2h2_bank
+
+    bank = g2h2_bank()
+    kxs = [bank.xtaps[k].reshape(1, -1) for k in range(7)]
+    kys = [bank.ytaps[k].reshape(-1, 1) for k in range(7)]
+
+    def one(img: np.ndarray) -> float:
+        # setup(): 7 sepFilter2D (SteerableFiltersG2.cpp:60-68)
+        g2a, g2b, g2c, h2a, h2b, h2c, h2d = (
+            cv2.sepFilter2D(img, cv2.CV_32F, kxs[k], kys[k]) for k in range(7)
+        )
+        # energy coefficients (.cpp:70-95)
+        c2 = (
+            0.5 * (g2a * g2a - g2c * g2c) + 0.46875 * (h2a * h2a - h2d * h2d)
+            + 0.28125 * (h2b * h2b - h2c * h2c) + 0.1875 * (h2a * h2c - h2b * h2d)
+        )
+        c3 = (
+            -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
+            - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
+        )
+        # dominant orientation (.cpp:97-99)
+        _, theta = cv2.cartToPolar(c2, c3)
+        theta[theta > math.pi] -= 2.0 * math.pi
+        theta *= 0.5
+        # per-pixel steering (.cpp:147-155)
+        st, ct = np.sin(theta), np.cos(theta)
+        g2v = ct * ct * g2a - 2.0 * ct * st * g2b + st * st * g2c
+        h2v = ct**3 * h2a - 3 * ct * ct * st * h2b + 3 * ct * st * st * h2c - st**3 * h2d
+        # magnitude/phase (.cpp:107-112)
+        mag, phase = cv2.cartToPolar(g2v, h2v)
+        phase[phase > math.pi] -= 2.0 * math.pi
+        np.nan_to_num(phase, copy=False)
+
+        # find{Edges,DarkLines,BrightLines}(magnitude, ...) (steer.cpp:88-90)
+        def pw(phi, signum):
+            err = np.abs(phase - phi) if signum else np.abs(np.abs(phase) - abs(phi))
+            np.minimum(err, 2.0 * math.pi - err, out=err)
+            lam = np.cos(err) ** 2
+            lam[err > math.pi / 2] = 0.0
+            return lam
+
+        edges = mag * pw(math.pi / 2, False)
+        dark = mag * pw(0.0, True)
+        bright = mag * pw(math.pi, True)
+        return float(edges[0, 0] + dark[0, 0] + bright[0, 0])  # keep results live
+
+    frames = [images[i] for i in range(B)]
+    with cf.ThreadPoolExecutor() as pool:
+        list(pool.map(one, frames))  # warm caches/threads
+        t0 = time.perf_counter()
+        iters = 0
+        while iters < BASE_MIN_ITERS or time.perf_counter() - t0 < BASE_MIN_SECONDS:
+            list(pool.map(one, frames))
+            iters += 1
+        dt = time.perf_counter() - t0
+    return B * iters / dt
+
+
+def main() -> int:
+    images = _images()
+    value = bench_device(images)
+    try:
+        base = bench_reference_cpu(images)
+        vs = value / base
+    except Exception as e:  # cv2 missing or failed: report raw throughput only
+        print(f"baseline failed: {e}", file=sys.stderr)
+        vs = 0.0
+    print(
+        json.dumps(
+            {
+                "metric": f"g2_frontend_frames_per_s_{H}x{W}",
+                "value": round(value, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

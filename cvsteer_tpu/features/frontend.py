@@ -1,0 +1,101 @@
+"""Multi-scale feature extraction: pyramid -> steerable maps -> keypoints +
+phase descriptors (BASELINE config 2).
+
+One call takes a batch of images to a fixed-capacity feature set per image:
+a 5-level Gaussian pyramid, the G2/H2 front-end per level, NMS keypoints on
+the orientation-strength map, and rotation-normalized phase descriptors.
+Keypoint coordinates are reported in level-0 pixels; per-level capacities
+are static so the whole thing jits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cvsteer_tpu.features.descriptors import phase_descriptors
+from cvsteer_tpu.features.keypoints import Keypoints, detect_keypoints
+from cvsteer_tpu.filters import g2 as fg2
+from cvsteer_tpu.ops.pyramid import gaussian_pyramid
+
+
+class FrontendConfig(NamedTuple):
+    levels: int = 5
+    keypoints_per_level: int = 256
+    nms_radius: int = 2
+    threshold: float = 1.0
+    descriptor_grid: int = 4
+    descriptor_spacing: float = 3.0
+
+    @property
+    def capacity(self) -> int:
+        return self.levels * self.keypoints_per_level
+
+    @property
+    def descriptor_dim(self) -> int:
+        return 2 * self.descriptor_grid * self.descriptor_grid
+
+
+class Features(NamedTuple):
+    """Fixed-capacity multi-scale features for one image (or a batch).
+
+    yx:    [..., N, 2] level-0 pixel coordinates.
+    score: [..., N] detector response.
+    theta: [..., N] dominant orientation.
+    level: [..., N] pyramid level (int32).
+    desc:  [..., N, D] unit descriptors.
+    valid: [..., N] mask.
+    """
+
+    yx: jax.Array
+    score: jax.Array
+    theta: jax.Array
+    level: jax.Array
+    desc: jax.Array
+    valid: jax.Array
+
+
+def _extract_single(image: jax.Array, bank: fg2.G2Bank, cfg: FrontendConfig) -> Features:
+    levels = gaussian_pyramid(image, cfg.levels)
+    parts = []
+    for lvl, img in enumerate(levels):
+        basis = fg2.g2_basis(img, bank)
+        _, c2, c3 = fg2.energy_coefficients(basis)
+        theta, strength = fg2.dominant_orientation(c2, c3)
+        kp = detect_keypoints(
+            strength,
+            theta,
+            max_keypoints=cfg.keypoints_per_level,
+            nms_radius=cfg.nms_radius,
+            threshold=cfg.threshold,
+        )
+        desc = phase_descriptors(
+            basis, kp, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
+        )
+        scale = float(2**lvl)
+        parts.append(
+            Features(
+                yx=kp.yx * scale,
+                score=kp.score,
+                theta=kp.theta,
+                level=jnp.full(kp.score.shape, lvl, jnp.int32),
+                desc=desc,
+                valid=kp.valid,
+            )
+        )
+    return Features(*(jnp.concatenate(xs, axis=0) for xs in zip(*parts)))
+
+
+def extract_features(
+    images: jax.Array,
+    bank: Optional[fg2.G2Bank] = None,
+    cfg: FrontendConfig = FrontendConfig(),
+) -> Features:
+    """Features of ``images [H, W]`` or ``[B, H, W]`` (vmapped over B)."""
+    if bank is None:
+        bank = fg2.g2_bank()
+    if images.ndim == 2:
+        return _extract_single(images, bank, cfg)
+    return jax.vmap(lambda im: _extract_single(im, bank, cfg))(images)

@@ -1,0 +1,44 @@
+"""Bilinear sampling (gather-based, static-shaped) for descriptor extraction.
+
+TPU-friendly replacement for scattered cv2.remap-style access: a fixed-size
+set of sample coordinates gathers from a map with edge clamping. All shapes
+static; out-of-bounds coordinates clamp to the border pixel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Sample ``img [..., H, W]`` at float coordinates ``ys/xs [S...]``.
+
+    Returns ``[..., S...]`` — sample axes appended after the batch axes.
+    Coordinates are in pixel units (y, x), clamped to the image border.
+    """
+    *batch, H, W = img.shape
+    s_shape = ys.shape
+    ys = jnp.clip(ys.reshape(-1), 0.0, H - 1.0)
+    xs = jnp.clip(xs.reshape(-1), 0.0, W - 1.0)
+
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = ys - y0.astype(ys.dtype)
+    wx = xs - x0.astype(xs.dtype)
+
+    flat = img.reshape((-1, H * W))
+
+    def gather(yi, xi):
+        return flat[:, yi * W + xi]  # [B, S]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    out = top * (1.0 - wy) + bot * wy
+    return out.reshape(tuple(batch) + s_shape)

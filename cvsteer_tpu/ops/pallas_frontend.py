@@ -42,6 +42,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -55,12 +56,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pad_for_kernel(image: jax.Array, r: int, ho: int, wo: int) -> jax.Array:
-    """Reflect-pad by r (REFLECT_101 parity), then zero-pad to (ho+2r, wo+2r)."""
+def _pad_for_kernel(
+    image: jax.Array, r: int, ho: int, wo: int, wp: Optional[int] = None
+) -> jax.Array:
+    """Reflect-pad by r (REFLECT_101 parity), then zero-pad to (ho+2r, wp).
+
+    ``wp`` defaults to wo+2r; the tiled kernel passes a 128-aligned width
+    because Mosaic requires DMA slices aligned to the lane tiling.
+    """
     *b, h, w = image.shape
     pad_hw = [(0, 0)] * (image.ndim - 2) + [(r, r), (r, r)]
     img = jnp.pad(image.astype(jnp.float32), pad_hw, mode="reflect")
-    extra = [(0, 0)] * (image.ndim - 2) + [(0, ho - h), (0, wo - w)]
+    if wp is None:
+        wp = wo + 2 * r
+    extra = [(0, 0)] * (image.ndim - 2) + [(0, ho - h), (0, wp - (w + 2 * r))]
     return jnp.pad(img, extra)
 
 
@@ -192,12 +201,19 @@ def _g2_maps_kernel(img_ref, edges_ref, dark_ref, bright_ref, *, xtaps, ytaps, h
     bright_ref[0] = jnp.where(g2v < 0.0, g2sq_over_mag, 0.0)
 
 
+# Mosaic's scoped-vmem live set for the fused kernel is ~32 fp32 buffers of
+# the padded tile (measured: 34 MB at 520x520); stay well inside 16 MB.
+_FUSED_LIVE_BUFFERS = 32
+
+
 def g2_maps_pallas(
     image: jax.Array, xtaps, ytaps
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused front-end: image [..., H, W] -> (edges, lines_dark, lines_bright).
 
     One HBM read of the image, three map writes; everything else VMEM/VPU.
+    Dispatches to the row-tiled double-buffered kernel when the whole padded
+    tile would not fit VMEM.
     """
     xtaps = np.asarray(xtaps, np.float32)
     ytaps = np.asarray(ytaps, np.float32)
@@ -206,6 +222,8 @@ def g2_maps_pallas(
     *batch, h, w = image.shape
 
     ho, wo = _round_up(h, 8), _round_up(w, 128)
+    if 4 * (ho + 2 * r) * (wo + 2 * r) * _FUSED_LIVE_BUFFERS > _VMEM_BUDGET:
+        return g2_maps_tiled_pallas(image, xtaps, ytaps)
     hi, wi = ho + 2 * r, wo + 2 * r
     img = _pad_for_kernel(image.reshape((-1, h, w)), r, ho, wo)
     n = img.shape[0]
@@ -223,6 +241,154 @@ def g2_maps_pallas(
             flops=n * ho * wo * (4 * K * T + 60),
             bytes_accessed=n * (hi * wi + 3 * ho * wo) * 4,
             transcendentals=n * ho * wo * 3,
+        ),
+        interpret=_interpret(),
+    )(img)
+    crop = lambda x: x[:, :h, :w].reshape(tuple(batch) + (h, w))
+    return crop(edges), crop(dark), crop(bright)
+
+
+# ---------------------------------------------------------------------------
+# Row-tiled fused G2 pipeline: double-buffered HBM->VMEM band DMA.
+# Scales to arbitrary image sizes; the whole-tile kernel above is the
+# small-image special case.
+# ---------------------------------------------------------------------------
+
+
+def _g2_maps_tiled_kernel(
+    img_hbm, edges_ref, dark_ref, bright_ref, band, sems,
+    *, xtaps, ytaps, tile_h, wp, wo, num_tiles,
+):
+    """Grid (N, T): band DMA of rows [t*tile_h, t*tile_h + tile_h + 2r) of
+    image n, double-buffered across grid steps, then the fused front-end math
+    on the VMEM band (same algebra as _g2_maps_kernel)."""
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    r = (xtaps.shape[1] - 1) // 2
+    band_h = tile_h + 2 * r
+
+    def band_dma(slot, nn, tt):
+        return pltpu.make_async_copy(
+            img_hbm.at[nn, pl.ds(tt * tile_h, band_h), :],
+            band.at[slot],
+            sems.at[slot],
+        )
+
+    # Slots follow the GLOBAL step index so they stay consistent across the
+    # image boundary (a per-image t%2 would collide with the cross-image
+    # prefetch when num_tiles is odd, and double-start the first band).
+    step = n * num_tiles + t
+    slot = lax.rem(step, 2)
+    next_slot = lax.rem(step + 1, 2)
+
+    # Warm-up: only the very first grid step issues its own DMA; every other
+    # band was prefetched by the previous step.
+    @pl.when(step == 0)
+    def _():
+        band_dma(slot, 0, 0).start()
+
+    # Prefetch the next band (next tile, or first tile of the next image).
+    last_tile = t == num_tiles - 1
+
+    @pl.when(jnp.logical_not(last_tile))
+    def _():
+        band_dma(next_slot, n, t + 1).start()
+
+    @pl.when(last_tile & (n + 1 < pl.num_programs(0)))
+    def _():
+        band_dma(next_slot, n + 1, 0).start()
+
+    band_dma(slot, n, t).wait()
+
+    padded = band[slot]  # [band_h, wp]
+    g2a, g2b, g2c, h2a, h2b, h2c, h2d = _row_col_bank(
+        padded, xtaps, ytaps, tile_h, wo
+    )
+
+    c2 = (
+        0.5 * (g2a * g2a - g2c * g2c)
+        + 0.46875 * (h2a * h2a - h2d * h2d)
+        + 0.28125 * (h2b * h2b - h2c * h2c)
+        + 0.1875 * (h2a * h2c - h2b * h2d)
+    )
+    c3 = (
+        -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
+        - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
+    )
+
+    rho = jnp.sqrt(c2 * c2 + c3 * c3)
+    inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
+    cos2t = c2 * inv_rho
+    ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
+    st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
+    st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
+
+    ct2, st2 = ct * ct, st * st
+    ct3, st3 = ct2 * ct, st2 * st
+    g2v = ct2 * g2a - 2.0 * ct * st * g2b + st2 * g2c
+    h2v = ct3 * h2a - 3.0 * ct2 * st * h2b + 3.0 * ct * st2 * h2c - st3 * h2d
+
+    mag2 = g2v * g2v + h2v * h2v
+    inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
+    edges_ref[0] = (h2v * h2v) * inv_mag
+    g2sq_over_mag = (g2v * g2v) * inv_mag
+    dark_ref[0] = jnp.where(g2v > 0.0, g2sq_over_mag, 0.0)
+    bright_ref[0] = jnp.where(g2v < 0.0, g2sq_over_mag, 0.0)
+
+
+DEFAULT_TILE_H = 128
+
+
+def g2_maps_tiled_pallas(
+    image: jax.Array, xtaps, ytaps, *, tile_h: int = DEFAULT_TILE_H
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Row-tiled fused front-end for images of any size.
+
+    The image stays in HBM; bands of ``tile_h`` rows (+ 2*radius overlap) are
+    double-buffered into VMEM and the whole pipeline (bank conv -> energy ->
+    half-angle steering -> phase-selective maps) runs per band.
+    """
+    xtaps = np.asarray(xtaps, np.float32)
+    ytaps = np.asarray(ytaps, np.float32)
+    K, T = xtaps.shape
+    r = (T - 1) // 2
+    *batch, h, w = image.shape
+
+    # Auto-shrink the band height so the ~32-buffer live set fits VMEM even
+    # for very wide images.
+    wo_est = _round_up(w, 128)
+    max_tile = _VMEM_BUDGET // (4 * wo_est * _FUSED_LIVE_BUFFERS)
+    tile_h = max(8, min(tile_h, (max_tile // 8) * 8))
+
+    tile_h = min(tile_h, _round_up(h, 8))
+    ho, wo = _round_up(h, tile_h), _round_up(w, 128)
+    # Mosaic DMA slices must be lane-aligned: round the padded width to 128.
+    hp, wp = ho + 2 * r, _round_up(wo + 2 * r, 128)
+    img = _pad_for_kernel(image.reshape((-1, h, w)), r, ho, wo, wp=wp)
+    n = img.shape[0]
+    num_tiles = ho // tile_h
+    band_h = tile_h + 2 * r
+
+    kernel = functools.partial(
+        _g2_maps_tiled_kernel,
+        xtaps=xtaps, ytaps=ytaps, tile_h=tile_h, wp=wp, wo=wo, num_tiles=num_tiles,
+    )
+    spec = pl.BlockSpec((1, tile_h, wo), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)
+    edges, dark, bright = pl.pallas_call(
+        kernel,
+        grid=(n, num_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        scratch_shapes=[
+            pltpu.VMEM((2, band_h, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n * ho * wo * (4 * K * T + 60),
+            bytes_accessed=n * (hp * wp + 3 * ho * wo) * 4,
+            transcendentals=0,
         ),
         interpret=_interpret(),
     )(img)

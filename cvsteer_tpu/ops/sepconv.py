@@ -30,24 +30,33 @@ import numpy as np
 from jax import lax
 
 
-def reflect_pad_2d(image: jax.Array, radius: int) -> jax.Array:
-    """REFLECT_101 padding of the trailing two axes by ``radius``."""
+def reflect_pad_2d(image: jax.Array, radius: int, axes=(True, True)) -> jax.Array:
+    """REFLECT_101 padding of the trailing two axes by ``radius``.
+
+    ``axes``: (pad_height, pad_width) — an axis already carrying halo rows
+    (spatially sharded execution, cvsteer_tpu.parallel.halo) is skipped.
+    """
     if radius == 0:
         return image
-    pad = [(0, 0)] * (image.ndim - 2) + [(radius, radius), (radius, radius)]
+    rh = radius if axes[0] else 0
+    rw = radius if axes[1] else 0
+    pad = [(0, 0)] * (image.ndim - 2) + [(rh, rh), (rw, rw)]
     return jnp.pad(image, pad, mode="reflect")
 
 
-def filter_bank_xla(image: jax.Array, xtaps, ytaps) -> jax.Array:
+def filter_bank_xla(image: jax.Array, xtaps, ytaps, *, pad_axes=(True, True)) -> jax.Array:
     """Apply a stacked separable bank via XLA convolutions.
 
     Args:
       image: ``[..., H, W]`` single-channel image(s), any float dtype.
       xtaps: ``[K, T]`` horizontal taps (applied along W).
       ytaps: ``[K, T]`` vertical taps (applied along H).
+      pad_axes: which of (H, W) to REFLECT_101-pad. Pass ``(False, True)``
+        when H already carries ``radius`` halo rows from a neighbor exchange;
+        the output is then ``radius`` rows shorter on each side.
 
     Returns:
-      ``[..., K, H, W]`` basis responses, same dtype as the accumulation
+      ``[..., K, H', W]`` basis responses, same dtype as the accumulation
       dtype (float32 unless the input is wider).
     """
     xtaps = jnp.asarray(xtaps)
@@ -58,7 +67,8 @@ def filter_bank_xla(image: jax.Array, xtaps, ytaps) -> jax.Array:
 
     acc_dtype = jnp.promote_types(image.dtype, jnp.float32)
     img = image.reshape((-1, 1, H, W)).astype(acc_dtype)
-    img = reflect_pad_2d(img, r)
+    img = reflect_pad_2d(img, r, pad_axes)
+    H_out = H if pad_axes[0] else H - 2 * r
 
     # HIGHEST precision: on TPU the DEFAULT conv/dot precision routes fp32
     # operands through the MXU as bfloat16, which breaks golden parity
@@ -80,7 +90,7 @@ def filter_bank_xla(image: jax.Array, xtaps, ytaps) -> jax.Array:
         row, ky, (1, 1), "VALID", dimension_numbers=dn2,
         feature_group_count=K, precision=prec,
     )
-    return out.reshape(tuple(batch) + (K, H, W))
+    return out.reshape(tuple(batch) + (K, H_out, W))
 
 
 def filter_bank_shifts(image: jax.Array, xtaps, ytaps) -> jax.Array:

@@ -1,0 +1,338 @@
+"""Monocular visual odometry: keyframing + windowed Schur BA (BASELINE config 4).
+
+Host-driven loop (keyframe decisions are control flow) around jitted device
+steps: feature matching, essential RANSAC two-view init, motion-only pose
+refinement (PnP), triangulation, and windowed bundle adjustment. The image
+front-end is pluggable: ``process_image`` runs
+cvsteer_tpu.features.extract_features; ``process_frame`` accepts Features
+directly (synthetic feature streams in tests use this seam).
+
+Pose convention: T_k = (R_k, t_k), world -> camera-k. Scale is fixed by the
+two-view initialization baseline (||t|| = 1), as is standard for monocular.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvsteer_tpu.features.frontend import Features, FrontendConfig, extract_features
+from cvsteer_tpu.features.matching import match_descriptors
+from cvsteer_tpu.geometry.camera import Intrinsics, normalize_pixels
+from cvsteer_tpu.geometry.epipolar import ransac_essential
+from cvsteer_tpu.geometry.pose import recover_pose, triangulate
+from cvsteer_tpu.slam import se3
+from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust, refine_pose
+
+
+class VOConfig(NamedTuple):
+    intrinsics: Intrinsics = Intrinsics(500.0, 500.0, 320.0, 240.0)
+    frontend: FrontendConfig = FrontendConfig()
+    match_ratio: float = 0.85
+    min_parallax: float = 0.015  # median |x1 - x2| (normalized) to initialize
+    init_min_inliers: int = 30
+    track_min_landmarks: int = 40  # below this -> new keyframe
+    kf_max_gap: int = 10  # force a keyframe every N frames
+    window: int = 8  # BA window (keyframes)
+    ba_iterations: int = 12
+    huber_delta: float = 4e-3
+    ransac_hypotheses: int = 512
+    ransac_threshold: float = 1e-5
+    max_landmarks: int = 4096
+
+
+@dataclasses.dataclass
+class Keyframe:
+    index: int  # frame index
+    features: Features
+    R: np.ndarray  # [3, 3] world->camera
+    t: np.ndarray  # [3]
+    landmark_ids: np.ndarray  # [N] int64, -1 = feature has no landmark
+
+
+@dataclasses.dataclass
+class VOState:
+    config: VOConfig
+    keyframes: List[Keyframe] = dataclasses.field(default_factory=list)
+    landmarks: Optional[np.ndarray] = None  # [max_landmarks, 3]
+    landmark_valid: Optional[np.ndarray] = None  # [max_landmarks]
+    num_landmarks: int = 0
+    trajectory: List[Tuple[int, np.ndarray, np.ndarray]] = dataclasses.field(
+        default_factory=list
+    )  # (frame_idx, R, t)
+    initialized: bool = False
+    frame_count: int = 0
+
+    def poses(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Trajectory as (R [F, 3, 3], t [F, 3])."""
+        Rs = np.stack([p[1] for p in self.trajectory])
+        ts = np.stack([p[2] for p in self.trajectory])
+        return Rs, ts
+
+
+def init_vo(config: VOConfig = VOConfig()) -> VOState:
+    state = VOState(config=config)
+    state.landmarks = np.zeros((config.max_landmarks, 3), np.float32)
+    state.landmark_valid = np.zeros(config.max_landmarks, bool)
+    return state
+
+
+def _match(state: VOState, fa: Features, fb: Features):
+    m = match_descriptors(
+        fa.desc, fa.valid, fb.desc, fb.valid, ratio=state.config.match_ratio
+    )
+    return np.asarray(m.index), np.asarray(m.valid)
+
+
+def _norm_pts(state: VOState, feats: Features) -> np.ndarray:
+    return np.asarray(normalize_pixels(feats.yx, state.config.intrinsics))
+
+
+def _try_initialize(state: VOState, feats: Features) -> bool:
+    """Two-view initialization against keyframe 0."""
+    kf0 = state.keyframes[0]
+    idx, valid = _match(state, kf0.features, feats)
+    if valid.sum() < state.config.init_min_inliers:
+        return False
+
+    x0 = _norm_pts(state, kf0.features)
+    x1 = _norm_pts(state, feats)
+    pts0 = x0
+    pts1 = x1[np.maximum(idx, 0)]
+    parallax = np.linalg.norm(pts0 - pts1, axis=-1)
+    med_par = np.median(parallax[valid])
+    if med_par < state.config.min_parallax:
+        return False
+
+    res = ransac_essential(
+        jnp.asarray(pts0),
+        jnp.asarray(pts1),
+        jnp.asarray(valid),
+        jax.random.key(state.frame_count),
+        num_hypotheses=state.config.ransac_hypotheses,
+        inlier_threshold=state.config.ransac_threshold,
+    )
+    if int(res.num_inliers) < state.config.init_min_inliers:
+        return False
+    pose = recover_pose(res.E, jnp.asarray(pts0), jnp.asarray(pts1), res.inliers)
+
+    good = np.asarray(pose.cheirality)
+    X = np.asarray(pose.points)  # camera-0 == world frame (kf0 at identity)
+    n_new = int(good.sum())
+    if n_new < state.config.init_min_inliers:
+        return False
+
+    # register landmarks
+    lm_ids_kf0 = kf0.landmark_ids.copy()
+    feat_ids0 = np.nonzero(good)[0]
+    new_ids = np.arange(state.num_landmarks, state.num_landmarks + n_new)
+    state.landmarks[new_ids] = X[feat_ids0]
+    state.landmark_valid[new_ids] = True
+    state.num_landmarks += n_new
+    lm_ids_kf0[feat_ids0] = new_ids
+    kf0.landmark_ids = lm_ids_kf0
+
+    # new keyframe
+    lm_ids = np.full(feats.yx.shape[0], -1, np.int64)
+    lm_ids[idx[feat_ids0]] = new_ids
+    R = np.asarray(pose.R)
+    t = np.asarray(pose.t)
+    state.keyframes.append(
+        Keyframe(state.frame_count, feats, R, t, lm_ids)
+    )
+    state.trajectory.append((state.frame_count, R, t))
+    state.initialized = True
+    return True
+
+
+def _track(state: VOState, feats: Features):
+    """Match to the last keyframe's landmark-bearing features; PnP refine."""
+    kf = state.keyframes[-1]
+    idx, valid = _match(state, kf.features, feats)
+
+    has_lm = kf.landmark_ids >= 0
+    use = valid & has_lm
+    lm_ids = np.where(use, kf.landmark_ids, -1)
+
+    n = len(idx)
+    X = np.zeros((n, 3), np.float32)
+    sel = lm_ids >= 0
+    X[sel] = state.landmarks[lm_ids[sel]]
+    uv_all = _norm_pts(state, feats)
+    uv = np.zeros((n, 2), np.float32)
+    uv[sel] = uv_all[np.maximum(idx, 0)[sel]]
+
+    R0, t0 = jnp.asarray(kf.R), jnp.asarray(kf.t)
+    R, t, inl = refine_pose(
+        jnp.asarray(X),
+        jnp.asarray(uv),
+        jnp.asarray(sel),
+        R0,
+        t0,
+        iterations=10,
+        huber_delta=state.config.huber_delta,
+    )
+    n_tracked = int(jnp.sum(inl))
+    return np.asarray(R), np.asarray(t), n_tracked, idx, valid
+
+
+def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid):
+    """Promote the current frame: inherit landmark ids from matches to the
+    previous keyframe, triangulate new landmarks, run windowed BA."""
+    kf_prev = state.keyframes[-1]
+    n = feats.yx.shape[0]
+    lm_ids = np.full(n, -1, np.int64)
+
+    # inherit existing landmarks
+    prev_has = kf_prev.landmark_ids >= 0
+    inherit = valid & prev_has
+    lm_ids[np.maximum(idx, 0)[inherit]] = kf_prev.landmark_ids[inherit]
+
+    # triangulate brand-new correspondences
+    fresh = valid & ~prev_has
+    if fresh.sum() >= 8 and state.num_landmarks < state.config.max_landmarks:
+        x_prev = _norm_pts(state, kf_prev.features)[fresh]
+        x_new = _norm_pts(state, feats)[np.maximum(idx, 0)[fresh]]
+        P1 = jnp.asarray(
+            np.concatenate([kf_prev.R, kf_prev.t[:, None]], 1), jnp.float32
+        )
+        P2 = jnp.asarray(np.concatenate([R, t[:, None]], 1), jnp.float32)
+        Xw = np.asarray(
+            triangulate(P1, P2, jnp.asarray(x_prev), jnp.asarray(x_new))
+        )
+        # cheirality + depth sanity in both views
+        z1 = (Xw @ kf_prev.R.T + kf_prev.t)[:, 2]
+        z2 = (Xw @ np.asarray(R).T + np.asarray(t))[:, 2]
+        ok = (z1 > 1e-3) & (z2 > 1e-3) & (np.abs(Xw) < 1e4).all(axis=1)
+        n_room = state.config.max_landmarks - state.num_landmarks
+        keep = np.nonzero(ok)[0][:n_room]
+        if keep.size:
+            new_ids = np.arange(state.num_landmarks, state.num_landmarks + keep.size)
+            state.landmarks[new_ids] = Xw[keep]
+            state.landmark_valid[new_ids] = True
+            state.num_landmarks += keep.size
+            prev_feat_idx = np.nonzero(fresh)[0][keep]
+            kf_prev.landmark_ids[prev_feat_idx] = new_ids
+            lm_ids[np.maximum(idx, 0)[prev_feat_idx]] = new_ids
+
+    state.keyframes.append(Keyframe(state.frame_count, feats, R, t, lm_ids))
+    _windowed_ba(state)
+
+
+def _windowed_ba(state: VOState):
+    """Dense masked BA over the last ``window`` keyframes."""
+    cfg = state.config
+    window = state.keyframes[-cfg.window :]
+    C = len(window)
+    if C < 2:
+        return
+
+    # local landmark set = union of landmarks observed in the window
+    lm_set = np.unique(
+        np.concatenate([kf.landmark_ids[kf.landmark_ids >= 0] for kf in window])
+    )
+    if lm_set.size < 8:
+        return
+    local_of_global = {g: i for i, g in enumerate(lm_set)}
+    L = lm_set.size
+
+    uv = np.zeros((C, L, 2), np.float32)
+    mask = np.zeros((C, L), bool)
+    for c, kf in enumerate(window):
+        x = np.asarray(normalize_pixels(kf.features.yx, cfg.intrinsics))
+        fvalid = np.asarray(kf.features.valid)
+        for f_idx in np.nonzero(kf.landmark_ids >= 0)[0]:
+            if not fvalid[f_idx]:
+                continue
+            l = local_of_global[kf.landmark_ids[f_idx]]
+            uv[c, l] = x[f_idx]
+            mask[c, l] = True
+
+    fixed = np.zeros(C, bool)
+    fixed[0] = True
+    if C >= 2:
+        # monocular gauge: also freeze the second camera to pin scale
+        fixed[1] = True
+
+    problem = BAProblem(
+        uv=jnp.asarray(uv),
+        mask=jnp.asarray(mask),
+        fixed_cameras=jnp.asarray(fixed),
+        huber_delta=cfg.huber_delta,
+    )
+    ba_state = BAState(
+        R=jnp.asarray(np.stack([kf.R for kf in window])),
+        t=jnp.asarray(np.stack([kf.t for kf in window])),
+        X=jnp.asarray(state.landmarks[lm_set]),
+    )
+    final, _ = bundle_adjust(ba_state, problem, iterations=cfg.ba_iterations)
+
+    Rs, ts, X = np.asarray(final.R), np.asarray(final.t), np.asarray(final.X)
+    for c, kf in enumerate(window):
+        kf.R, kf.t = Rs[c], ts[c]
+    state.landmarks[lm_set] = X
+
+
+def process_frame(state: VOState, feats: Features) -> VOState:
+    """Advance VO by one frame of features."""
+    if not state.keyframes:
+        n = feats.yx.shape[0]
+        state.keyframes.append(
+            Keyframe(
+                state.frame_count,
+                feats,
+                np.eye(3, dtype=np.float32),
+                np.zeros(3, np.float32),
+                np.full(n, -1, np.int64),
+            )
+        )
+        state.trajectory.append(
+            (state.frame_count, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        )
+        state.frame_count += 1
+        return state
+
+    if not state.initialized:
+        if not _try_initialize(state, feats):
+            # hold pose at last keyframe until baseline appears
+            kf = state.keyframes[-1]
+            state.trajectory.append((state.frame_count, kf.R.copy(), kf.t.copy()))
+        state.frame_count += 1
+        return state
+
+    R, t, n_tracked, idx, valid = _track(state, feats)
+    state.trajectory.append((state.frame_count, R, t))
+
+    gap = state.frame_count - state.keyframes[-1].index
+    if n_tracked < state.config.track_min_landmarks or gap >= state.config.kf_max_gap:
+        _add_keyframe(state, feats, R, t, idx, valid)
+        kf = state.keyframes[-1]
+        # the windowed BA just refined this pose — reflect it in the trajectory
+        state.trajectory[-1] = (state.frame_count, kf.R.copy(), kf.t.copy())
+
+    state.frame_count += 1
+    return state
+
+
+def finalize(state: VOState) -> VOState:
+    """Propagate the latest keyframe refinements into the trajectory.
+
+    Keyframe poses keep improving as later windows re-optimize them; this
+    rewrites their trajectory entries with the final estimates (non-keyframe
+    entries keep their tracked poses, as in standard VO evaluation).
+    """
+    by_frame = {kf.index: kf for kf in state.keyframes}
+    for i, (f, R, t) in enumerate(state.trajectory):
+        if f in by_frame:
+            kf = by_frame[f]
+            state.trajectory[i] = (f, kf.R.copy(), kf.t.copy())
+    return state
+
+
+def process_image(state: VOState, image: jax.Array) -> VOState:
+    feats = extract_features(image, cfg=state.config.frontend)
+    return process_frame(state, feats)

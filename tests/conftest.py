@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The axon PJRT plugin ignores the env var once registered; the config update
+# is authoritative and must happen before any backend is touched.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import numpy as np

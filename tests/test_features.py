@@ -1,0 +1,119 @@
+"""Keypoints, phase descriptors, matching (BASELINE config 2-3 building blocks)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cvsteer_tpu.features import (
+    detect_keypoints,
+    match_descriptors,
+    phase_descriptors,
+)
+from cvsteer_tpu.filters.g2 import (
+    dominant_orientation,
+    energy_coefficients,
+    g2_bank,
+    g2_basis,
+)
+
+
+def _frontend(img):
+    basis = g2_basis(jnp.asarray(img), method="xla")
+    c1, c2, c3 = energy_coefficients(basis)
+    theta, strength = dominant_orientation(c2, c3)
+    return basis, theta, strength
+
+
+def test_nms_detects_isolated_peaks():
+    strength = np.zeros((64, 64), np.float32)
+    peaks = [(10, 12), (30, 40), (50, 20)]
+    for i, (y, x) in enumerate(peaks):
+        strength[y, x] = 10.0 + i
+    kp = detect_keypoints(jnp.asarray(strength), jnp.zeros((64, 64)), max_keypoints=8)
+    assert int(kp.valid.sum()) == 3
+    got = {tuple(np.round(p).astype(int)) for p in np.asarray(kp.yx)[np.asarray(kp.valid)]}
+    assert got == set(peaks)
+    # scores are sorted descending
+    s = np.asarray(kp.score)[np.asarray(kp.valid)]
+    assert (np.diff(s) <= 0).all()
+
+
+def test_nms_respects_border_and_threshold():
+    strength = np.zeros((32, 32), np.float32)
+    strength[1, 1] = 100.0  # inside default border=3 -> rejected
+    strength[16, 16] = 0.5
+    kp = detect_keypoints(
+        jnp.asarray(strength), jnp.zeros((32, 32)), max_keypoints=8, threshold=1.0
+    )
+    assert int(kp.valid.sum()) == 0
+
+
+def test_subpixel_refinement():
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32)
+    cy, cx = 31.3, 22.7
+    strength = np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / 18.0)
+    kp = detect_keypoints(jnp.asarray(strength), jnp.zeros((64, 64)), max_keypoints=4)
+    assert int(kp.valid.sum()) >= 1
+    y, x = np.asarray(kp.yx)[0]
+    assert abs(y - cy) < 0.15 and abs(x - cx) < 0.15
+
+
+def test_descriptors_self_match_identity(fish_gray):
+    basis, theta, strength = _frontend(fish_gray)
+    kp = detect_keypoints(strength, theta, max_keypoints=128, threshold=1.0)
+    desc = phase_descriptors(basis, kp)
+    nv = int(kp.valid.sum())
+    assert nv > 20
+    # unit norm on valid slots
+    norms = np.linalg.norm(np.asarray(desc), axis=-1)
+    np.testing.assert_allclose(norms[np.asarray(kp.valid)], 1.0, atol=1e-5)
+
+    m = match_descriptors(desc, kp.valid, desc, kp.valid, ratio=1.0, mutual=True)
+    idx = np.asarray(m.index)
+    valid = np.asarray(m.valid)
+    assert valid.sum() >= 0.95 * nv
+    assert (idx[valid] == np.arange(len(idx))[valid]).all()
+
+
+def test_matching_translated_image(fish_gray):
+    dyx = 8
+    img_a = fish_gray[:-dyx, :-dyx]
+    img_b = fish_gray[dyx:, dyx:]  # b = a shifted by (-dy, -dx)
+
+    ba, ta, sa = _frontend(img_a)
+    bb, tb, sb = _frontend(img_b)
+    ka = detect_keypoints(sa, ta, max_keypoints=256, threshold=1.0)
+    kb = detect_keypoints(sb, tb, max_keypoints=256, threshold=1.0)
+    da = phase_descriptors(ba, ka)
+    db = phase_descriptors(bb, kb)
+    m = match_descriptors(da, ka.valid, db, kb.valid, ratio=0.9)
+
+    valid = np.asarray(m.valid)
+    assert valid.sum() >= 30
+    pa = np.asarray(ka.yx)[valid]
+    pb = np.asarray(kb.yx)[np.asarray(m.index)[valid]]
+    offset = pa - pb  # should be ~(dyx, dyx)
+    good = (np.abs(offset - dyx) < 1.0).all(axis=1)
+    assert good.mean() > 0.9, f"only {good.mean():.2f} of matches at expected offset"
+
+
+def test_matching_rotated_image(fish_gray):
+    img = fish_gray[: fish_gray.shape[0] // 8 * 8]
+    rot = np.ascontiguousarray(np.rot90(img))  # (y,x) -> (W-1-x, y)
+    H, W = img.shape
+
+    ba, ta, sa = _frontend(img)
+    bb, tb, sb = _frontend(rot)
+    ka = detect_keypoints(sa, ta, max_keypoints=256, threshold=1.0)
+    kb = detect_keypoints(sb, tb, max_keypoints=256, threshold=1.0)
+    da = phase_descriptors(ba, ka)
+    db = phase_descriptors(bb, kb)
+    m = match_descriptors(da, ka.valid, db, kb.valid, ratio=0.9)
+
+    valid = np.asarray(m.valid)
+    assert valid.sum() >= 20
+    pa = np.asarray(ka.yx)[valid]
+    pb = np.asarray(kb.yx)[np.asarray(m.index)[valid]]
+    expected = np.stack([W - 1.0 - pa[:, 1], pa[:, 0]], axis=1)
+    good = (np.abs(expected - pb) < 1.5).all(axis=1)
+    assert good.mean() > 0.7, f"only {good.mean():.2f} of matches consistent with rot90"

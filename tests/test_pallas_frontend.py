@@ -69,3 +69,34 @@ def test_vmem_gate_falls_back():
     # the golden test image and VGA-third tiles fit comfortably
     assert pallas_supported(185, 256, 7, 4)
     assert pallas_supported(256, 384, 11, 6)
+
+
+def test_tiled_maps_match_xla_pipeline(small_fish):
+    from cvsteer_tpu.ops.pallas_frontend import g2_maps_tiled_pallas
+
+    bank = g2_bank()
+    maps = steerable_pipeline_g2(jnp.asarray(small_fish), bank, method="xla")
+    # tile_h=16 over a 64-row image -> 4 bands, exercises the band overlap
+    e, d, b = g2_maps_tiled_pallas(
+        jnp.asarray(small_fish), bank.xtaps, bank.ytaps, tile_h=16
+    )
+    for ours, ref, name in [
+        (e, maps.edges, "edges"),
+        (d, maps.lines_dark, "dark"),
+        (b, maps.lines_bright, "bright"),
+    ]:
+        diff = np.abs(np.asarray(ours) - np.asarray(ref))
+        scale = np.abs(np.asarray(ref)).mean() + 1e-6
+        assert diff.max() / scale < 5e-3, f"{name}: {diff.max()} vs scale {scale}"
+
+
+def test_tiled_maps_batched(small_fish):
+    from cvsteer_tpu.ops.pallas_frontend import g2_maps_tiled_pallas
+
+    bank = g2_bank()
+    batch = jnp.stack([jnp.asarray(small_fish), jnp.asarray(small_fish[::-1])])
+    e, d, b = g2_maps_tiled_pallas(batch, bank.xtaps, bank.ytaps, tile_h=32)
+    assert e.shape == (2, 64, 160)
+    ref = steerable_pipeline_g2(batch, bank, method="xla")
+    scale = np.abs(np.asarray(ref.edges)).mean() + 1e-6
+    assert np.abs(np.asarray(e) - np.asarray(ref.edges)).max() / scale < 5e-3

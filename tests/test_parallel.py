@@ -1,0 +1,125 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The sharded front-end (data x space mesh, ring halo exchange) must be
+numerically identical to the single-device pipeline — the halo exchange
+supplies exactly the rows REFLECT_101 padding would otherwise see
+(SURVEY.md sections 2.3 and 5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvsteer_tpu.filters.g2 import g2_bank, steerable_pipeline_g2
+from cvsteer_tpu.ops.sepconv import filter_bank_xla
+from cvsteer_tpu.parallel import halo_exchange_rows, make_mesh, sharded_g2_maps
+from cvsteer_tpu.parallel.frontend_sharded import shard_batch
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"data": 4, "space": 2})
+    assert mesh.axis_names == ("data", "space")
+    assert mesh.devices.shape == (4, 2)
+    mesh2 = make_mesh({"data": -1, "space": 2})
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3, "space": 2})
+
+
+def test_halo_exchange_matches_reflect_pad(rng):
+    """Gathered halo blocks == REFLECT_101 rows of the full image."""
+    from jax.sharding import PartitionSpec as P
+
+    H, W, r = 64, 16, 4
+    x = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    mesh = make_mesh({"space": 8})
+
+    fn = jax.shard_map(
+        lambda blk: halo_exchange_rows(blk, r, "space"),
+        mesh=mesh,
+        in_specs=(P("space", None),),
+        out_specs=P("space", None),
+    )
+    out = np.asarray(fn(x))  # [8 * (4 + 4 + 4), W]
+
+    padded = np.pad(np.asarray(x), ((r, r), (0, 0)), mode="reflect")
+    h_loc = H // 8
+    for d in range(8):
+        blk = out[d * (h_loc + 2 * r) : (d + 1) * (h_loc + 2 * r)]
+        np.testing.assert_array_equal(blk, padded[d * h_loc : d * h_loc + h_loc + 2 * r])
+
+
+def test_filter_bank_valid_rows_matches_padded(rng):
+    bank = g2_bank()
+    r = bank.radius
+    img = jnp.asarray(rng.standard_normal((24, 40)), jnp.float32)
+    full = filter_bank_xla(img, bank.xtaps, bank.ytaps)
+    pre = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    valid = filter_bank_xla(pre, bank.xtaps, bank.ytaps, pad_axes=(False, True))
+    np.testing.assert_allclose(np.asarray(valid), np.asarray(full), rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize("axes", [{"data": 8}, {"data": 2, "space": 4}, {"space": 8}])
+def test_sharded_g2_maps_matches_single_device(rng, axes):
+    mesh = make_mesh(axes)
+    B, H, W = axes.get("data", 1) * 2, 64, 48
+    imgs = jnp.asarray(rng.uniform(0, 255, (B, H, W)), jnp.float32)
+
+    ref = steerable_pipeline_g2(imgs, method="xla")
+    placed = shard_batch(imgs, mesh)
+    edges, dark, bright = sharded_g2_maps(placed, mesh)
+
+    np.testing.assert_allclose(np.asarray(edges), np.asarray(ref.edges), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dark), np.asarray(ref.lines_dark), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(bright), np.asarray(ref.lines_bright), rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_g2_maps_jit_compiles(rng):
+    mesh = make_mesh({"data": 2, "space": 4})
+    imgs = jnp.asarray(rng.uniform(0, 255, (4, 64, 48)), jnp.float32)
+    fn = jax.jit(lambda x: sharded_g2_maps(x, mesh))
+    edges, _, _ = fn(shard_batch(imgs, mesh))
+    assert edges.shape == (4, 64, 48)
+
+
+def test_bundle_adjust_sharded_matches_single(rng):
+    """Landmark-sharded distributed BA == single-device BA."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_ba import _synthetic_ba
+    from cvsteer_tpu.parallel.ba_sharded import (
+        bundle_adjust_sharded,
+        place_ba_inputs,
+    )
+    from cvsteer_tpu.slam.ba import bundle_adjust
+    from cvsteer_tpu.slam import se3
+
+    problem, gt, init = _synthetic_ba(C=5, L=61, pose_err=0.02, point_err=0.05, drop=0.2)
+
+    ref, ref_stats = bundle_adjust(init, problem, iterations=15)
+
+    mesh = make_mesh({"data": 8})
+    st, prob, L = place_ba_inputs(init, problem, mesh)  # pads 61 -> 64
+    out, stats = bundle_adjust_sharded(st, prob, mesh, iterations=15)
+    out = out._replace(X=out.X[:L])
+
+    assert out.X.shape == init.X.shape
+    assert float(stats.cost) < 1e-8
+    ang = np.asarray(se3.rotation_geodesic(out.R, ref.R))
+    assert ang.max() < 1e-4
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), atol=1e-4)
+
+
+def test_bundle_adjust_sharded_jit(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_ba import _synthetic_ba
+    from cvsteer_tpu.parallel.ba_sharded import bundle_adjust_sharded, place_ba_inputs
+
+    problem, gt, init = _synthetic_ba(C=4, L=64, pose_err=0.02, point_err=0.05)
+    mesh = make_mesh({"data": 4, "space": 2})
+    st, prob, _ = place_ba_inputs(init, problem, mesh)
+    fn = jax.jit(lambda s, p: bundle_adjust_sharded(s, p, mesh, iterations=10))
+    out, stats = fn(st, prob)
+    assert float(stats.cost) < float(stats.initial_cost)

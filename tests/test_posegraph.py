@@ -1,0 +1,142 @@
+"""Pose-graph optimization: odometry chain + loop closures on synthetic graphs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvsteer_tpu.slam import se3
+from cvsteer_tpu.slam.posegraph import (
+    PoseGraph,
+    Poses,
+    cost,
+    edge_residuals,
+    optimize_pose_graph,
+    relative_pose,
+)
+
+
+def _circle_trajectory(P, radius=5.0):
+    """Ground-truth poses on a circle (world->camera)."""
+    Rs, ts = [], []
+    for k in range(P):
+        ang = 2 * np.pi * k / P
+        Rwc = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.0, ang], jnp.float32)))
+        c = np.array([radius * np.cos(ang), radius * np.sin(ang), 0.0])
+        # world->camera: R = Rwc^T, t = -R c
+        R = Rwc.T
+        ts.append(-R @ c)
+        Rs.append(R)
+    return Poses(
+        R=jnp.asarray(np.stack(Rs), jnp.float32),
+        t=jnp.asarray(np.stack(ts), jnp.float32),
+    )
+
+
+def _graph_from_gt(gt: Poses, edges, weight=1.0, meas_noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    i = jnp.asarray([a for a, _ in edges], jnp.int32)
+    j = jnp.asarray([b for _, b in edges], jnp.int32)
+    Rz, tz = relative_pose(gt, i, j)
+    if meas_noise:
+        dw = jnp.asarray(rng.normal(0, meas_noise, (len(edges), 3)), jnp.float32)
+        dv = jnp.asarray(rng.normal(0, meas_noise, (len(edges), 3)), jnp.float32)
+        dR, dt = se3.exp_se3(jnp.concatenate([dw, dv], -1))
+        Rz, tz = se3.compose(dR, dt, Rz, tz)
+    P = gt.R.shape[0]
+    fixed = np.zeros(P, bool)
+    fixed[0] = True
+    return PoseGraph(
+        i=i, j=j, R_z=Rz, t_z=tz,
+        weight=jnp.full(len(edges), weight, jnp.float32),
+        fixed=jnp.asarray(fixed),
+    )
+
+
+def _perturb(poses: Poses, scale, seed=1):
+    rng = np.random.default_rng(seed)
+    P = poses.R.shape[0]
+    xi = rng.normal(0, scale, (P, 6)).astype(np.float32)
+    xi[0] = 0  # keep the anchor at ground truth
+    dR, dt = se3.exp_se3(jnp.asarray(xi))
+    R, t = se3.compose(dR, dt, poses.R, poses.t)
+    return Poses(R=R, t=t)
+
+
+def test_zero_cost_at_ground_truth():
+    gt = _circle_trajectory(8)
+    graph = _graph_from_gt(gt, [(k, (k + 1) % 8) for k in range(8)])
+    assert float(cost(gt, graph)) < 1e-9
+    r = np.asarray(edge_residuals(gt, graph))
+    assert np.abs(r).max() < 1e-4
+
+
+def test_chain_converges():
+    P = 12
+    gt = _circle_trajectory(P)
+    edges = [(k, k + 1) for k in range(P - 1)] + [(P - 1, 0), (0, P // 2)]
+    graph = _graph_from_gt(gt, edges)
+    init = _perturb(gt, 0.05)
+    opt, stats = jax.jit(
+        lambda p, g: optimize_pose_graph(p, g, iterations=15)
+    )(init, graph)
+    assert float(stats.cost) < 1e-8
+    ang = np.asarray(se3.rotation_geodesic(opt.R, gt.R))
+    assert ang.max() < 1e-3
+    np.testing.assert_allclose(np.asarray(opt.t), np.asarray(gt.t), atol=5e-3)
+
+
+def test_loop_closure_corrects_drift():
+    """Odometry with accumulated drift + one loop closure: the loop edge
+    must pull the chain back toward consistency."""
+    P = 16
+    gt = _circle_trajectory(P)
+    odo = [(k, k + 1) for k in range(P - 1)]
+    graph_odo = _graph_from_gt(gt, odo, meas_noise=0.02, seed=3)
+
+    # integrate noisy odometry for the initial guess
+    Rs = [np.asarray(gt.R[0])]
+    ts = [np.asarray(gt.t[0])]
+    for e in range(P - 1):
+        Rz = np.asarray(graph_odo.R_z[e])
+        tz = np.asarray(graph_odo.t_z[e])
+        Rs.append(Rz @ Rs[-1])
+        ts.append(Rz @ ts[-1] + tz)
+    init = Poses(jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts)))
+
+    # add exact loop-closure edges
+    loops = [(P - 1, 0), (0, P // 2), (P // 4, 3 * P // 4)]
+    graph = _graph_from_gt(gt, odo + loops, seed=3)
+    # keep odometry measurement noise on odo edges
+    graph = graph._replace(
+        R_z=jnp.concatenate([graph_odo.R_z, graph.R_z[len(odo):]]),
+        t_z=jnp.concatenate([graph_odo.t_z, graph.t_z[len(odo):]]),
+        weight=jnp.concatenate(
+            [jnp.ones(len(odo)), 10.0 * jnp.ones(len(loops))]
+        ),
+    )
+
+    err_before = float(jnp.abs(init.t - gt.t).max())
+    opt, stats = optimize_pose_graph(init, graph, iterations=20)
+    err_after = float(jnp.abs(opt.t - gt.t).max())
+    assert err_after < 0.5 * err_before, f"{err_before} -> {err_after}"
+    assert float(stats.cost) < float(cost(init, graph))
+
+
+def test_masked_padding_edges_ignored():
+    P = 6
+    gt = _circle_trajectory(P)
+    edges = [(k, k + 1) for k in range(P - 1)]
+    graph = _graph_from_gt(gt, edges)
+    # append garbage padding edges with weight 0
+    pad = 4
+    graph = PoseGraph(
+        i=jnp.concatenate([graph.i, jnp.zeros(pad, jnp.int32)]),
+        j=jnp.concatenate([graph.j, jnp.full((pad,), P - 1, jnp.int32)]),
+        R_z=jnp.concatenate([graph.R_z, jnp.stack([jnp.eye(3)] * pad)]),
+        t_z=jnp.concatenate([graph.t_z, 100.0 * jnp.ones((pad, 3))]),
+        weight=jnp.concatenate([graph.weight, jnp.zeros(pad)]),
+        fixed=graph.fixed,
+    )
+    init = _perturb(gt, 0.03)
+    opt, stats = optimize_pose_graph(init, graph, iterations=15)
+    assert float(stats.cost) < 1e-8

@@ -1,0 +1,141 @@
+"""Monocular VO end-to-end on a synthetic feature stream (BASELINE config 4).
+
+The synthetic world: a 3D point cloud with fixed random unit descriptors; a
+camera flies past it; each frame's Features are the projected visible points
+with their descriptors (small noise). This drives the full VO stack —
+matching, two-view init, PnP tracking, keyframing, triangulation, windowed
+Schur BA — through the exact production seam (vo.process_frame); the image
+front-end itself is covered by the feature/frontend tests on real images.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cvsteer_tpu.features.frontend import Features
+from cvsteer_tpu.geometry.camera import Intrinsics, pixels_from_normalized
+from cvsteer_tpu.slam import se3
+from cvsteer_tpu.slam.evaluate import ate_rmse, umeyama
+from cvsteer_tpu.slam.vo import VOConfig, finalize, init_vo, process_frame
+
+K = Intrinsics(500.0, 500.0, 320.0, 240.0)
+N_CAP = 256  # feature capacity per frame
+DESC_DIM = 32
+
+
+def _make_world(n_points=400, seed=0):
+    rng = np.random.default_rng(seed)
+    # depth 4-12 m against a ~0.7 m inter-keyframe baseline: enough parallax
+    # for well-conditioned triangulation (depth 8-20 m gives a weak-geometry
+    # scene whose ~5 cm trajectory warp tests the scene, not the code)
+    X = rng.uniform([-4, -3, 4], [4, 3, 12], (n_points, 3)).astype(np.float32)
+    desc = rng.normal(size=(n_points, DESC_DIM)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    return X, desc
+
+
+def _gt_pose(k, n_frames):
+    """Smooth forward + sideways motion with mild rotation (world->camera)."""
+    s = k / max(n_frames - 1, 1)
+    w = np.array([0.0, 0.25 * s, 0.0], np.float32)
+    Rwc = np.asarray(se3.exp_so3(jnp.asarray(w)))
+    c = np.array([3.0 * s, 0.5 * np.sin(2 * np.pi * s * 0.5), 2.0 * s], np.float32)
+    R = Rwc.T
+    return R.astype(np.float32), (-R @ c).astype(np.float32)
+
+
+def _render_features(X, desc, R, t, rng, pix_noise=0.2, desc_noise=0.05):
+    p = X @ R.T + t
+    z = p[:, 2]
+    uv = p[:, :2] / z[:, None]
+    pix = np.asarray(pixels_from_normalized(jnp.asarray(uv), K))
+    vis = (
+        (z > 0.5)
+        & (pix[:, 0] > 5) & (pix[:, 0] < 475)
+        & (pix[:, 1] > 5) & (pix[:, 1] < 635)
+    )
+    ids = np.nonzero(vis)[0]
+    rng.shuffle(ids)
+    ids = ids[:N_CAP]
+    n = len(ids)
+
+    yx = np.zeros((N_CAP, 2), np.float32)
+    dsc = np.zeros((N_CAP, DESC_DIM), np.float32)
+    valid = np.zeros(N_CAP, bool)
+    yx[:n] = pix[ids] + rng.normal(0, pix_noise, (n, 2))
+    d = desc[ids] + rng.normal(0, desc_noise, (n, DESC_DIM))
+    dsc[:n] = d / np.linalg.norm(d, axis=1, keepdims=True)
+    valid[:n] = True
+    return Features(
+        yx=jnp.asarray(yx),
+        score=jnp.asarray(valid, jnp.float32),
+        theta=jnp.zeros(N_CAP),
+        level=jnp.zeros(N_CAP, jnp.int32),
+        desc=jnp.asarray(dsc),
+        valid=jnp.asarray(valid),
+    )
+
+
+@pytest.fixture(scope="module")
+def vo_run():
+    X, desc = _make_world()
+    rng = np.random.default_rng(42)
+    n_frames = 30
+    cfg = VOConfig(intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30)
+    state = init_vo(cfg)
+    gt = []
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        gt.append((R, t))
+        feats = _render_features(X, desc, R, t, rng)
+        state = process_frame(state, feats)
+    state = finalize(state)
+    return state, gt, X
+
+
+def test_vo_initializes_and_tracks(vo_run):
+    state, gt, _ = vo_run
+    assert state.initialized
+    assert len(state.keyframes) >= 3
+    assert state.num_landmarks > 100
+    assert len(state.trajectory) == 30
+
+
+def test_vo_trajectory_accuracy(vo_run):
+    state, gt, _ = vo_run
+    Rs, ts = state.poses()
+    gt_R = np.stack([g[0] for g in gt])
+    gt_t = np.stack([g[1] for g in gt])
+    ate = ate_rmse(Rs, ts, gt_R, gt_t, align_scale=True)
+    # trajectory spans ~4.2 m; demand cm-level ATE on clean synthetic data
+    assert ate < 0.05, f"ATE {ate:.4f} m"
+
+
+def test_vo_landmark_accuracy(vo_run):
+    """Triangulated landmarks must align with the true cloud (up to Sim(3))."""
+    state, gt, X_true_all = vo_run
+    # VO landmarks were created from matched features of true points, but the
+    # correspondence is unknown — check via trajectory-aligned scale instead:
+    Rs, ts = state.poses()
+    gt_R = np.stack([g[0] for g in gt])
+    gt_t = np.stack([g[1] for g in gt])
+    from cvsteer_tpu.slam.evaluate import camera_centers
+
+    s, R, t = umeyama(camera_centers(Rs, ts), camera_centers(gt_R, gt_t))
+    X = state.landmarks[: state.num_landmarks]
+    X_aligned = s * X @ R.T + t
+    # aligned landmarks should live inside the (slightly padded) true volume
+    lo, hi = np.array([-5, -4, 3]), np.array([5, 4, 13])
+    frac_inside = ((X_aligned > lo) & (X_aligned < hi)).all(1).mean()
+    assert frac_inside > 0.9, f"only {frac_inside:.2f} of landmarks in volume"
+
+
+def test_umeyama_recovers_similarity(rng):
+    src = rng.normal(size=(50, 3))
+    R_true = np.asarray(se3.exp_so3(jnp.asarray([0.3, -0.2, 0.5], jnp.float32)))
+    s_true, t_true = 2.5, np.array([1.0, -2.0, 0.5])
+    dst = s_true * src @ R_true.T + t_true
+    s, R, t = umeyama(src, dst)
+    assert abs(s - s_true) < 1e-6
+    np.testing.assert_allclose(R, R_true, atol=1e-6)
+    np.testing.assert_allclose(t, t_true, atol=1e-6)
