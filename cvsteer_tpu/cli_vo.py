@@ -1,0 +1,170 @@
+"""cvsteer-vo: monocular visual odometry over an image sequence.
+
+BASELINE config 4 entry point: run the steerable-front-end VO (keyframing +
+windowed Schur BA) over a TUM-RGBD sequence, KITTI odometry sequence, or a
+plain image directory; report ATE RMSE when ground truth is present; write
+the trajectory in TUM format; checkpoint/resume mid-sequence.
+
+  python -m cvsteer_tpu.cli_vo --input <seq_dir> --config cfg.json \
+      --set slam.window=10 --output traj.txt --checkpoint-dir ckpt/
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cvsteer-vo", description=__doc__)
+    ap.add_argument("--input", required=True, help="sequence dir (TUM/KITTI/images)")
+    ap.add_argument("--config", default="", help="EngineConfig JSON")
+    ap.add_argument("--set", nargs="*", default=[], help="dotted overrides k=v")
+    ap.add_argument("--output", default="", help="trajectory output (TUM format)")
+    ap.add_argument("--checkpoint-dir", default="")
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from cvsteer_tpu.features.frontend import FrontendConfig
+    from cvsteer_tpu.geometry.camera import Intrinsics
+    from cvsteer_tpu.io.datasets import open_sequence
+    from cvsteer_tpu.io.imageio import imread_gray_f32
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+    from cvsteer_tpu.slam.vo import VOConfig, finalize, init_vo, process_image
+    from cvsteer_tpu.utils.config import EngineConfig, apply_overrides, load_config
+    from cvsteer_tpu.utils.metrics import Metrics, StepTimer
+
+    cfg = load_config(args.config) if args.config else EngineConfig()
+    if args.set:
+        cfg = apply_overrides(cfg, tuple(args.set))
+    if args.checkpoint_dir:
+        cfg.checkpoint_dir = args.checkpoint_dir
+
+    seq = open_sequence(args.input, max_frames=args.max_frames or None)
+    if not seq.image_paths:
+        print("no images found", file=sys.stderr)
+        return 1
+
+    vo_cfg = VOConfig(
+        intrinsics=Intrinsics(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy),
+        frontend=FrontendConfig(
+            levels=cfg.frontend.levels,
+            keypoints_per_level=cfg.frontend.keypoints_per_level,
+            nms_radius=cfg.frontend.nms_radius,
+            threshold=cfg.frontend.threshold,
+            descriptor_grid=cfg.frontend.descriptor_grid,
+            descriptor_spacing=cfg.frontend.descriptor_spacing,
+        ),
+        match_ratio=cfg.slam.match_ratio,
+        min_parallax=cfg.slam.min_parallax,
+        init_min_inliers=cfg.slam.init_min_inliers,
+        track_min_landmarks=cfg.slam.track_min_landmarks,
+        kf_max_gap=cfg.slam.kf_max_gap,
+        window=cfg.slam.window,
+        ba_iterations=cfg.slam.ba_iterations,
+        huber_delta=cfg.slam.huber_delta,
+        ransac_hypotheses=cfg.slam.ransac_hypotheses,
+        ransac_threshold=cfg.slam.ransac_threshold,
+        max_landmarks=cfg.slam.max_landmarks,
+    )
+    state = init_vo(vo_cfg)
+
+    ckpt = None
+    start = 0
+    if cfg.checkpoint_dir:
+        from cvsteer_tpu.utils.checkpoint import SlamCheckpointer
+
+        ckpt = SlamCheckpointer(cfg.checkpoint_dir)
+        if ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            start = state.frame_count
+            if args.verbose:
+                print(f"resumed at frame {start}", file=sys.stderr)
+
+    metrics = Metrics()
+    timer = StepTimer()
+    last_kf_count = len(state.keyframes)
+    for k in range(start, len(seq.image_paths)):
+        with timer.span("decode"):
+            img = imread_gray_f32(seq.image_paths[k])
+        if img is None:
+            if args.verbose:
+                print(f"skip unreadable: {seq.image_paths[k]}", file=sys.stderr)
+            continue
+        with timer.span("vo"):
+            state = process_image(state, img)
+        metrics.frame()
+        if len(state.keyframes) != last_kf_count:
+            metrics.count("keyframes", len(state.keyframes) - last_kf_count)
+            last_kf_count = len(state.keyframes)
+            if ckpt is not None and cfg.checkpoint_every and (
+                last_kf_count % cfg.checkpoint_every == 0
+            ):
+                with timer.span("checkpoint"):
+                    ckpt.save(last_kf_count, state)
+        if args.verbose and cfg.log_every and (k + 1) % cfg.log_every == 0:
+            metrics.gauge("landmarks", state.num_landmarks)
+            metrics.log(step=k + 1, **timer.means_ms())
+
+    state = finalize(state)
+    if ckpt is not None:
+        ckpt.save(len(state.keyframes), state)
+        ckpt.close()
+
+    Rs, ts = state.poses()
+    if args.output:
+        with open(args.output, "w") as f:
+            for (fi, R, t) in state.trajectory:
+                # TUM format: t tx ty tz qx qy qz qw (camera->world)
+                Rwc = R.T
+                c = -Rwc @ t
+                q = _rot_to_quat(Rwc)
+                stamp = seq.timestamps[fi] if fi < len(seq.timestamps) else fi
+                f.write(
+                    f"{stamp:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+                )
+
+    if seq.gt_R is not None and len(state.trajectory) >= 3:
+        frames = [fi for fi, _, _ in state.trajectory]
+        ate = ate_rmse(Rs, ts, seq.gt_R[frames], seq.gt_t[frames])
+        print(f"ATE RMSE: {ate:.4f} m over {len(frames)} frames")
+    if args.verbose:
+        print(
+            f"frames/s: {metrics.fps:.2f}; keyframes: {len(state.keyframes)}; "
+            f"landmarks: {state.num_landmarks}; phase ms: {timer.means_ms()}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def _rot_to_quat(R):
+    """3x3 -> (qx, qy, qz, qw)."""
+    import numpy as np
+
+    t = np.trace(R)
+    if t > 0:
+        s = 0.5 / np.sqrt(t + 1.0)
+        w = 0.25 / s
+        x = (R[2, 1] - R[1, 2]) * s
+        y = (R[0, 2] - R[2, 0]) * s
+        z = (R[1, 0] - R[0, 1]) * s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = 2.0 * np.sqrt(max(1.0 + R[i, i] - R[j, j] - R[k, k], 1e-12))
+        q = [0.0, 0.0, 0.0, 0.0]
+        q[i] = 0.25 * s
+        q[3] = (R[k, j] - R[j, k]) / s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        x, y, z, w = q[0], q[1], q[2], q[3]
+    return (x, y, z, w)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

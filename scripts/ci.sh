@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# CI for cvsteer_tpu — the TPU-native equivalent of the reference's CI
+# matrix (.travis.yml / appveyor.yml): build the native codec, run the full
+# suite on an emulated 8-device CPU mesh, then a NaN-strict smoke leg (the
+# device-code analog of the sanitizer builds).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== native codec build =="
+make -C cvsteer_tpu/io/native
+
+echo "== test suite (8-device CPU mesh) =="
+python -m pytest tests/ -q
+
+echo "== NaN-strict smoke (jax_debug_nans) =="
+JAX_DEBUG_NANS=1 python - <<'EOF'
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_debug_nans", True)
+import numpy as np, jax.numpy as jnp
+from cvsteer_tpu.filters.g2 import steerable_pipeline_g2
+rng = np.random.default_rng(0)
+img = jnp.asarray(rng.uniform(0, 255, (64, 96)), jnp.float32)
+maps = steerable_pipeline_g2(img, method="xla")
+jax.block_until_ready(maps)
+print("nan-strict pipeline ok")
+EOF
+
+echo "== multichip dryrun =="
+XLA_FLAGS="--xla_force_host_platform_device_count=8" python - <<'EOF'
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print("dryrun ok")
+EOF
+
+echo "CI OK"

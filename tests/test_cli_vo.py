@@ -1,0 +1,136 @@
+"""End-to-end VO CLI over a rendered image sequence in TUM-RGBD layout.
+
+The mini-dataset renders anisotropic Gaussian blobs at the projections of a
+fixed 3D point cloud (oriented texture the steerable detector responds to),
+written as PNGs through the IO stack — so this exercises the dataset
+parser, codec, image front-end, the full VO engine, ATE evaluation against
+ground truth, and trajectory output, exactly as a user would run it.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cvsteer_tpu.io.imageio import imwrite_u8
+from cvsteer_tpu.slam import se3
+
+import jax.numpy as jnp
+
+H, W = 120, 160
+FX = FY = 120.0
+CX, CY = W / 2.0, H / 2.0
+N_FRAMES = 10
+
+
+def _render(X, attrs, R, t):
+    """Anisotropic Gaussian splats at projected point locations."""
+    p = X @ R.T + t
+    z = p[:, 2]
+    u = FX * p[:, 0] / z + CX  # col
+    v = FY * p[:, 1] / z + CY  # row
+    img = np.zeros((H, W), np.float32)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    for k in range(len(X)):
+        if z[k] < 0.5 or not (-10 < u[k] < W + 10 and -10 < v[k] < H + 10):
+            continue
+        amp, ang, s1, s2 = attrs[k]
+        ca, sa = np.cos(ang), np.sin(ang)
+        dx = xs - u[k]
+        dy = ys - v[k]
+        a = ca * dx + sa * dy
+        b = -sa * dx + ca * dy
+        img += amp * np.exp(-(a * a / (2 * s1 * s1) + b * b / (2 * s2 * s2)))
+    img = img / max(img.max(), 1e-6) * 220.0 + 16.0
+    return img.astype(np.uint8)
+
+
+def _gt_pose(k):
+    s = k / (N_FRAMES - 1)
+    Rwc = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.12 * s, 0.0], jnp.float32)))
+    c = np.array([1.2 * s, 0.1 * np.sin(3 * s), 0.6 * s], np.float32)
+    R = Rwc.T.astype(np.float32)
+    return R, (-R @ c).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def tum_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tumseq")
+    rng = np.random.default_rng(3)
+    n_pts = 90
+    X = rng.uniform([-3, -2, 3], [3, 2, 8], (n_pts, 3)).astype(np.float32)
+    attrs = np.stack(
+        [
+            rng.uniform(0.5, 1.0, n_pts),  # amplitude
+            rng.uniform(0, np.pi, n_pts),  # orientation
+            rng.uniform(2.2, 3.5, n_pts),  # major sigma
+            rng.uniform(0.8, 1.3, n_pts),  # minor sigma
+        ],
+        axis=1,
+    )
+    (root / "rgb").mkdir()
+    rgb_lines, gt_lines = [], []
+    for k in range(N_FRAMES):
+        R, t = _gt_pose(k)
+        img = _render(X, attrs, R, t)
+        rel = f"rgb/{k:04d}.png"
+        imwrite_u8(str(root / rel), img)
+        stamp = 1000.0 + 0.1 * k
+        rgb_lines.append(f"{stamp:.6f} {rel}")
+        Rwc = R.T
+        c = -Rwc @ t
+        # quaternion of Rwc
+        w = np.sqrt(max(1 + np.trace(Rwc), 1e-12)) / 2
+        qx = (Rwc[2, 1] - Rwc[1, 2]) / (4 * w)
+        qy = (Rwc[0, 2] - Rwc[2, 0]) / (4 * w)
+        qz = (Rwc[1, 0] - Rwc[0, 1]) / (4 * w)
+        gt_lines.append(
+            f"{stamp:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+            f"{qx:.6f} {qy:.6f} {qz:.6f} {w:.6f}"
+        )
+    (root / "rgb.txt").write_text("# ts file\n" + "\n".join(rgb_lines) + "\n")
+    (root / "groundtruth.txt").write_text("# gt\n" + "\n".join(gt_lines) + "\n")
+    return root
+
+
+def test_tum_parser(tum_dataset):
+    from cvsteer_tpu.io.datasets import open_sequence
+
+    seq = open_sequence(str(tum_dataset))
+    assert len(seq.image_paths) == N_FRAMES
+    assert seq.gt_R.shape == (N_FRAMES, 3, 3)
+    # parsed gt matches the generator (world->camera round trip)
+    R0, t0 = _gt_pose(0)
+    np.testing.assert_allclose(seq.gt_R[0], R0, atol=1e-5)
+    np.testing.assert_allclose(seq.gt_t[0], t0, atol=1e-5)
+
+
+def test_cli_vo_end_to_end(tum_dataset, tmp_path):
+    from cvsteer_tpu import cli_vo
+
+    out = str(tmp_path / "traj.txt")
+    rc = cli_vo.main(
+        [
+            "--input", str(tum_dataset),
+            "--output", out,
+            "--set",
+            f"camera.fx={FX}", f"camera.fy={FY}",
+            f"camera.cx={CX}", f"camera.cy={CY}",
+            "frontend.levels=2",
+            "frontend.keypoints_per_level=128",
+            "frontend.threshold=0.5",
+            "slam.kf_max_gap=3",
+            "slam.window=6",
+            "slam.min_parallax=0.01",
+            "slam.init_min_inliers=15",
+            "slam.track_min_landmarks=15",
+            "slam.huber_delta=0.01",
+            "--verbose",
+        ]
+    )
+    assert rc == 0
+    lines = [l for l in open(out).read().splitlines() if l.strip()]
+    assert len(lines) == N_FRAMES
+    assert len(lines[0].split()) == 8  # TUM format
