@@ -28,6 +28,11 @@ class FrontendConfig(NamedTuple):
     threshold: float = 1.0
     descriptor_grid: int = 4
     descriptor_spacing: float = 3.0
+    # 'corner': min-over-orientations energy c1 - |(c2,c3)| — localizes on
+    # junctions/blobs, stable under viewpoint change (default).
+    # 'strength': dominant-orientation strength |(c2,c3)| — the map the
+    # reference exposes; fires along ridges (position slides on edges).
+    score: str = "corner"
 
     @property
     def capacity(self) -> int:
@@ -62,10 +67,13 @@ def _extract_single(image: jax.Array, bank: fg2.G2Bank, cfg: FrontendConfig) -> 
     parts = []
     for lvl, img in enumerate(levels):
         basis = fg2.g2_basis(img, bank)
-        _, c2, c3 = fg2.energy_coefficients(basis)
+        c1, c2, c3 = fg2.energy_coefficients(basis)
         theta, strength = fg2.dominant_orientation(c2, c3)
+        score_map = (
+            fg2.corner_strength(c1, c2, c3) if cfg.score == "corner" else strength
+        )
         kp = detect_keypoints(
-            strength,
+            score_map,
             theta,
             max_keypoints=cfg.keypoints_per_level,
             nms_radius=cfg.nms_radius,

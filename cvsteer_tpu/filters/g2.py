@@ -136,6 +136,19 @@ def energy_coefficients(basis: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Arr
     return c1, c2, c3
 
 
+def corner_strength(
+    c1: jax.Array, c2: jax.Array, c3: jax.Array
+) -> jax.Array:
+    """Orientation-isotropic energy: c1 - |(c2, c3)| = min_theta E(theta).
+
+    The oriented strength |(c2, c3)| peaks along ridges/edges where the
+    keypoint position slides under viewpoint change; the minimum of the
+    energy over orientations instead peaks at junctions, corners and blob
+    centers — the steerable-energy analog of the Harris/min-eigenvalue
+    criterion, and the default detector score for the feature front-end."""
+    return c1 - jnp.hypot(c2, c3)
+
+
 def dominant_orientation(c2: jax.Array, c3: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(theta, strength): per-pixel dominant orientation of the energy.
 

@@ -126,8 +126,8 @@ def pallas_supported(h: int, w: int, k: int, radius: int) -> bool:
 def filter_bank_pallas(image: jax.Array, xtaps, ytaps) -> jax.Array:
     """Pallas version of :func:`cvsteer_tpu.ops.sepconv.filter_bank_xla`.
 
-    image [..., H, W] -> basis [..., K, H, W]. Falls back to the XLA path when
-    the tile would not fit VMEM.
+    image [..., H, W] -> basis [..., K, H, W]. Large images route to the
+    row-tiled band-DMA kernel instead of whole-tile VMEM residence.
     """
     xtaps = np.asarray(xtaps, np.float32)
     ytaps = np.asarray(ytaps, np.float32)
@@ -136,9 +136,7 @@ def filter_bank_pallas(image: jax.Array, xtaps, ytaps) -> jax.Array:
     *batch, h, w = image.shape
 
     if not pallas_supported(h, w, K, r):
-        from cvsteer_tpu.ops.sepconv import filter_bank_xla
-
-        return filter_bank_xla(image, xtaps, ytaps)
+        return bank_tiled_pallas(image, xtaps, ytaps)
 
     ho, wo = _round_up(h, 8), _round_up(w, 128)
     hi, wi = ho + 2 * r, wo + 2 * r
@@ -255,13 +253,30 @@ def g2_maps_pallas(
 # ---------------------------------------------------------------------------
 
 
+def _col_conv_matrix(ytaps: np.ndarray, tile_h: int, band_h: int) -> np.ndarray:
+    """Banded [K, tile_h, band_h] matrix with C[k, i, i+t] = ytaps[k, t].
+
+    Lets the column pass run as one batched MXU matmul over the row-conv
+    results instead of K*T sublane-shifted VPU passes (~10% end-to-end on
+    v5e; requires HIGHEST precision or the fp32 operands quantize to bf16).
+    """
+    K, T = ytaps.shape
+    C = np.zeros((K, tile_h, band_h), np.float32)
+    for k in range(K):
+        for i in range(tile_h):
+            C[k, i, i : i + T] = ytaps[k]
+    return C
+
+
 def _g2_maps_tiled_kernel(
-    img_hbm, edges_ref, dark_ref, bright_ref, band, sems,
+    img_hbm, colmat_ref, edges_ref, dark_ref, bright_ref, band, sems,
     *, xtaps, ytaps, tile_h, wp, wo, num_tiles,
 ):
     """Grid (N, T): band DMA of rows [t*tile_h, t*tile_h + tile_h + 2r) of
     image n, double-buffered across grid steps, then the fused front-end math
-    on the VMEM band (same algebra as _g2_maps_kernel)."""
+    on the VMEM band. Row pass on the VPU with the T shifted slices hoisted
+    and shared across the K filters; column pass as one batched banded
+    matmul on the MXU; steering/phase algebra fused on the VPU."""
     n = pl.program_id(0)
     t = pl.program_id(1)
     r = (xtaps.shape[1] - 1) // 2
@@ -301,9 +316,25 @@ def _g2_maps_tiled_kernel(
     band_dma(slot, n, t).wait()
 
     padded = band[slot]  # [band_h, wp]
-    g2a, g2b, g2c, h2a, h2b, h2c, h2d = _row_col_bank(
-        padded, xtaps, ytaps, tile_h, wo
-    )
+    K, T = xtaps.shape
+    # Row pass: T shifted slices computed once, reused by all K filters.
+    xsl = [padded[:, u : u + wo] for u in range(T)]
+    rows = []
+    for k in range(K):
+        acc = xsl[0] * float(xtaps[k, 0])
+        for u in range(1, T):
+            acc = acc + xsl[u] * float(xtaps[k, u])
+        rows.append(acc)
+    rows_st = jnp.stack(rows)  # [K, band_h, wo]
+    # Column pass: batched banded matmul on the MXU (fp32 via HIGHEST).
+    basis = jax.lax.dot_general(
+        colmat_ref[:],
+        rows_st,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [K, tile_h, wo]
+    g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[k] for k in range(K)]
 
     c2 = (
         0.5 * (g2a * g2a - g2c * g2c)
@@ -373,12 +404,16 @@ def g2_maps_tiled_pallas(
         _g2_maps_tiled_kernel,
         xtaps=xtaps, ytaps=ytaps, tile_h=tile_h, wp=wp, wo=wo, num_tiles=num_tiles,
     )
+    colmat = jnp.asarray(_col_conv_matrix(ytaps, tile_h, band_h))
     spec = pl.BlockSpec((1, tile_h, wo), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)
     edges, dark, bright = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=(spec, spec, spec),
         out_shape=(shape, shape, shape),
         scratch_shapes=[
@@ -391,9 +426,110 @@ def g2_maps_tiled_pallas(
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(img)
+    )(img, colmat)
     crop = lambda x: x[:, :h, :w].reshape(tuple(batch) + (h, w))
     return crop(edges), crop(dark), crop(bright)
+
+
+def _bank_tiled_kernel(
+    img_hbm, colmat_ref, out_ref, band, sems, *, xtaps, tile_h, wo, num_tiles
+):
+    """Generic K-filter bank over tiled bands: basis stack out [1, K, th, wo]."""
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    K, T = xtaps.shape
+    r = (T - 1) // 2
+    band_h = tile_h + 2 * r
+
+    def band_dma(slot, nn, tt):
+        return pltpu.make_async_copy(
+            img_hbm.at[nn, pl.ds(tt * tile_h, band_h), :],
+            band.at[slot],
+            sems.at[slot],
+        )
+
+    step = n * num_tiles + t
+    slot = lax.rem(step, 2)
+    next_slot = lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        band_dma(slot, 0, 0).start()
+
+    last_tile = t == num_tiles - 1
+
+    @pl.when(jnp.logical_not(last_tile))
+    def _():
+        band_dma(next_slot, n, t + 1).start()
+
+    @pl.when(last_tile & (n + 1 < pl.num_programs(0)))
+    def _():
+        band_dma(next_slot, n + 1, 0).start()
+
+    band_dma(slot, n, t).wait()
+    padded = band[slot]
+    xsl = [padded[:, u : u + wo] for u in range(T)]
+    rows = []
+    for k in range(K):
+        acc = xsl[0] * float(xtaps[k, 0])
+        for u in range(1, T):
+            acc = acc + xsl[u] * float(xtaps[k, u])
+        rows.append(acc)
+    rows_st = jnp.stack(rows)
+    basis = jax.lax.dot_general(
+        colmat_ref[:],
+        rows_st,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[0] = basis
+
+
+def bank_tiled_pallas(
+    image: jax.Array, xtaps, ytaps, *, tile_h: int = DEFAULT_TILE_H
+) -> jax.Array:
+    """Row-tiled separable bank for images of any size: [..., K, H, W]."""
+    xtaps = np.asarray(xtaps, np.float32)
+    ytaps = np.asarray(ytaps, np.float32)
+    K, T = xtaps.shape
+    r = (T - 1) // 2
+    *batch, h, w = image.shape
+
+    wo_est = _round_up(w, 128)
+    # live set ~ K row buffers + K basis + band; keep a margin like the fused kernel
+    max_tile = _VMEM_BUDGET // (4 * wo_est * (3 * K + 8))
+    tile_h = max(8, min(tile_h, (max_tile // 8) * 8))
+    tile_h = min(tile_h, _round_up(h, 8))
+    ho, wo = _round_up(h, tile_h), _round_up(w, 128)
+    wp = _round_up(wo + 2 * r, 128)
+    img = _pad_for_kernel(image.reshape((-1, h, w)), r, ho, wo, wp=wp)
+    n = img.shape[0]
+    num_tiles = ho // tile_h
+    band_h = tile_h + 2 * r
+
+    kernel = functools.partial(
+        _bank_tiled_kernel, xtaps=xtaps, tile_h=tile_h, wo=wo, num_tiles=num_tiles
+    )
+    colmat = jnp.asarray(_col_conv_matrix(ytaps, tile_h, band_h))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, K, tile_h, wo), lambda i, t: (i, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, K, ho, wo), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, band_h, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(img, colmat)
+    return out[:, :, :h, :w].reshape(tuple(batch) + (K, h, w))
 
 
 def steerable_pipeline_g2_pallas(image: jax.Array, bank=None):

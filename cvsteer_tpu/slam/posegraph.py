@@ -146,26 +146,123 @@ class PGOStats(NamedTuple):
     lambda_final: jax.Array
 
 
+def _num_poses(graph: PoseGraph) -> int:
+    return graph.fixed.shape[0]
+
+
+def _gn_step_matfree(
+    poses: Poses,
+    graph: PoseGraph,
+    lam: jax.Array,
+    cg_iterations: int,
+    axis_name: Optional[str],
+) -> jax.Array:
+    """Damped GN update dx [P, 6] via matrix-free Jacobi-preconditioned CG.
+
+    The normal matrix is never materialized: each Hv product applies the
+    per-edge Jacobians and scatter-adds back — with edges sharded over
+    ``axis_name``, one psum of a [P, 6] vector per CG iteration is the only
+    communication (plus one [P, 6, 6] psum for the preconditioner). This is
+    the multi-device path; the dense Cholesky path below is exact for small
+    P on one device.
+    """
+    P = _num_poses(graph)
+    Ji, Jj, r = _edge_jacobians(poses, graph)
+    w = graph.weight
+    free = (~graph.fixed).astype(jnp.float32)[:, None]
+
+    b = jnp.zeros((P, 6), jnp.float32)
+    b = b.at[graph.i].add(-jnp.einsum("eai,ea,e->ei", Ji, r, w))
+    b = b.at[graph.j].add(-jnp.einsum("eai,ea,e->ei", Jj, r, w))
+    # Jacobi preconditioner blocks
+    D = jnp.zeros((P, 6, 6), jnp.float32)
+    D = D.at[graph.i].add(jnp.einsum("eai,eaj,e->eij", Ji, Ji, w))
+    D = D.at[graph.j].add(jnp.einsum("eai,eaj,e->eij", Jj, Jj, w))
+    if axis_name is not None:
+        b = lax.psum(b, axis_name)
+        D = lax.psum(D, axis_name)
+    b = b * free
+    D = D + (lam + 1e-8) * jnp.eye(6, dtype=jnp.float32)
+    D_inv = jnp.linalg.inv(D)
+
+    def hv(v):
+        v = v * free
+        u = (
+            jnp.einsum("eab,eb->ea", Ji, v[graph.i])
+            + jnp.einsum("eab,eb->ea", Jj, v[graph.j])
+        ) * w[:, None]
+        out = jnp.zeros((P, 6), jnp.float32)
+        out = out.at[graph.i].add(jnp.einsum("eab,ea->eb", Ji, u))
+        out = out.at[graph.j].add(jnp.einsum("eab,ea->eb", Jj, u))
+        if axis_name is not None:
+            out = lax.psum(out, axis_name)
+        return (out + lam * v) * free
+
+    def precond(v):
+        return jnp.einsum("pij,pj->pi", D_inv, v) * free
+
+    x = jnp.zeros((P, 6), jnp.float32)
+    res = b
+    z = precond(res)
+    p = z
+    rz = jnp.sum(res * z)
+
+    def cg_body(_, carry):
+        x, res, p, rz = carry
+        hp = hv(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-20)
+        x = x + alpha * p
+        res = res - alpha * hp
+        z = precond(res)
+        rz_new = jnp.sum(res * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return x, res, p, rz_new
+
+    x, _, _, _ = lax.fori_loop(0, cg_iterations, cg_body, (x, res, p, rz))
+    return x
+
+
 def optimize_pose_graph(
     poses: Poses,
     graph: PoseGraph,
     *,
     iterations: int = 20,
     lam0: float = 1e-6,
+    solver: str = "dense",
+    cg_iterations: int = 50,
+    axis_name: Optional[str] = None,
 ) -> Tuple[Poses, PGOStats]:
-    """LM pose-graph optimization, fixed iteration count (jit-compatible)."""
-    c0 = cost(poses, graph)
-    P = poses.R.shape[0]
+    """LM pose-graph optimization, fixed iteration count (jit-compatible).
 
-    def body(_, carry):
-        ps, cur, lam = carry
+    solver='dense': exact Cholesky of the assembled [6P, 6P] system (single
+    device, small P). solver='pcg': matrix-free Jacobi-PCG — required when
+    edges are sharded over ``axis_name`` (see
+    cvsteer_tpu.parallel.posegraph_sharded) and preferred for large P.
+    """
+    c0 = cost(poses, graph)
+    if axis_name is not None:
+        c0 = lax.psum(c0, axis_name)
+        solver = "pcg"
+    P = _num_poses(graph)
+
+    def solve_dense(ps, lam):
         H, b = _build_system(ps, graph, lam)
         A = H.reshape(P * 6, P * 6) + 1e-10 * jnp.eye(P * 6, dtype=jnp.float32)
         L = jnp.linalg.cholesky(A)
         y = jax.scipy.linalg.solve_triangular(L, b.reshape(-1), lower=True)
-        dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False).reshape(P, 6)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False).reshape(P, 6)
+
+    def body(_, carry):
+        ps, cur, lam = carry
+        if solver == "pcg":
+            dx = _gn_step_matfree(ps, graph, lam, cg_iterations, axis_name)
+        else:
+            dx = solve_dense(ps, lam)
         cand = _apply(ps, dx, graph.fixed)
         cand_cost = cost(cand, graph)
+        if axis_name is not None:
+            cand_cost = lax.psum(cand_cost, axis_name)
         accept = cand_cost < cur
         ps = jax.tree.map(lambda a, b2: jnp.where(accept, a, b2), cand, ps)
         cur = jnp.where(accept, cand_cost, cur)

@@ -117,3 +117,28 @@ def test_matching_rotated_image(fish_gray):
     expected = np.stack([W - 1.0 - pa[:, 1], pa[:, 0]], axis=1)
     good = (np.abs(expected - pb) < 1.5).all(axis=1)
     assert good.mean() > 0.7, f"only {good.mean():.2f} of matches consistent with rot90"
+
+
+def test_corner_score_prefers_junctions_over_edges():
+    """corner_strength = min_theta E(theta): high at crossings, ~0 on a
+    straight edge (where the detector position would slide)."""
+    from cvsteer_tpu.filters.g2 import corner_strength, energy_coefficients
+
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32)
+    edge = 100.0 / (1.0 + np.exp(-(xs - 32.0)))  # vertical step edge
+    cross = (
+        100.0 * np.exp(-((xs - 32.0) ** 2) / 8.0)
+        + 100.0 * np.exp(-((ys - 32.0) ** 2) / 8.0)
+    )
+
+    def score(img):
+        basis = g2_basis(jnp.asarray(img), method="xla")
+        c1, c2, c3 = energy_coefficients(basis)
+        return np.asarray(corner_strength(c1, c2, c3))
+
+    s_edge = score(edge)
+    s_cross = score(cross)
+    # the crossing point dominates any edge response
+    assert s_cross[32, 32] > 20.0 * s_edge[32, 16]
+    # on the cross, the center beats the pure-line regions
+    assert s_cross[32, 32] > 3.0 * s_cross[32, 10]

@@ -100,3 +100,15 @@ def test_tiled_maps_batched(small_fish):
     ref = steerable_pipeline_g2(batch, bank, method="xla")
     scale = np.abs(np.asarray(ref.edges)).mean() + 1e-6
     assert np.abs(np.asarray(e) - np.asarray(ref.edges)).max() / scale < 5e-3
+
+
+def test_bank_tiled_matches_xla(small_fish):
+    from cvsteer_tpu.ops.pallas_frontend import bank_tiled_pallas
+
+    for bank in (g2h2_bank(), g4h4_bank()):
+        ref = np.asarray(filter_bank_xla(jnp.asarray(small_fish), bank.xtaps, bank.ytaps))
+        til = np.asarray(
+            bank_tiled_pallas(jnp.asarray(small_fish), bank.xtaps, bank.ytaps, tile_h=16)
+        )
+        assert til.shape == ref.shape
+        np.testing.assert_allclose(til, ref, atol=5e-3, rtol=1e-4)

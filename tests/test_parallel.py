@@ -123,3 +123,35 @@ def test_bundle_adjust_sharded_jit(rng):
     fn = jax.jit(lambda s, p: bundle_adjust_sharded(s, p, mesh, iterations=10))
     out, stats = fn(st, prob)
     assert float(stats.cost) < float(stats.initial_cost)
+
+
+def test_multihost_helpers_single_host():
+    from cvsteer_tpu.parallel.multihost import (
+        Heartbeat,
+        allreduce_checksum,
+        device_barrier,
+        initialize_distributed,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    assert initialize_distributed() is False  # no coordinator configured
+    assert device_barrier() == float(len(jax.devices()))
+
+    mesh = make_mesh({"data": 8})
+    x = jnp.arange(16.0).reshape(8, 2)
+    fn = jax.shard_map(
+        lambda blk: allreduce_checksum(blk, "data"),
+        mesh=mesh,
+        in_specs=(P("data", None),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    total = float(fn(x))
+    assert total == float(jnp.abs(x).sum())
+
+    hb = Heartbeat(interval_s=0.05, timeout_s=5.0).start()
+    import time as _t
+
+    _t.sleep(0.4)
+    hb.stop()
+    assert hb.beats >= 2 and not hb.failed

@@ -140,3 +140,49 @@ def test_masked_padding_edges_ignored():
     init = _perturb(gt, 0.03)
     opt, stats = optimize_pose_graph(init, graph, iterations=15)
     assert float(stats.cost) < 1e-8
+
+
+def test_pcg_solver_matches_dense():
+    P = 12
+    gt = _circle_trajectory(P)
+    edges = [(k, k + 1) for k in range(P - 1)] + [(P - 1, 0), (0, P // 2)]
+    graph = _graph_from_gt(gt, edges, meas_noise=0.01, seed=5)
+    init = _perturb(gt, 0.04)
+
+    dense, sd = optimize_pose_graph(init, graph, iterations=15, solver="dense")
+    pcg, sp = optimize_pose_graph(
+        init, graph, iterations=15, solver="pcg", cg_iterations=80
+    )
+    assert float(sp.cost) < 1.05 * float(sd.cost) + 1e-10
+    ang = np.asarray(se3.rotation_geodesic(pcg.R, dense.R))
+    assert ang.max() < 1e-3
+
+
+def test_pose_graph_sharded_matches_single():
+    from cvsteer_tpu.parallel import make_mesh
+    from cvsteer_tpu.parallel.posegraph_sharded import (
+        optimize_pose_graph_sharded,
+        place_pose_graph,
+    )
+
+    P = 16
+    gt = _circle_trajectory(P)
+    edges = [(k, k + 1) for k in range(P - 1)] + [(P - 1, 0), (3, 11), (0, 8)]
+    graph = _graph_from_gt(gt, edges, meas_noise=0.01, seed=6)
+    init = _perturb(gt, 0.04)
+
+    ref, sref = optimize_pose_graph(
+        init, graph, iterations=12, solver="pcg", cg_iterations=60
+    )
+
+    mesh = make_mesh({"data": 8})
+    placed = place_pose_graph(graph, mesh)  # pads 18 -> 24 edges
+    out, stats = jax.jit(
+        lambda p, g: optimize_pose_graph_sharded(
+            p, g, mesh, iterations=12, cg_iterations=60
+        )
+    )(init, placed)
+
+    assert float(stats.cost) <= 1.05 * float(sref.cost) + 1e-10
+    ang = np.asarray(se3.rotation_geodesic(out.R, ref.R))
+    assert ang.max() < 2e-3
