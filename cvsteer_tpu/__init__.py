@@ -34,4 +34,5 @@ from cvsteer_tpu.filters import (  # noqa: F401
     g2_bank,
     g4_bank,
     steerable_pipeline_g2,
+    steerable_pipeline_g4,
 )

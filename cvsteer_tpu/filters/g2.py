@@ -192,12 +192,35 @@ def steer(basis: jax.Array, theta) -> Tuple[jax.Array, jax.Array]:
     return g2, h2
 
 
+def wrap_angle(angle: jax.Array) -> jax.Array:
+    """Map angles from [0, 2pi) to (-pi, pi] — parity with
+    ``SteerableFilters::wrap`` (cvsteer/SteerableFilters.cpp:46-51).
+
+    The internal pipeline never needs it (arctan2 already returns the
+    wrapped range); exposed for API completeness (C4)."""
+    return jnp.where(angle > math.pi, angle - 2.0 * math.pi, angle)
+
+
 def steer_at(basis: jax.Array, y, x, theta) -> Tuple[jax.Array, jax.Array]:
     """Steer at a single pixel (y, x) — parity with the cv::Point overloads
     (SteerableFiltersG2.cpp:115-134). Returns scalar (g2, h2)."""
     point_basis = basis[..., :, y, x][..., :, None, None]
     g2, h2 = steer(point_basis, theta)
     return g2[..., 0, 0], h2[..., 0, 0]
+
+
+def analyze_at(
+    basis: jax.Array, y, x, theta
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Point steering with the full response set (g2, h2, e, magnitude,
+    phase) — parity with the extended cv::Point overload
+    (SteerableFiltersG2.cpp:124-134)."""
+    g2v, h2v = steer_at(basis, y, x, theta)
+    point_basis = basis[..., :, y, x][..., :, None, None]
+    c1, c2, c3 = energy_coefficients(point_basis)
+    e = oriented_energy(c1, c2, c3, theta)[..., 0, 0]
+    magnitude, phase = magnitude_phase(g2v, h2v)
+    return g2v, h2v, e, magnitude, phase
 
 
 def magnitude_phase(g2: jax.Array, h2: jax.Array) -> Tuple[jax.Array, jax.Array]:

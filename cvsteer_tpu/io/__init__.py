@@ -5,3 +5,4 @@ from cvsteer_tpu.io.imageio import (  # noqa: F401
     imread_gray_f32,
     imwrite_u8,
 )
+from cvsteer_tpu.io.datasets import Sequence, open_sequence  # noqa: F401

@@ -109,12 +109,15 @@ def _bank_kernel(img_ref, out_ref, *, xtaps, ytaps, h, w):
 
 
 def _vmem_bytes_estimate(hi: int, wi: int, k: int) -> int:
-    # padded tile + K live basis buffers + ~3 transient temporaries, fp32
-    return 4 * hi * wi * (k + 4)
+    # padded tile + K row buffers + K basis buffers + transient temporaries,
+    # fp32 — Mosaic's scoped stack holds roughly this live set at once.
+    return 4 * hi * wi * (2 * k + 6)
 
 
-# VMEM is ~16 MB/core on v5e; leave headroom for Mosaic's own buffers.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# VMEM is ~16 MB/core on v5e; leave generous headroom for Mosaic's own
+# buffers — a whole-tile kernel that overflows fails the entire compile,
+# while routing to the tiled kernel merely costs a few percent.
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def pallas_supported(h: int, w: int, k: int, radius: int) -> bool:
@@ -253,6 +256,41 @@ def g2_maps_pallas(
 # ---------------------------------------------------------------------------
 
 
+def _row_pass_symmetric(padded, xtaps: np.ndarray, wo: int):
+    """Row convolutions for all K filters over a padded band, exploiting the
+    even/odd symmetry of the analytic taps (Freeman-Adelson tap functions
+    are all pure-even or pure-odd, cvsteer/SteerableFiltersG2.cpp:35-42):
+    mirrored slices are folded into sums/differences once, so each filter
+    needs r+1 (even) or r (odd) fused multiply-adds instead of 2r+1.
+    Returns a list of K [band_h, wo] row-response arrays."""
+    K, T = xtaps.shape
+    r = (T - 1) // 2
+    xsl = [padded[:, u : u + wo] for u in range(T)]
+    center = xsl[r]
+    sums = [xsl[r + u] + xsl[r - u] for u in range(1, r + 1)]
+    diffs = [xsl[r + u] - xsl[r - u] for u in range(1, r + 1)]
+
+    rows = []
+    for k in range(K):
+        taps = xtaps[k]
+        even = bool(np.allclose(taps[::-1], taps, atol=1e-7))
+        odd = bool(np.allclose(taps[::-1], -taps, atol=1e-7))
+        if even:
+            acc = center * float(taps[r])
+            for u in range(1, r + 1):
+                acc = acc + sums[u - 1] * float(taps[r + u])
+        elif odd:
+            acc = diffs[0] * float(taps[r + 1])
+            for u in range(2, r + 1):
+                acc = acc + diffs[u - 1] * float(taps[r + u])
+        else:  # generic fallback (custom non-symmetric taps)
+            acc = xsl[0] * float(taps[0])
+            for u in range(1, T):
+                acc = acc + xsl[u] * float(taps[u])
+        rows.append(acc)
+    return rows
+
+
 def _col_conv_matrix(ytaps: np.ndarray, tile_h: int, band_h: int) -> np.ndarray:
     """Banded [K, tile_h, band_h] matrix with C[k, i, i+t] = ytaps[k, t].
 
@@ -316,16 +354,8 @@ def _g2_maps_tiled_kernel(
     band_dma(slot, n, t).wait()
 
     padded = band[slot]  # [band_h, wp]
-    K, T = xtaps.shape
-    # Row pass: T shifted slices computed once, reused by all K filters.
-    xsl = [padded[:, u : u + wo] for u in range(T)]
-    rows = []
-    for k in range(K):
-        acc = xsl[0] * float(xtaps[k, 0])
-        for u in range(1, T):
-            acc = acc + xsl[u] * float(xtaps[k, u])
-        rows.append(acc)
-    rows_st = jnp.stack(rows)  # [K, band_h, wo]
+    # Row pass: symmetry-folded shared slices (see _row_pass_symmetric).
+    rows_st = jnp.stack(_row_pass_symmetric(padded, xtaps, wo))  # [K, band_h, wo]
     # Column pass: batched banded matmul on the MXU (fp32 via HIGHEST).
     basis = jax.lax.dot_general(
         colmat_ref[:],
@@ -334,7 +364,7 @@ def _g2_maps_tiled_kernel(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # [K, tile_h, wo]
-    g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[k] for k in range(K)]
+    g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[k] for k in range(xtaps.shape[0])]
 
     c2 = (
         0.5 * (g2a * g2a - g2c * g2c)
@@ -468,14 +498,7 @@ def _bank_tiled_kernel(
 
     band_dma(slot, n, t).wait()
     padded = band[slot]
-    xsl = [padded[:, u : u + wo] for u in range(T)]
-    rows = []
-    for k in range(K):
-        acc = xsl[0] * float(xtaps[k, 0])
-        for u in range(1, T):
-            acc = acc + xsl[u] * float(xtaps[k, u])
-        rows.append(acc)
-    rows_st = jnp.stack(rows)
+    rows_st = jnp.stack(_row_pass_symmetric(padded, xtaps, wo))
     basis = jax.lax.dot_general(
         colmat_ref[:],
         rows_st,

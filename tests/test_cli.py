@@ -1,0 +1,70 @@
+"""cvsteer-run CLI: list input, gain vs normalize, g2/g4 paths, bad files.
+
+Parity surface of example/steer.cpp (C21-C23 in SURVEY.md/PARITY.md).
+"""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+from cvsteer_tpu import cli
+
+ASSETS = pathlib.Path(__file__).parent / "assets"
+
+
+def _read(path):
+    import cv2
+
+    img = cv2.imread(str(path), 0)
+    assert img is not None, path
+    return img
+
+
+def test_single_image_outputs(tmp_path):
+    rc = cli.main(
+        ["--input", str(ASSETS / "fish.jpg"), "--output", str(tmp_path)]
+    )
+    assert rc == 0
+    for suffix in ("edges", "lines_dark", "lines_bright"):
+        out = _read(tmp_path / f"fish_{suffix}.png")
+        assert out.shape == (185, 256)
+        assert out.max() > 100  # min-max normalized to full range
+
+
+def test_list_file_input_skips_unreadable(tmp_path, capsys):
+    lst = tmp_path / "inputs.txt"
+    lst.write_text(f"{ASSETS / 'fish.jpg'}\n{tmp_path / 'missing.jpg'}\n")
+    rc = cli.main(["--input", str(lst), "--output", str(tmp_path), "--verbose"])
+    assert rc == 0
+    assert (tmp_path / "fish_edges.png").exists()
+    err = capsys.readouterr().err
+    assert "missing.jpg" in err  # skipped with a note, not a crash
+
+
+def test_gain_vs_normalize(tmp_path):
+    out_a = tmp_path / "a"
+    out_b = tmp_path / "b"
+    cli.main(["--input", str(ASSETS / "fish.jpg"), "--output", str(out_a)])
+    cli.main(
+        ["--input", str(ASSETS / "fish.jpg"), "--output", str(out_b), "--gain", "0.05"]
+    )
+    norm = _read(out_a / "fish_edges.png")
+    gain = _read(out_b / "fish_edges.png")
+    assert norm.max() == 255  # normalized fills the range
+    assert gain.max() < 255  # small fixed gain does not saturate
+    assert not np.array_equal(norm, gain)
+
+
+def test_g4_filter_path(tmp_path):
+    rc = cli.main(
+        [
+            "--input", str(ASSETS / "fish.jpg"),
+            "--output", str(tmp_path),
+            "--filters", "g4",
+        ]
+    )
+    assert rc == 0
+    out = _read(tmp_path / "fish_edges.png")
+    assert out.shape == (185, 256) and out.max() > 100

@@ -141,3 +141,42 @@ def test_batched_pipeline_vmaps(fish_gray):
         np.asarray(maps.edges[0]), np.asarray(single.edges), atol=1e-2, rtol=1e-4
     )
     assert maps.edges.shape == (2, 185, 256)
+
+
+def test_wrap_angle_matches_reference_convention():
+    from cvsteer_tpu.filters.g2 import wrap_angle
+
+    angles = jnp.asarray([0.0, 1.0, np.pi, np.pi + 0.1, 2 * np.pi - 0.01])
+    out = np.asarray(wrap_angle(angles))
+    # (-pi, pi]: values above pi wrap down by 2pi (SteerableFilters.cpp:46-51)
+    np.testing.assert_allclose(
+        out, [0.0, 1.0, np.pi, np.pi + 0.1 - 2 * np.pi, -0.01], atol=1e-6
+    )
+
+
+def test_analyze_at_matches_map_pipeline(fish_gray):
+    from cvsteer_tpu.filters.g2 import (
+        analyze_at,
+        dominant_orientation,
+        energy_coefficients,
+        g2_basis,
+        magnitude_phase,
+        oriented_energy,
+        steer,
+    )
+
+    basis = g2_basis(jnp.asarray(fish_gray), method="xla")
+    c1, c2, c3 = energy_coefficients(basis)
+    theta_map, _ = dominant_orientation(c2, c3)
+    y, x = 80, 120
+    th = float(theta_map[y, x])
+
+    g2v, h2v, e, mag, ph = analyze_at(basis, y, x, th)
+    g2m, h2m = steer(basis, th)
+    magm, phm = magnitude_phase(g2m, h2m)
+    em = oriented_energy(c1, c2, c3, th)
+    assert abs(float(g2v) - float(g2m[y, x])) < 1e-4
+    assert abs(float(h2v) - float(h2m[y, x])) < 1e-4
+    assert abs(float(e) - float(em[y, x])) < 1e-2
+    assert abs(float(mag) - float(magm[y, x])) < 1e-4
+    assert abs(float(ph) - float(phm[y, x])) < 1e-5

@@ -66,9 +66,10 @@ def test_fused_maps_match_xla_pipeline(small_fish):
 def test_vmem_gate_falls_back():
     # a 4k image must not claim pallas whole-tile support (16MB VMEM)
     assert not pallas_supported(2160, 4096, 7, 4)
-    # the golden test image and VGA-third tiles fit comfortably
+    # the golden test image fits comfortably
     assert pallas_supported(185, 256, 7, 4)
-    assert pallas_supported(256, 384, 11, 6)
+    # mid-size G4 (22 live row+basis buffers) routes to the tiled kernel
+    assert not pallas_supported(256, 384, 11, 6)
 
 
 def test_tiled_maps_match_xla_pipeline(small_fish):

@@ -57,3 +57,23 @@ def test_extract_features_batched_and_matchable(fish_gray):
     nv = int(feats.valid[0].sum())
     # identical images: nearly all valid keypoints self-match
     assert int(m.valid.sum()) >= 0.9 * nv
+
+
+def test_steerable_pyramid_maps(fish_gray):
+    from cvsteer_tpu.features.pyramid_maps import steerable_pyramid_maps
+    from cvsteer_tpu.filters.g2 import steerable_pipeline_g2
+    from cvsteer_tpu.filters.g4 import steerable_pipeline_g4
+
+    maps = steerable_pyramid_maps(jnp.asarray(fish_gray), levels=3, method="xla")
+    assert len(maps) == 3
+    assert maps[0].g2.edges.shape == (185, 256)
+    assert maps[1].g4.magnitude.shape == (93, 128)
+    # level 0 equals the direct single-image pipelines
+    ref2 = steerable_pipeline_g2(jnp.asarray(fish_gray), method="xla")
+    np.testing.assert_allclose(
+        np.asarray(maps[0].g2.edges), np.asarray(ref2.edges), rtol=1e-6, atol=1e-4
+    )
+    ref4 = steerable_pipeline_g4(jnp.asarray(fish_gray))
+    np.testing.assert_allclose(
+        np.asarray(maps[0].g4.energy), np.asarray(ref4.energy), rtol=1e-6, atol=1e-2
+    )
