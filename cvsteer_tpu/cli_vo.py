@@ -70,6 +70,9 @@ def main(argv=None) -> int:
         ransac_hypotheses=cfg.slam.ransac_hypotheses,
         ransac_threshold=cfg.slam.ransac_threshold,
         max_landmarks=cfg.slam.max_landmarks,
+        loop_closure=cfg.slam.loop_closure,
+        loop_min_gap=cfg.slam.loop_min_gap,
+        loop_min_inliers=cfg.slam.loop_min_inliers,
     )
     state = init_vo(vo_cfg)
 

@@ -83,9 +83,15 @@ def g2_basis(image: jax.Array, bank: Optional[G2Bank] = None, *, method: str = "
     if method == "auto":
         method = _auto_method(image)
     if method == "pallas":
-        from cvsteer_tpu.ops.pallas_frontend import filter_bank_pallas
+        from cvsteer_tpu.ops.pallas_frontend import (
+            _taps_tuple,
+            filter_bank_pallas_diff,
+        )
 
-        return filter_bank_pallas(image, bank.xtaps, bank.ytaps)
+        # differentiable wrapper: fused kernel forward, XLA-derived VJP
+        return filter_bank_pallas_diff(
+            image, _taps_tuple(bank.xtaps), _taps_tuple(bank.ytaps)
+        )
     return filter_bank_xla(image, bank.xtaps, bank.ytaps)
 
 

@@ -461,6 +461,41 @@ def g2_maps_tiled_pallas(
     return crop(edges), crop(dark), crop(bright)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def filter_bank_pallas_diff(image: jax.Array, xtaps_t, ytaps_t) -> jax.Array:
+    """Differentiable wrapper around :func:`filter_bank_pallas`.
+
+    Pallas kernels carry no autodiff rules; the forward pass runs the fused
+    kernel while the backward pass uses the VJP of the numerically
+    equivalent XLA bank (a separable correlation's adjoint is the flipped
+    convolution — jax derives it from filter_bank_xla directly). Taps are
+    passed as nested tuples so they hash as static arguments.
+    """
+    return filter_bank_pallas(
+        image, np.asarray(xtaps_t, np.float32), np.asarray(ytaps_t, np.float32)
+    )
+
+
+def _fbp_fwd(image, xtaps_t, ytaps_t):
+    return filter_bank_pallas_diff(image, xtaps_t, ytaps_t), image
+
+
+def _fbp_bwd(xtaps_t, ytaps_t, image, g):
+    from cvsteer_tpu.ops.sepconv import filter_bank_xla
+
+    xt = np.asarray(xtaps_t, np.float32)
+    yt = np.asarray(ytaps_t, np.float32)
+    _, vjp = jax.vjp(lambda im: filter_bank_xla(im, xt, yt), image)
+    return vjp(g)
+
+
+filter_bank_pallas_diff.defvjp(_fbp_fwd, _fbp_bwd)
+
+
+def _taps_tuple(taps) -> tuple:
+    return tuple(tuple(float(v) for v in row) for row in np.asarray(taps))
+
+
 def _bank_tiled_kernel(
     img_hbm, colmat_ref, out_ref, band, sems, *, xtaps, tile_h, wo, num_tiles
 ):

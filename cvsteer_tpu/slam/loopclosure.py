@@ -1,0 +1,211 @@
+"""Loop-closure detection and pose-graph correction for VO.
+
+Completes the SLAM loop (BASELINE config 5): candidate keyframes are found
+by global descriptor similarity (mean phase descriptor per keyframe — a
+tiny bag-of-features signature), verified geometrically with the two-view
+RANSAC pipeline, and accepted closures become pose-graph edges. The graph
+(odometry chain + closures) is optimized with slam.posegraph and the
+corrected keyframe poses written back.
+
+Scale note: a monocular closure edge's translation has unknown scale; the
+relative translation is rescaled to match the current pose estimates'
+baseline norm, so the closure corrects drift in direction/rotation while
+staying consistent with the map's gauge.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cvsteer_tpu.geometry.camera import Intrinsics
+from cvsteer_tpu.slam import se3
+from cvsteer_tpu.slam.posegraph import PoseGraph, Poses, optimize_pose_graph
+from cvsteer_tpu.slam.twoview import two_view_pose_from_features
+from cvsteer_tpu.slam.vo import VOState
+
+
+class LoopClosure(NamedTuple):
+    i: int  # older keyframe index (into state.keyframes)
+    j: int  # newer keyframe index
+    R: np.ndarray  # relative rotation camera-i -> camera-j
+    t: np.ndarray  # relative translation, rescaled to trajectory units
+    num_inliers: int
+
+
+def keyframe_signature(features) -> np.ndarray:
+    """Global descriptor: mean of valid local descriptors, L2-normalized."""
+    desc = np.asarray(features.desc)
+    valid = np.asarray(features.valid)
+    if valid.sum() == 0:
+        return np.zeros(desc.shape[-1], np.float32)
+    sig = desc[valid].mean(axis=0)
+    n = np.linalg.norm(sig)
+    return (sig / n if n > 1e-9 else sig).astype(np.float32)
+
+
+def find_loop_closures(
+    state: VOState,
+    *,
+    min_gap: int = 6,
+    signature_threshold: float = 0.75,
+    min_inliers: int = 25,
+    max_candidates: int = 3,
+    key: Optional[jax.Array] = None,
+) -> List[LoopClosure]:
+    """Detect verified closures between the newest keyframe and older ones.
+
+    ``min_gap`` keyframes of separation avoids trivial neighbors; candidate
+    ranking by signature cosine (a loose prefilter — the geometric
+    verification below is the real gate); verification via the two-view
+    pipeline (mutual ratio matching + essential RANSAC).
+    """
+    kfs = state.keyframes
+    j = len(kfs) - 1
+    if j < min_gap:
+        return []
+    if key is None:
+        key = jax.random.key(j)
+
+    sig_j = keyframe_signature(kfs[j].features)
+    scores = []
+    for i in range(0, j - min_gap + 1):
+        scores.append((float(np.dot(keyframe_signature(kfs[i].features), sig_j)), i))
+    scores.sort(reverse=True)
+
+    K = state.config.intrinsics
+    closures: List[LoopClosure] = []
+    for score, i in scores[:max_candidates]:
+        if score < signature_threshold:
+            break
+        res = two_view_pose_from_features(
+            kfs[i].features,
+            kfs[j].features,
+            K,
+            match_ratio=state.config.match_ratio,
+            ransac_hypotheses=state.config.ransac_hypotheses,
+            key=key,
+        )
+        n_inl = int(res.num_inliers)
+        if n_inl < min_inliers:
+            continue
+        t = np.asarray(res.t) * _closure_scale(state, i, res)
+        closures.append(
+            LoopClosure(i=i, j=j, R=np.asarray(res.R), t=t, num_inliers=n_inl)
+        )
+    return closures
+
+
+def _closure_scale(state: VOState, i: int, res) -> float:
+    """Metric scale of a closure's unit translation.
+
+    Preferred: ratio of the map's median landmark depth in keyframe i to
+    the median depth of the closure's own triangulated points (which live
+    at ||t||=1 scale). Fallback when keyframe i carries no landmarks: the
+    current pose estimates' baseline (biased by exactly the drift being
+    corrected, but the only signal available)."""
+    kf = state.keyframes[i]
+    lm = kf.landmark_ids[kf.landmark_ids >= 0]
+    tri = np.asarray(res.points)[np.asarray(res.point_valid)]
+    if lm.size >= 10 and tri.shape[0] >= 10:
+        Xw = state.landmarks[lm]
+        depth_map = (Xw @ kf.R.T + kf.t)[:, 2]
+        depth_map = depth_map[depth_map > 1e-3]
+        depth_tri = tri[:, 2]
+        depth_tri = depth_tri[depth_tri > 1e-6]
+        if depth_map.size >= 10 and depth_tri.size >= 10:
+            return float(np.median(depth_map) / np.median(depth_tri))
+    ci = -kf.R.T @ kf.t
+    kj = state.keyframes[-1]
+    cj = -kj.R.T @ kj.t
+    return max(float(np.linalg.norm(cj - ci)), 1e-6)
+
+
+def build_keyframe_graph(
+    state: VOState,
+    closures: List[LoopClosure],
+    *,
+    closure_weight: float = 5.0,
+) -> Tuple[Poses, PoseGraph]:
+    """Odometry chain (from current keyframe poses) + closure edges."""
+    kfs = state.keyframes
+    P = len(kfs)
+    poses = Poses(
+        R=jnp.asarray(np.stack([kf.R for kf in kfs])),
+        t=jnp.asarray(np.stack([kf.t for kf in kfs])),
+    )
+
+    ii, jj, Rz, tz, w = [], [], [], [], []
+    for k in range(P - 1):
+        Rrel = kfs[k + 1].R @ kfs[k].R.T
+        trel = kfs[k + 1].t - Rrel @ kfs[k].t
+        ii.append(k)
+        jj.append(k + 1)
+        Rz.append(Rrel)
+        tz.append(trel)
+        w.append(1.0)
+    for c in closures:
+        ii.append(c.i)
+        jj.append(c.j)
+        Rz.append(c.R)
+        tz.append(c.t)
+        w.append(closure_weight)
+
+    fixed = np.zeros(P, bool)
+    fixed[0] = True
+    graph = PoseGraph(
+        i=jnp.asarray(ii, jnp.int32),
+        j=jnp.asarray(jj, jnp.int32),
+        R_z=jnp.asarray(np.stack(Rz), jnp.float32),
+        t_z=jnp.asarray(np.stack(tz), jnp.float32),
+        weight=jnp.asarray(w, jnp.float32),
+        fixed=jnp.asarray(fixed),
+    )
+    return poses, graph
+
+
+def close_loops(
+    state: VOState,
+    *,
+    min_gap: int = 6,
+    min_inliers: int = 25,
+    iterations: int = 15,
+    closure_weight: float = 10.0,
+) -> int:
+    """Detect closures, optimize the keyframe pose graph, write poses back.
+
+    Returns the number of accepted closures (0 = nothing changed). Landmark
+    positions are corrected rigidly per anchoring keyframe (first observer)
+    so the map follows the optimized trajectory.
+    """
+    closures = find_loop_closures(
+        state, min_gap=min_gap, min_inliers=min_inliers
+    )
+    if not closures:
+        return 0
+
+    poses, graph = build_keyframe_graph(state, closures, closure_weight=closure_weight)
+    opt, _ = optimize_pose_graph(poses, graph, iterations=iterations)
+
+    # rigid per-keyframe landmark correction: X' = T_new^{-1} T_old X
+    old = [(kf.R.copy(), kf.t.copy()) for kf in state.keyframes]
+    Rn = np.asarray(opt.R)
+    tn = np.asarray(opt.t)
+
+    anchor = {}
+    for k, kf in enumerate(state.keyframes):
+        for lm in kf.landmark_ids[kf.landmark_ids >= 0]:
+            anchor.setdefault(int(lm), k)
+    for lm, k in anchor.items():
+        Ro, to = old[k]
+        X = state.landmarks[lm]
+        Xc = Ro @ X + to  # camera frame (unchanged by the correction)
+        state.landmarks[lm] = Rn[k].T @ (Xc - tn[k])
+
+    for k, kf in enumerate(state.keyframes):
+        kf.R, kf.t = Rn[k], tn[k]
+    return len(closures)

@@ -43,6 +43,9 @@ class VOConfig(NamedTuple):
     ransac_hypotheses: int = 512
     ransac_threshold: float = 1e-5
     max_landmarks: int = 4096
+    loop_closure: bool = False  # detect + correct loops at each new keyframe
+    loop_min_gap: int = 6  # keyframes of separation before closures apply
+    loop_min_inliers: int = 25
 
 
 @dataclasses.dataclass
@@ -310,6 +313,14 @@ def process_frame(state: VOState, feats: Features) -> VOState:
     gap = state.frame_count - state.keyframes[-1].index
     if n_tracked < state.config.track_min_landmarks or gap >= state.config.kf_max_gap:
         _add_keyframe(state, feats, R, t, idx, valid)
+        if state.config.loop_closure:
+            from cvsteer_tpu.slam.loopclosure import close_loops
+
+            close_loops(
+                state,
+                min_gap=state.config.loop_min_gap,
+                min_inliers=state.config.loop_min_inliers,
+            )
         kf = state.keyframes[-1]
         # the windowed BA just refined this pose — reflect it in the trajectory
         state.trajectory[-1] = (state.frame_count, kf.R.copy(), kf.t.copy())

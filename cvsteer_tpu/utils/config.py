@@ -56,6 +56,9 @@ class SlamConfig:
     ransac_hypotheses: int = 512
     ransac_threshold: float = 1e-5
     max_landmarks: int = 4096
+    loop_closure: bool = False
+    loop_min_gap: int = 6
+    loop_min_inliers: int = 25
 
 
 @dataclasses.dataclass

@@ -113,3 +113,25 @@ def test_bank_tiled_matches_xla(small_fish):
         )
         assert til.shape == ref.shape
         np.testing.assert_allclose(til, ref, atol=5e-3, rtol=1e-4)
+
+
+def test_basis_pallas_is_differentiable(small_fish):
+    """Gradients flow through the pallas basis (custom VJP via XLA adjoint)."""
+    from cvsteer_tpu.filters.g2 import g2_basis
+    from cvsteer_tpu.ops.sepconv import filter_bank_xla
+
+    bank = g2h2_bank()
+    img = jnp.asarray(small_fish)
+
+    def loss_pallas(im):
+        b = g2_basis(im, method="pallas")
+        return jnp.sum(b**2)
+
+    def loss_xla(im):
+        b = filter_bank_xla(im, bank.xtaps, bank.ytaps)
+        return jnp.sum(b**2)
+
+    g_p = np.asarray(jax.grad(loss_pallas)(img))
+    g_x = np.asarray(jax.grad(loss_xla)(img))
+    scale = np.abs(g_x).max() + 1e-9
+    assert np.abs(g_p - g_x).max() / scale < 1e-3
