@@ -61,9 +61,15 @@ def g4_basis(image: jax.Array, bank: Optional[G4Bank] = None, *, method: str = "
     if bank is None:
         bank = g4_bank()
     if method == "pallas":
-        from cvsteer_tpu.ops.pallas_frontend import filter_bank_pallas
+        from cvsteer_tpu.ops.pallas_frontend import (
+            _taps_tuple,
+            filter_bank_pallas_diff,
+        )
 
-        return filter_bank_pallas(image, bank.xtaps, bank.ytaps)
+        # differentiable wrapper: fused kernel forward, XLA-derived VJP
+        return filter_bank_pallas_diff(
+            image, _taps_tuple(bank.xtaps), _taps_tuple(bank.ytaps)
+        )
     return filter_bank_xla(image, bank.xtaps, bank.ytaps)
 
 

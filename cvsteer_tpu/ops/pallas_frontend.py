@@ -600,7 +600,9 @@ def steerable_pipeline_g2_pallas(image: jax.Array, bank=None):
 
     if bank is None:
         bank = fg2.g2_bank()
-    basis = filter_bank_pallas(image, bank.xtaps, bank.ytaps)
+    basis = filter_bank_pallas_diff(
+        image, _taps_tuple(bank.xtaps), _taps_tuple(bank.ytaps)
+    )
     c1, c2, c3 = fg2.energy_coefficients(basis)
     theta, strength = fg2.dominant_orientation(c2, c3)
     g2v, h2v = fg2.steer(basis, theta)

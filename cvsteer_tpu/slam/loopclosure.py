@@ -22,11 +22,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cvsteer_tpu.geometry.camera import Intrinsics
-from cvsteer_tpu.slam import se3
-from cvsteer_tpu.slam.posegraph import PoseGraph, Poses, optimize_pose_graph
+from cvsteer_tpu.slam.posegraph import (
+    PoseGraph,
+    Poses,
+    edge_residuals,
+    optimize_pose_graph,
+)
 from cvsteer_tpu.slam.twoview import two_view_pose_from_features
 from cvsteer_tpu.slam.vo import VOState
+
+# Signatures are pure functions of a keyframe's immutable features; cache by
+# (id of the state, keyframe index) so detection is O(P) dot products.
+_signature_cache: dict = {}
 
 
 class LoopClosure(NamedTuple):
@@ -71,13 +78,22 @@ def find_loop_closures(
     if key is None:
         key = jax.random.key(j)
 
+    def sig(idx: int) -> np.ndarray:
+        ck = (id(state), idx)
+        if ck not in _signature_cache:
+            _signature_cache[ck] = keyframe_signature(kfs[idx].features)
+        return _signature_cache[ck]
+
     sig_j = keyframe_signature(kfs[j].features)
-    scores = []
-    for i in range(0, j - min_gap + 1):
-        scores.append((float(np.dot(keyframe_signature(kfs[i].features), sig_j)), i))
-    scores.sort(reverse=True)
+    scores = sorted(
+        ((float(np.dot(sig(i), sig_j)), i) for i in range(0, j - min_gap + 1)),
+        reverse=True,
+    )
 
     K = state.config.intrinsics
+    # same inlier criterion as the rest of the VO pipeline: the configured
+    # Sampson threshold (normalized units) converted to pixels
+    thresh_px = float(np.sqrt(state.config.ransac_threshold)) * 0.5 * (K.fx + K.fy)
     closures: List[LoopClosure] = []
     for score, i in scores[:max_candidates]:
         if score < signature_threshold:
@@ -88,6 +104,7 @@ def find_loop_closures(
             K,
             match_ratio=state.config.match_ratio,
             ransac_hypotheses=state.config.ransac_hypotheses,
+            ransac_threshold_px=thresh_px,
             key=key,
         )
         n_inl = int(res.num_inliers)
@@ -175,12 +192,22 @@ def close_loops(
     min_inliers: int = 25,
     iterations: int = 15,
     closure_weight: float = 10.0,
+    max_closure_residual: float = 0.1,
+    dense_solver_max_poses: int = 64,
 ) -> int:
     """Detect closures, optimize the keyframe pose graph, write poses back.
 
-    Returns the number of accepted closures (0 = nothing changed). Landmark
-    positions are corrected rigidly per anchoring keyframe (first observer)
-    so the map follows the optimized trajectory.
+    Returns the number of accepted closures (0 = nothing changed).
+
+    False-positive protection: after a trial optimization, a closure is
+    inconsistent if either its own residual stays above
+    ``max_closure_residual`` (6-vector norm: radians + trajectory units) or
+    the odometry chain had to bend beyond that bound to absorb it (a
+    heavily weighted false closure pushes its own residual down while
+    warping the chain — the warp is the tell). Inconsistent closures are
+    dropped (worst first) and the graph re-optimized; if none survive the
+    state is left untouched. Landmarks are corrected rigidly per anchoring
+    keyframe (first observer) so the map follows the trajectory.
     """
     closures = find_loop_closures(
         state, min_gap=min_gap, min_inliers=min_inliers
@@ -188,23 +215,52 @@ def close_loops(
     if not closures:
         return 0
 
-    poses, graph = build_keyframe_graph(state, closures, closure_weight=closure_weight)
-    opt, _ = optimize_pose_graph(poses, graph, iterations=iterations)
+    n_odo = len(state.keyframes) - 1
+    solver = "dense" if len(state.keyframes) <= dense_solver_max_poses else "pcg"
+    # odometry edges legitimately carry the drift being redistributed;
+    # allow them a larger bend before suspecting the closures
+    odo_bound = 3.0 * max_closure_residual
 
-    # rigid per-keyframe landmark correction: X' = T_new^{-1} T_old X
+    while closures:
+        poses, graph = build_keyframe_graph(
+            state, closures, closure_weight=closure_weight
+        )
+        opt, _ = optimize_pose_graph(
+            poses, graph, iterations=iterations, solver=solver
+        )
+        res = np.linalg.norm(np.asarray(edge_residuals(opt, graph)), axis=-1)
+        odo_res, clo_res = res[:n_odo], res[n_odo:]
+        bad = clo_res >= max_closure_residual
+        if not bad.any() and (n_odo == 0 or odo_res.max() < odo_bound):
+            break
+        if bad.any():
+            closures = [c for c, b in zip(closures, bad) if not b]
+        else:
+            # chain warped without any closure admitting fault: drop the
+            # closure with the largest residual and retry
+            closures = [
+                c for k, c in enumerate(closures) if k != int(np.argmax(clo_res))
+            ]
+    if not closures:
+        return 0
+
+    # rigid per-keyframe landmark correction: X' = T_new^{-1} T_old X,
+    # batched per anchor keyframe
     old = [(kf.R.copy(), kf.t.copy()) for kf in state.keyframes]
     Rn = np.asarray(opt.R)
     tn = np.asarray(opt.t)
 
-    anchor = {}
-    for k, kf in enumerate(state.keyframes):
-        for lm in kf.landmark_ids[kf.landmark_ids >= 0]:
-            anchor.setdefault(int(lm), k)
-    for lm, k in anchor.items():
+    n_lm = state.num_landmarks
+    anchor = np.full(n_lm, -1, np.int64)
+    for k in reversed(range(len(state.keyframes))):  # first observer wins
+        ids = state.keyframes[k].landmark_ids
+        ids = ids[(ids >= 0) & (ids < n_lm)]
+        anchor[ids] = k
+    for k in np.unique(anchor[anchor >= 0]):
+        sel = np.nonzero(anchor == k)[0]
         Ro, to = old[k]
-        X = state.landmarks[lm]
-        Xc = Ro @ X + to  # camera frame (unchanged by the correction)
-        state.landmarks[lm] = Rn[k].T @ (Xc - tn[k])
+        Xc = state.landmarks[sel] @ Ro.T + to  # camera frame (invariant)
+        state.landmarks[sel] = (Xc - tn[k]) @ Rn[k]
 
     for k, kf in enumerate(state.keyframes):
         kf.R, kf.t = Rn[k], tn[k]

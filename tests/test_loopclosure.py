@@ -155,3 +155,28 @@ def test_close_loops_corrects_drift(loop_world):
     assert t_err_after < 0.85 * t_err_before, f"t {t_err_before:.3f} -> {t_err_after:.3f}"
     # anchor unchanged
     np.testing.assert_allclose(state.keyframes[0].R, drifted[0][0])
+
+
+def test_false_closure_rejected(loop_world, monkeypatch):
+    """A fabricated inconsistent closure must be rejected by the post-
+    optimization residual check, leaving the state untouched."""
+    import cvsteer_tpu.slam.loopclosure as lc
+
+    X, desc = loop_world
+    rng = np.random.default_rng(4)
+    poses = _circle_poses(10)
+    state = _state_with_keyframes(poses, X, desc, rng)
+    R_before = [kf.R.copy() for kf in state.keyframes]
+
+    bogus = lc.LoopClosure(
+        i=0,
+        j=9,
+        R=np.asarray(se3.exp_so3(jnp.asarray([1.5, 0.0, 0.0], jnp.float32))),
+        t=np.array([5.0, 5.0, 5.0], np.float32),
+        num_inliers=100,
+    )
+    monkeypatch.setattr(lc, "find_loop_closures", lambda *a, **k: [bogus])
+    n = lc.close_loops(state)
+    assert n == 0
+    for kf, R0 in zip(state.keyframes, R_before):
+        np.testing.assert_array_equal(kf.R, R0)

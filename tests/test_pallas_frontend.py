@@ -135,3 +135,15 @@ def test_basis_pallas_is_differentiable(small_fish):
     g_x = np.asarray(jax.grad(loss_xla)(img))
     scale = np.abs(g_x).max() + 1e-9
     assert np.abs(g_p - g_x).max() / scale < 1e-3
+
+
+def test_g4_basis_pallas_is_differentiable(small_fish):
+    from cvsteer_tpu.filters.g4 import g4_basis
+
+    bank = g4h4_bank()
+    img = jnp.asarray(small_fish)
+    g_p = np.asarray(jax.grad(lambda im: jnp.sum(g4_basis(im, method="pallas") ** 2))(img))
+    g_x = np.asarray(jax.grad(
+        lambda im: jnp.sum(filter_bank_xla(im, bank.xtaps, bank.ytaps) ** 2)
+    )(img))
+    assert np.abs(g_p - g_x).max() / (np.abs(g_x).max() + 1e-9) < 1e-3
