@@ -21,7 +21,7 @@ import sys
 import time
 
 B, H, W = 16, 512, 512
-DEVICE_ITERS = 128  # scan iterations inside one jitted dispatch
+DEVICE_ITERS = 64  # scan iterations inside one jitted dispatch
 BASE_MIN_ITERS = 2
 BASE_MIN_SECONDS = 3.0
 
@@ -34,16 +34,18 @@ def _images():
 
 
 def bench_device(images) -> float:
-    """Time DEVICE_ITERS front-end batches chained in one lax.scan.
+    """Time DEVICE_ITERS front-end batches chained by data dependency.
 
-    A host loop of dispatches is not reliably serialized through the remote
-    TPU tunnel (block_until_ready can return before device completion), so
-    the iteration loop lives on device and the fetched scalar checksum
-    forces end-to-end execution.
+    A host loop of independent dispatches is not reliably serialized
+    through the remote TPU tunnel (block_until_ready can return before
+    device completion), so each step's input depends on the previous
+    step's scalar checksum and the final fetch forces the whole chain.
+    (A lax.scan formulation works too but its XLA while-loop takes minutes
+    to compile through the remote-compile helper; the chained single-step
+    jit compiles in seconds.)
     """
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from cvsteer_tpu.filters.g2 import g2_bank
     from cvsteer_tpu.ops.pallas_frontend import g2_maps_pallas
@@ -52,18 +54,20 @@ def bench_device(images) -> float:
     x = jnp.asarray(images)
 
     @jax.jit
-    def run(x):
-        def body(carry, i):
-            # vary the input per iteration so nothing can be memoized
-            e, d, b = g2_maps_pallas(x + carry * 1e-6, bank.xtaps, bank.ytaps)
-            return carry + e[0, 0, 0] + d[0, 0, 0] + b[0, 0, 0], None
+    def step(x, carry):
+        # vary the input per iteration so nothing can be memoized
+        e, d, b = g2_maps_pallas(x + carry * 1e-6, bank.xtaps, bank.ytaps)
+        return carry + e[0, 0, 0] + d[0, 0, 0] + b[0, 0, 0]
 
-        c, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(DEVICE_ITERS))
-        return c
+    c = jnp.float32(0.0)
+    c = step(x, c)
+    float(c)  # compile + warm
 
-    float(run(x))  # compile + warm
     t0 = time.perf_counter()
-    c = float(run(x))  # fetch forces completion of the whole chain
+    c = jnp.float32(0.0)
+    for _ in range(DEVICE_ITERS):
+        c = step(x, c)
+    c = float(c)  # fetch forces completion of the whole chain
     dt = time.perf_counter() - t0
     assert c == c, "NaN checksum"
     return B * DEVICE_ITERS / dt

@@ -73,6 +73,7 @@ def main(argv=None) -> int:
         loop_closure=cfg.slam.loop_closure,
         loop_min_gap=cfg.slam.loop_min_gap,
         loop_min_inliers=cfg.slam.loop_min_inliers,
+        motion_model=cfg.slam.motion_model,
     )
     state = init_vo(vo_cfg)
 

@@ -46,6 +46,9 @@ class VOConfig(NamedTuple):
     loop_closure: bool = False  # detect + correct loops at each new keyframe
     loop_min_gap: int = 6  # keyframes of separation before closures apply
     loop_min_inliers: int = 25
+    # constant-velocity PnP initialization: helps under fast motion, but the
+    # extrapolation amplifies tracking noise on easy sequences — opt-in
+    motion_model: bool = False
 
 
 @dataclasses.dataclass
@@ -152,6 +155,30 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
     return True
 
 
+def _predict_pose(state: VOState):
+    """Constant-velocity prediction: apply the last inter-frame motion to
+    the latest pose. Better PnP initialization than the last keyframe's
+    pose when motion per frame is large; falls back to the keyframe pose
+    when the recent trajectory looks unstable (non-finite or large jump),
+    so a bad track cannot feed back into diverging predictions."""
+    kf = state.keyframes[-1]
+    if len(state.trajectory) < 2:
+        return kf.R, kf.t
+    _, R1, t1 = state.trajectory[-1]
+    _, R0, t0 = state.trajectory[-2]
+    if not (np.isfinite(R1).all() and np.isfinite(t1).all()
+            and np.isfinite(R0).all() and np.isfinite(t0).all()):
+        return kf.R, kf.t
+    # relative motion frame-(k-1) -> frame-k, applied once more
+    R_rel = R1 @ R0.T
+    t_rel = t1 - R_rel @ t0
+    # guard: reject implausible per-frame motion (> ~30 deg or huge shift)
+    cos = np.clip(0.5 * (np.trace(R_rel) - 1.0), -1.0, 1.0)
+    if np.degrees(np.arccos(cos)) > 30.0 or np.linalg.norm(t_rel) > 10.0:
+        return kf.R, kf.t
+    return (R_rel @ R1).astype(np.float32), (R_rel @ t1 + t_rel).astype(np.float32)
+
+
 def _track(state: VOState, feats: Features):
     """Match to the last keyframe's landmark-bearing features; PnP refine."""
     kf = state.keyframes[-1]
@@ -169,18 +196,30 @@ def _track(state: VOState, feats: Features):
     uv = np.zeros((n, 2), np.float32)
     uv[sel] = uv_all[np.maximum(idx, 0)[sel]]
 
-    R0, t0 = jnp.asarray(kf.R), jnp.asarray(kf.t)
-    R, t, inl = refine_pose(
-        jnp.asarray(X),
-        jnp.asarray(uv),
-        jnp.asarray(sel),
-        R0,
-        t0,
-        iterations=10,
-        huber_delta=state.config.huber_delta,
-    )
-    n_tracked = int(jnp.sum(inl))
-    return np.asarray(R), np.asarray(t), n_tracked, idx, valid
+    def _refine(R_init, t_init):
+        R, t, inl = refine_pose(
+            jnp.asarray(X),
+            jnp.asarray(uv),
+            jnp.asarray(sel),
+            jnp.asarray(R_init),
+            jnp.asarray(t_init),
+            iterations=10,
+            huber_delta=state.config.huber_delta,
+        )
+        return np.asarray(R), np.asarray(t), int(jnp.sum(inl))
+
+    Rp, tp = _predict_pose(state) if state.config.motion_model else (kf.R, kf.t)
+    R, t, n_tracked = _refine(Rp, tp)
+    if n_tracked < state.config.track_min_landmarks and not (
+        np.array_equal(Rp, kf.R) and np.array_equal(tp, kf.t)
+    ):
+        # prediction led PnP astray: retry from the keyframe pose
+        R2, t2, n2 = _refine(kf.R, kf.t)
+        if n2 > n_tracked:
+            R, t, n_tracked = R2, t2, n2
+    if not (np.isfinite(R).all() and np.isfinite(t).all()):
+        R, t, n_tracked = kf.R.copy(), kf.t.copy(), 0
+    return R, t, n_tracked, idx, valid
 
 
 def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid):
@@ -278,6 +317,23 @@ def _windowed_ba(state: VOState):
     for c, kf in enumerate(window):
         kf.R, kf.t = Rs[c], ts[c]
     state.landmarks[lm_set] = X
+
+    # Cull landmarks the optimizer could not reconcile: mean reprojection
+    # error beyond 3x the Huber width across their window observations.
+    from cvsteer_tpu.slam.ba import residuals as _ba_residuals
+
+    r, wgt = _ba_residuals(final, problem)
+    rn = np.asarray(jnp.linalg.norm(r, axis=-1))
+    m = np.asarray(problem.mask)
+    obs_cnt = m.sum(axis=0)
+    mean_err = np.where(obs_cnt > 0, (rn * m).sum(axis=0) / np.maximum(obs_cnt, 1), 0.0)
+    bad_local = np.nonzero(mean_err > 3.0 * max(cfg.huber_delta, 1e-4))[0]
+    if bad_local.size:
+        bad_global = set(int(g) for g in lm_set[bad_local])
+        state.landmark_valid[list(bad_global)] = False
+        for kf in state.keyframes:
+            drop = np.isin(kf.landmark_ids, list(bad_global))
+            kf.landmark_ids[drop] = -1
 
 
 def process_frame(state: VOState, feats: Features) -> VOState:

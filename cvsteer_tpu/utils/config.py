@@ -59,6 +59,7 @@ class SlamConfig:
     loop_closure: bool = False
     loop_min_gap: int = 6
     loop_min_inliers: int = 25
+    motion_model: bool = False
 
 
 @dataclasses.dataclass
