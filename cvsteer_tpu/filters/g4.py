@@ -147,11 +147,59 @@ def energy_harmonics(basis: jax.Array, num_harmonics: int = 2):
     return a0, a_ms, b_ms
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _energy_quadratic_tables(num_angles: int = _NUM_ANGLES):
+    """Constant [11, 11] quadratic-form matrices (M1, M2, M3) with
+    c_k = sum_ij Mk_ij b_i b_j.
+
+    E(theta) = sum_ij u_i(theta) u_j(theta) b_i b_j with u = (ga, ha) and
+    the G/H blocks kept separate (E = G4^2 + H4^2 has no cross terms); the
+    DC/cos/sin-2theta Fourier projections of the weight products are exact
+    trig-polynomial quadratures at 16 angles, folded into constants once —
+    the closed-form analog of the hand-expanded G2 table
+    (SteerableFiltersG2.cpp:93-95), ~1.6x cheaper than sampling E at 16
+    angles per image and with no [16, ...] intermediate stack.
+    """
+    thetas = np.arange(num_angles, dtype=np.float64) * (math.pi / num_angles)
+    U = np.zeros((num_angles, 11))
+    for n, t in enumerate(thetas):
+        c, s = math.cos(t), math.sin(t)
+        U[n, :5] = [c**4, -4 * c**3 * s, 6 * c**2 * s**2, -4 * c * s**3, s**4]
+        U[n, 5:] = [
+            c**5, -5 * c**4 * s, 10 * c**3 * s**2,
+            -10 * c**2 * s**3, 5 * c * s**4, -(s**5),
+        ]
+    P = np.einsum("ni,nj->nij", U, U)
+    mask = np.zeros((11, 11))
+    mask[:5, :5] = 1.0
+    mask[5:, 5:] = 1.0
+    P = P * mask
+    n = float(num_angles)
+    M1 = P.sum(0) / n
+    M2 = np.einsum("n,nij->ij", np.cos(2.0 * thetas), P) * (2.0 / n)
+    M3 = np.einsum("n,nij->ij", np.sin(2.0 * thetas), P) * (2.0 / n)
+    return (
+        M1.astype(np.float32),
+        M2.astype(np.float32),
+        M3.astype(np.float32),
+    )
+
+
+def _quad_form(M: np.ndarray, basis: jax.Array) -> jax.Array:
+    """sum_ij M_ij b_i b_j per pixel: one channel-mix + one reduction."""
+    t = jnp.einsum("ij,...jyx->...iyx", jnp.asarray(M), basis)
+    return jnp.sum(basis * t, axis=-3)
+
+
 def energy_coefficients(basis: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(c1, c2, c3) — the DC and 2nd-harmonic coefficients of E(theta),
-    matching the meaning of the G2 counterparts (gap-fill for C20)."""
-    a0, a_ms, b_ms = energy_harmonics(basis, num_harmonics=1)
-    return a0, a_ms[0], b_ms[0]
+    matching the meaning of the G2 counterparts (gap-fill for C20).
+    Closed-form quadratic tables; see _energy_quadratic_tables."""
+    M1, M2, M3 = _energy_quadratic_tables()
+    return _quad_form(M1, basis), _quad_form(M2, basis), _quad_form(M3, basis)
 
 
 def dominant_orientation(c2: jax.Array, c3: jax.Array) -> Tuple[jax.Array, jax.Array]:

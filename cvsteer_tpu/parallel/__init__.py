@@ -13,4 +13,10 @@ The reference's only parallelism is a host thread pool over images
 
 from cvsteer_tpu.parallel.mesh import make_mesh  # noqa: F401
 from cvsteer_tpu.parallel.halo import halo_exchange_rows  # noqa: F401
-from cvsteer_tpu.parallel.frontend_sharded import sharded_g2_maps  # noqa: F401
+from cvsteer_tpu.parallel.frontend_sharded import (  # noqa: F401
+    shard_batch,
+    sharded_filter_bank,
+    sharded_g2_maps,
+)
+from cvsteer_tpu.parallel.ba_sharded import bundle_adjust_sharded  # noqa: F401
+from cvsteer_tpu.parallel.posegraph_sharded import optimize_pose_graph_sharded  # noqa: F401

@@ -78,3 +78,43 @@ def shard_batch(images: jax.Array, mesh: Mesh, data_axis="data", space_axis="spa
     space = space_axis if space_axis in mesh.axis_names else None
     data = data_axis if data_axis in mesh.axis_names else None
     return jax.device_put(images, NamedSharding(mesh, P(data, space, None)))
+
+
+def sharded_filter_bank(
+    images: jax.Array,
+    xtaps,
+    ytaps,
+    mesh: Mesh,
+    *,
+    data_axis: str = "data",
+    space_axis: Optional[str] = "space",
+) -> jax.Array:
+    """Generic K-filter separable bank over a mesh: [B, H, W] -> [B, K, H, W].
+
+    Works for any tap bank (G2/H2, G4/H4, custom); batch over ``data``,
+    rows over ``space`` with ring halo exchange. Bit-identical to the
+    single-device filter_bank_xla result.
+    """
+    import numpy as np
+
+    xtaps = np.asarray(xtaps, np.float32)
+    ytaps = np.asarray(ytaps, np.float32)
+    r = (xtaps.shape[1] - 1) // 2
+    if space_axis is not None and space_axis not in mesh.axis_names:
+        space_axis = None
+    if data_axis not in mesh.axis_names:
+        data_axis = None
+
+    def local(block):
+        if space_axis is not None:
+            haloed = halo_exchange_rows(block, r, space_axis)
+            return filter_bank_xla(haloed, xtaps, ytaps, pad_axes=(False, True))
+        return filter_bank_xla(block, xtaps, ytaps)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(data_axis, space_axis, None),),
+        out_specs=P(data_axis, None, space_axis, None),
+    )
+    return fn(images)

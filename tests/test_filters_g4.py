@@ -84,3 +84,21 @@ def test_g4_magnitude_phase_quadrature():
     assert float(phase[0, 1]) == pytest.approx(math.pi / 2)
     assert float(phase[1, 1]) == pytest.approx(math.pi)
     assert float(phase[1, 0]) == 0.0  # atan2(0,0) -> 0, NaN-free
+
+
+def test_quadratic_energy_matches_angular_sampling(fish_gray):
+    """Closed-form c1/c2/c3 == the exact angular-DFT recovery."""
+    import jax.numpy as jnp
+    from cvsteer_tpu.filters.g4 import (
+        energy_coefficients,
+        energy_harmonics,
+        g4_basis,
+    )
+
+    basis = g4_basis(jnp.asarray(fish_gray[40:104, 40:168]))
+    c1, c2, c3 = energy_coefficients(basis)
+    a0, a_ms, b_ms = energy_harmonics(basis, num_harmonics=1)
+    scale = float(jnp.abs(a0).max()) + 1e-9
+    assert float(jnp.abs(c1 - a0).max()) / scale < 1e-5
+    assert float(jnp.abs(c2 - a_ms[0]).max()) / scale < 1e-5
+    assert float(jnp.abs(c3 - b_ms[0]).max()) / scale < 1e-5

@@ -155,3 +155,18 @@ def test_multihost_helpers_single_host():
     _t.sleep(0.4)
     hb.stop()
     assert hb.beats >= 2 and not hb.failed
+
+
+def test_sharded_filter_bank_g4(rng):
+    """Generic sharded bank (G4/H4, 11 filters) == single-device result."""
+    from cvsteer_tpu.filters.taps import g4h4_bank
+    from cvsteer_tpu.parallel.frontend_sharded import sharded_filter_bank
+
+    bank = g4h4_bank()
+    mesh = make_mesh({"data": 2, "space": 4})
+    imgs = jnp.asarray(rng.uniform(0, 255, (4, 64, 48)), jnp.float32)
+    ref = filter_bank_xla(imgs, bank.xtaps, bank.ytaps)
+    placed = shard_batch(imgs, mesh)
+    out = sharded_filter_bank(placed, bank.xtaps, bank.ytaps, mesh)
+    assert out.shape == (4, 11, 64, 48)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
