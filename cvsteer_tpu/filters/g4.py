@@ -52,14 +52,17 @@ def g4_bank(width: int = G4_DEFAULT_WIDTH, spacing: float = G4_DEFAULT_SPACING) 
 G4A, G4B, G4C, G4D, G4E, H4A, H4B, H4C, H4D, H4E, H4F = range(11)
 
 
-def g4_basis(image: jax.Array, bank: Optional[G4Bank] = None, *, method: str = "xla") -> jax.Array:
+def g4_basis(image: jax.Array, bank: Optional[G4Bank] = None, *, method: str = "auto") -> jax.Array:
     """Compute the 11 basis responses ``[..., 11, H, W]``.
 
     Replaces the 11 sepFilter2D calls of SteerableFiltersG4::setup
     (cvsteer/SteerableFiltersG4.cpp:69-81) with one batched bank conv.
+    ``method``: 'xla', 'pallas', or 'auto' (pallas on TPU).
     """
     if bank is None:
         bank = g4_bank()
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
     if method == "pallas":
         from cvsteer_tpu.ops.pallas_frontend import (
             _taps_tuple,
@@ -226,7 +229,7 @@ class G4Maps(NamedTuple):
 
 
 def steerable_pipeline_g4(
-    image: jax.Array, bank: Optional[G4Bank] = None, *, method: str = "xla"
+    image: jax.Array, bank: Optional[G4Bank] = None, *, method: str = "auto"
 ) -> G4Maps:
     """Full G4 analysis: basis -> orientation -> steered quadrature maps."""
     basis = g4_basis(image, bank, method=method)

@@ -222,10 +222,63 @@ def _track(state: VOState, feats: Features):
     return R, t, n_tracked, idx, valid
 
 
-def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid):
+def _track_against(state: VOState, feats: Features, kf: Keyframe):
+    """PnP of ``feats`` against an arbitrary keyframe's landmarks.
+
+    Returns (R, t, n_inliers, idx, valid) like _track but initialized from
+    that keyframe's pose — the relocalization primitive.
+    """
+    idx, valid = _match(state, kf.features, feats)
+    use = valid & (kf.landmark_ids >= 0)
+    lm_ids = np.where(use, kf.landmark_ids, -1)
+    n = len(idx)
+    X = np.zeros((n, 3), np.float32)
+    sel = lm_ids >= 0
+    X[sel] = state.landmarks[lm_ids[sel]]
+    uv_all = _norm_pts(state, feats)
+    uv = np.zeros((n, 2), np.float32)
+    uv[sel] = uv_all[np.maximum(idx, 0)[sel]]
+    R, t, inl = refine_pose(
+        jnp.asarray(X), jnp.asarray(uv), jnp.asarray(sel),
+        jnp.asarray(kf.R), jnp.asarray(kf.t),
+        iterations=12, huber_delta=state.config.huber_delta,
+    )
+    return np.asarray(R), np.asarray(t), int(jnp.sum(inl)), idx, valid
+
+
+def _relocalize(state: VOState, feats: Features, *, max_candidates: int = 3):
+    """Tracking-loss recovery: PnP against the best-matching keyframes.
+
+    Candidates ranked by global descriptor signature (shared with
+    slam.loopclosure); the first candidate whose motion-only BA keeps
+    enough inliers wins. Returns (R, t, n_inliers, idx, valid, kf_index)
+    or None.
+    """
+    from cvsteer_tpu.slam.loopclosure import keyframe_signature
+
+    sig = keyframe_signature(feats)
+    lm_bearing = [
+        (k, kf) for k, kf in enumerate(state.keyframes)
+        if (kf.landmark_ids >= 0).sum() >= 8
+    ]
+    if not lm_bearing:
+        return None
+    ranked = sorted(
+        lm_bearing,
+        key=lambda e: -float(np.dot(keyframe_signature(e[1].features), sig)),
+    )
+    for k, kf in ranked[:max_candidates]:
+        R, t, n_inl, idx, valid = _track_against(state, feats, kf)
+        if n_inl >= max(8, state.config.track_min_landmarks // 2):
+            return R, t, n_inl, idx, valid, k
+    return None
+
+
+def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid, ref_kf=None):
     """Promote the current frame: inherit landmark ids from matches to the
-    previous keyframe, triangulate new landmarks, run windowed BA."""
-    kf_prev = state.keyframes[-1]
+    reference keyframe (default: the latest), triangulate new landmarks,
+    run windowed BA."""
+    kf_prev = state.keyframes[-1] if ref_kf is None else state.keyframes[ref_kf]
     n = feats.yx.shape[0]
     lm_ids = np.full(n, -1, np.int64)
 
@@ -364,11 +417,24 @@ def process_frame(state: VOState, feats: Features) -> VOState:
         return state
 
     R, t, n_tracked, idx, valid = _track(state, feats)
+    ref_kf = None
+    if n_tracked < 8:
+        # tracking lost against the current keyframe: relocalize globally
+        reloc = _relocalize(state, feats)
+        if reloc is not None:
+            R, t, n_tracked, idx, valid, ref_kf = reloc
     state.trajectory.append((state.frame_count, R, t))
 
     gap = state.frame_count - state.keyframes[-1].index
-    if n_tracked < state.config.track_min_landmarks or gap >= state.config.kf_max_gap:
-        _add_keyframe(state, feats, R, t, idx, valid)
+    needs_kf = (
+        n_tracked < state.config.track_min_landmarks
+        or gap >= state.config.kf_max_gap
+    )
+    # never promote a degenerate frame (blackout/blur): a featureless
+    # keyframe would become the tracking reference and strand the VO
+    has_content = int(feats.valid.sum()) >= 16
+    if needs_kf and has_content:
+        _add_keyframe(state, feats, R, t, idx, valid, ref_kf=ref_kf)
         if state.config.loop_closure:
             from cvsteer_tpu.slam.loopclosure import close_loops
 

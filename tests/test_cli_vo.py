@@ -134,3 +134,32 @@ def test_cli_vo_end_to_end(tum_dataset, tmp_path):
     lines = [l for l in open(out).read().splitlines() if l.strip()]
     assert len(lines) == N_FRAMES
     assert len(lines[0].split()) == 8  # TUM format
+
+
+def test_kitti_parser(tmp_path):
+    """KITTI odometry layout: sequences/<seq>/image_0 + poses/<seq>.txt."""
+    import numpy as np
+
+    from cvsteer_tpu.io.datasets import open_sequence
+    from cvsteer_tpu.io.imageio import imwrite_u8
+
+    root = tmp_path / "kitti"
+    img_dir = root / "sequences" / "00" / "image_0"
+    img_dir.mkdir(parents=True)
+    (root / "poses").mkdir()
+    rng = np.random.default_rng(0)
+    n = 5
+    rows = []
+    for k in range(n):
+        imwrite_u8(str(img_dir / f"{k:06d}.png"), rng.integers(0, 255, (32, 48), dtype=np.uint8))
+        # camera->world: identity rotation, translation (k, 0, 0)
+        P = np.hstack([np.eye(3), np.array([[k], [0.0], [0.0]])])
+        rows.append(" ".join(f"{v:.6e}" for v in P.reshape(-1)))
+    (root / "poses" / "00.txt").write_text("\n".join(rows) + "\n")
+
+    seq = open_sequence(str(root))
+    assert len(seq.image_paths) == n
+    assert seq.gt_R.shape == (n, 3, 3)
+    # world->camera of a pure translation (k,0,0): R=I, t=(-k,0,0)
+    np.testing.assert_allclose(seq.gt_R[3], np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(seq.gt_t[3], [-3.0, 0.0, 0.0], atol=1e-6)

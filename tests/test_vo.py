@@ -139,3 +139,68 @@ def test_umeyama_recovers_similarity(rng):
     assert abs(s - s_true) < 1e-6
     np.testing.assert_allclose(R, R_true, atol=1e-6)
     np.testing.assert_allclose(t, t_true, atol=1e-6)
+
+
+def test_relocalization_after_blackout():
+    """Frames of garbage (occlusion/blur blackout) lose tracking; once the
+    scene reappears the VO must relocalize against the map instead of
+    drifting forever."""
+    X, desc = _make_world(seed=10)
+    rng = np.random.default_rng(77)
+    cfg = VOConfig(intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30)
+    state = init_vo(cfg)
+
+    def blank_features():
+        return Features(
+            yx=jnp.zeros((N_CAP, 2)),
+            score=jnp.zeros(N_CAP),
+            theta=jnp.zeros(N_CAP),
+            level=jnp.zeros(N_CAP, jnp.int32),
+            desc=jnp.zeros((N_CAP, DESC_DIM)),
+            valid=jnp.zeros(N_CAP, bool),
+        )
+
+    poses = []
+    for k in range(14):
+        R, t = _gt_pose(k, 30)
+        poses.append((R, t))
+        state = process_frame(state, _render_features(X, desc, R, t, rng))
+    assert state.initialized
+
+    for k in range(14, 17):  # blackout
+        R, t = _gt_pose(k, 30)
+        poses.append((R, t))
+        state = process_frame(state, blank_features())
+
+    # scene returns at the pose where it left off
+    recovered = []
+    for k in range(17, 22):
+        R, t = _gt_pose(k, 30)
+        poses.append((R, t))
+        state = process_frame(state, _render_features(X, desc, R, t, rng))
+        recovered.append(state.trajectory[-1])
+
+    # the last recovered pose must be close to ground truth again — in the
+    # map's frame, which relates to gt by the monocular Sim(3) gauge fixed
+    # at initialization: estimate it from the pre-blackout segment
+    from cvsteer_tpu.slam.evaluate import camera_centers
+
+    _, R_est, t_est = recovered[-1]
+    R_gt, t_gt = poses[-1]
+    ang = float(se3.rotation_geodesic(jnp.asarray(R_est), jnp.asarray(R_gt)))
+    assert np.isfinite(t_est).all()
+    assert ang < 0.05, f"rotation error {ang} after relocalization"
+
+    pre = state.trajectory[:14]
+    c_est_pre = camera_centers(
+        np.stack([p[1] for p in pre]), np.stack([p[2] for p in pre])
+    )
+    c_gt_pre = camera_centers(
+        np.stack([p[0] for p in poses[:14]]), np.stack([p[1] for p in poses[:14]])
+    )
+    s, Ra, ta = umeyama(c_est_pre, c_gt_pre)
+    c_est = -R_est.T @ t_est
+    c_aligned = s * Ra @ c_est + ta
+    c_gt = -R_gt.T @ t_gt
+    err = np.linalg.norm(c_aligned - c_gt)
+    assert err < 0.3, f"center error {err:.3f} m after relocalization"
