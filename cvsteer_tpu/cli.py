@@ -21,6 +21,7 @@ device compute.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -57,6 +58,12 @@ def main(argv=None) -> int:
     ap.add_argument("--filters", choices=["g2", "g4"], default="g2")
     ap.add_argument("--width", type=int, default=None, help="kernel half-width (default: 4 for g2, 6 for g4)")
     ap.add_argument("--spacing", type=float, default=None, help="tap spacing (default: 0.67 g2, 0.5 g4)")
+    ap.add_argument(
+        "--mesh",
+        default="",
+        help="multi-device mesh, e.g. 'data=4,space=2' (-1 infers one axis); "
+        "shards the batch over 'data' and image rows over 'space'",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -103,13 +110,54 @@ def main(argv=None) -> int:
         images.append(img)
         shapes[img.shape].append(i)
 
-    @jax.jit
-    def run_batch(batch):
-        maps = pipeline(batch, bank)
-        if isinstance(maps, dict):
-            edges, dark, bright = maps["edges"], maps["lines_dark"], maps["lines_bright"]
+    mesh = None
+    if args.mesh:
+        from cvsteer_tpu.parallel import make_mesh
+
+        try:
+            axes = {}
+            for part in args.mesh.split(","):
+                name, _, size = part.partition("=")
+                name = name.strip()
+                if name not in ("data", "space"):
+                    raise ValueError(
+                        f"unknown mesh axis {name!r} (expected data/space)"
+                    )
+                axes[name] = int(size)
+            mesh = make_mesh(axes)
+        except ValueError as e:
+            ap.error(f"invalid --mesh {args.mesh!r}: {e}")
+
+    def _mesh_skip_reason(b, h):
+        """None if the batch can shard; otherwise the human-readable reason."""
+        if mesh is None:
+            return "no mesh"
+        if args.filters != "g2":
+            return "--filters g4 has no sharded pipeline yet"
+        nd = mesh.shape.get("data", 1)
+        ns = mesh.shape.get("space", 1)
+        if b % nd != 0:
+            return f"batch {b} not divisible by data={nd}"
+        if h % ns != 0:
+            return f"rows {h} not divisible by space={ns}"
+        if (h // ns) <= bank.radius:
+            return f"row block {h // ns} <= kernel radius {bank.radius}"
+        return None
+
+    @functools.partial(jax.jit, static_argnames=("use_mesh",))
+    def run_batch(batch, use_mesh):
+        if use_mesh:
+            from cvsteer_tpu.parallel import sharded_g2_maps
+
+            edges, dark, bright = sharded_g2_maps(batch, mesh, bank)
         else:
-            edges, dark, bright = maps.edges, maps.lines_dark, maps.lines_bright
+            maps = pipeline(batch, bank)
+            if isinstance(maps, dict):
+                edges, dark, bright = (
+                    maps["edges"], maps["lines_dark"], maps["lines_bright"]
+                )
+            else:
+                edges, dark, bright = maps.edges, maps.lines_dark, maps.lines_bright
         if args.gain > 0:
             to8 = lambda x: convert_scale_u8(x, args.gain)
         else:
@@ -120,7 +168,18 @@ def main(argv=None) -> int:
     n_done = 0
     for shape, idxs in shapes.items():
         batch = jnp.stack([jnp.asarray(images[i]) for i in idxs])
-        edges8, dark8, bright8 = jax.device_get(run_batch(batch))
+        reason = _mesh_skip_reason(batch.shape[0], batch.shape[1])
+        use_mesh = reason is None
+        if mesh is not None and not use_mesh:
+            print(
+                f"mesh skipped for batch {tuple(batch.shape)}: {reason}",
+                file=sys.stderr,
+            )
+        if use_mesh:
+            from cvsteer_tpu.parallel import shard_batch
+
+            batch = shard_batch(batch, mesh)
+        edges8, dark8, bright8 = jax.device_get(run_batch(batch, use_mesh))
         for j, i in enumerate(idxs):
             n_done += 1
             if args.verbose:

@@ -68,3 +68,55 @@ def test_g4_filter_path(tmp_path):
     assert rc == 0
     out = _read(tmp_path / "fish_edges.png")
     assert out.shape == (185, 256) and out.max() > 100
+
+
+def test_mesh_option(tmp_path, rng, capsys):
+    """--mesh shards the batch; divisible shapes use it, odd ones fall back
+    with an accurate reason; sharded output == unsharded output."""
+    from cvsteer_tpu.io.imageio import imwrite_u8
+
+    # 64x128 synthetic images: divisible by space=2 and batch 4 by data=4
+    lst = tmp_path / "in.txt"
+    names = []
+    for i in range(4):
+        p = tmp_path / f"im{i}.png"
+        imwrite_u8(str(p), rng.integers(0, 255, (64, 128), dtype=np.uint8))
+        names.append(str(p))
+    lst.write_text("\n".join(names) + "\n")
+
+    out = tmp_path / "out"
+    rc = cli.main(
+        ["--input", str(lst), "--output", str(out), "--mesh", "data=4,space=2"]
+    )
+    assert rc == 0
+    assert "mesh skipped" not in capsys.readouterr().err  # sharding was used
+
+    out_ref = tmp_path / "out_ref"
+    assert cli.main(["--input", str(lst), "--output", str(out_ref)]) == 0
+    for i in range(4):
+        a = _read(out / f"im{i}_edges.png")
+        b = _read(out_ref / f"im{i}_edges.png")
+        np.testing.assert_array_equal(a, b)  # sharded path == single-device
+
+    # the fish (185 rows, batch 1) cannot shard -> falls back with a reason
+    rc = cli.main(
+        [
+            "--input", str(ASSETS / "fish.jpg"),
+            "--output", str(out),
+            "--mesh", "data=4,space=2",
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "mesh skipped" in err and "not divisible" in err
+    assert (out / "fish_edges.png").exists()
+
+
+def test_mesh_option_rejects_bad_values(tmp_path):
+    import pytest
+
+    for bad in ("data", "data=x", "rows=8"):
+        with pytest.raises(SystemExit):
+            cli.main(
+                ["--input", str(ASSETS / "fish.jpg"), "--mesh", bad]
+            )
