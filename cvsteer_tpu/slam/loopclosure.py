@@ -117,6 +117,36 @@ def find_loop_closures(
     return closures
 
 
+def _side_scale(state: VOState, k: int, depths_tri: np.ndarray) -> Optional[float]:
+    """Scale of keyframe k's local map relative to the closure's
+    unit-baseline triangulation: median(map depth) / median(tri depth)."""
+    kf = state.keyframes[k]
+    lm = kf.landmark_ids[kf.landmark_ids >= 0]
+    if lm.size < 10 or depths_tri.size < 10:
+        return None
+    Xw = state.landmarks[lm]
+    d_map = (Xw @ kf.R.T + kf.t)[:, 2]
+    d_map = d_map[d_map > 1e-3]
+    d_tri = depths_tri[depths_tri > 1e-6]
+    if d_map.size < 10 or d_tri.size < 10:
+        return None
+    return float(np.median(d_map) / np.median(d_tri))
+
+
+def closure_scales(state: VOState, c_i: int, res) -> Tuple[Optional[float], Optional[float]]:
+    """(s_i, s_j): each keyframe's local-map scale w.r.t. the closure's
+    unit-baseline triangulation. Their ratio s_j / s_i is the relative
+    scale drift a Sim(3) closure edge constrains; equality means no drift."""
+    tri = np.asarray(res.points)[np.asarray(res.point_valid)]
+    if tri.shape[0] < 10:
+        return None, None
+    s_i = _side_scale(state, c_i, tri[:, 2])
+    # the same points seen from camera j: X_j = R X_i + t (unit baseline)
+    tri_j = tri @ np.asarray(res.R).T + np.asarray(res.t)
+    s_j = _side_scale(state, -1, tri_j[:, 2])
+    return s_i, s_j
+
+
 def _closure_scale(state: VOState, i: int, res) -> float:
     """Metric scale of a closure's unit translation.
 
@@ -265,3 +295,119 @@ def close_loops(
     for k, kf in enumerate(state.keyframes):
         kf.R, kf.t = Rn[k], tn[k]
     return len(closures)
+
+
+def close_loops_sim3(
+    state: VOState,
+    *,
+    min_gap: int = 6,
+    min_inliers: int = 25,
+    iterations: int = 20,
+    closure_weight: float = 10.0,
+) -> int:
+    """Scale-drift-aware loop closure: Sim(3) pose graph over keyframes.
+
+    Each closure edge carries the relative map scale measured from the
+    depth ratios of the closure's own triangulation against both
+    keyframes' landmark maps (closure_scales); odometry edges carry scale
+    1. After optimization, poses are rescaled back to SE(3) (each pose's
+    recovered scale folds into its translation and its anchored
+    landmarks), correcting monocular scale drift that the SE(3) graph of
+    :func:`close_loops` cannot express.
+    """
+    import jax.numpy as jnp
+
+    from cvsteer_tpu.slam import sim3 as s3
+    from cvsteer_tpu.slam.posegraph_sim3 import (
+        Sim3Graph,
+        optimize_pose_graph_sim3,
+    )
+    from cvsteer_tpu.slam.sim3 import Sim3
+
+    closures = find_loop_closures(state, min_gap=min_gap, min_inliers=min_inliers)
+    if not closures:
+        return 0
+
+    kfs = state.keyframes
+    P = len(kfs)
+    poses = Sim3(
+        s=jnp.ones(P),
+        R=jnp.asarray(np.stack([kf.R for kf in kfs])),
+        t=jnp.asarray(np.stack([kf.t for kf in kfs])),
+    )
+
+    ii, jj, sz, Rz, tz, w = [], [], [], [], [], []
+    for k in range(P - 1):
+        Rrel = kfs[k + 1].R @ kfs[k].R.T
+        ii.append(k)
+        jj.append(k + 1)
+        sz.append(1.0)
+        Rz.append(Rrel)
+        tz.append(kfs[k + 1].t - Rrel @ kfs[k].t)
+        w.append(1.0)
+    n_odo = len(ii)
+    # re-verify closures to recover their scale ratios
+    K = state.config.intrinsics
+    thresh_px = float(np.sqrt(state.config.ransac_threshold)) * 0.5 * (K.fx + K.fy)
+    used = 0
+    for c in closures:
+        res = two_view_pose_from_features(
+            kfs[c.i].features,
+            kfs[c.j].features,
+            K,
+            match_ratio=state.config.match_ratio,
+            ransac_hypotheses=state.config.ransac_hypotheses,
+            ransac_threshold_px=thresh_px,
+        )
+        s_i, s_j = closure_scales(state, c.i, res)
+        if s_i is None or s_j is None:
+            continue
+        ii.append(c.i)
+        jj.append(c.j)
+        # measured relative similarity i -> j in i's metric scale
+        sz.append(s_i / s_j)
+        Rz.append(np.asarray(res.R))
+        tz.append(np.asarray(res.t) * s_i)
+        w.append(closure_weight)
+        used += 1
+    if used == 0:
+        return 0
+
+    fixed = np.zeros(P, bool)
+    fixed[0] = True
+    graph = Sim3Graph(
+        i=jnp.asarray(ii, jnp.int32),
+        j=jnp.asarray(jj, jnp.int32),
+        s_z=jnp.asarray(sz, jnp.float32),
+        R_z=jnp.asarray(np.stack(Rz), jnp.float32),
+        t_z=jnp.asarray(np.stack(tz), jnp.float32),
+        weight=jnp.asarray(w, jnp.float32),
+        fixed=jnp.asarray(fixed),
+    )
+    opt, stats = optimize_pose_graph_sim3(poses, graph, iterations=iterations)
+    if not bool(np.isfinite(float(stats.cost))):
+        return 0
+
+    # write back: landmarks move with their anchor's Sim3 correction, poses
+    # fold the recovered scale into translation (map re-metrication)
+    old = [(kf.R.copy(), kf.t.copy()) for kf in state.keyframes]
+    sn = np.asarray(opt.s)
+    Rn = np.asarray(opt.R)
+    tn = np.asarray(opt.t)
+
+    n_lm = state.num_landmarks
+    anchor = np.full(n_lm, -1, np.int64)
+    for k in reversed(range(P)):
+        ids = state.keyframes[k].landmark_ids
+        ids = ids[(ids >= 0) & (ids < n_lm)]
+        anchor[ids] = k
+    for k in np.unique(anchor[anchor >= 0]):
+        sel = np.nonzero(anchor == k)[0]
+        Ro, to = old[k]
+        Xc = state.landmarks[sel] @ Ro.T + to  # camera-frame, invariant
+        # X' = T_new^{-1} Xc with T_new = (s, R, t): X' = R^T (Xc - t) / s
+        state.landmarks[sel] = ((Xc - tn[k]) @ Rn[k]) / sn[k]
+
+    for k, kf in enumerate(state.keyframes):
+        kf.R, kf.t = Rn[k], (tn[k] / sn[k]).astype(np.float32)
+    return used
