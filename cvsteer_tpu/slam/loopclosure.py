@@ -42,6 +42,7 @@ class LoopClosure(NamedTuple):
     R: np.ndarray  # relative rotation camera-i -> camera-j
     t: np.ndarray  # relative translation, rescaled to trajectory units
     num_inliers: int
+    result: object = None  # the verifying TwoViewResult (unit-baseline pose)
 
 
 def keyframe_signature(features) -> np.ndarray:
@@ -91,9 +92,8 @@ def find_loop_closures(
     )
 
     K = state.config.intrinsics
-    # same inlier criterion as the rest of the VO pipeline: the configured
-    # Sampson threshold (normalized units) converted to pixels
-    thresh_px = float(np.sqrt(state.config.ransac_threshold)) * 0.5 * (K.fx + K.fy)
+    # same inlier criterion as the rest of the VO pipeline
+    thresh_px = ransac_threshold_px(state)
     closures: List[LoopClosure] = []
     for score, i in scores[:max_candidates]:
         if score < signature_threshold:
@@ -112,9 +112,17 @@ def find_loop_closures(
             continue
         t = np.asarray(res.t) * _closure_scale(state, i, res)
         closures.append(
-            LoopClosure(i=i, j=j, R=np.asarray(res.R), t=t, num_inliers=n_inl)
+            LoopClosure(
+                i=i, j=j, R=np.asarray(res.R), t=t, num_inliers=n_inl, result=res
+            )
         )
     return closures
+
+
+def ransac_threshold_px(state: VOState) -> float:
+    """The configured Sampson threshold (normalized units) in pixels."""
+    K = state.config.intrinsics
+    return float(np.sqrt(state.config.ransac_threshold)) * 0.5 * (K.fx + K.fy)
 
 
 def _side_scale(state: VOState, k: int, depths_tri: np.ndarray) -> Optional[float]:
@@ -133,7 +141,9 @@ def _side_scale(state: VOState, k: int, depths_tri: np.ndarray) -> Optional[floa
     return float(np.median(d_map) / np.median(d_tri))
 
 
-def closure_scales(state: VOState, c_i: int, res) -> Tuple[Optional[float], Optional[float]]:
+def closure_scales(
+    state: VOState, c_i: int, c_j: int, res
+) -> Tuple[Optional[float], Optional[float]]:
     """(s_i, s_j): each keyframe's local-map scale w.r.t. the closure's
     unit-baseline triangulation. Their ratio s_j / s_i is the relative
     scale drift a Sim(3) closure edge constrains; equality means no drift."""
@@ -143,8 +153,30 @@ def closure_scales(state: VOState, c_i: int, res) -> Tuple[Optional[float], Opti
     s_i = _side_scale(state, c_i, tri[:, 2])
     # the same points seen from camera j: X_j = R X_i + t (unit baseline)
     tri_j = tri @ np.asarray(res.R).T + np.asarray(res.t)
-    s_j = _side_scale(state, -1, tri_j[:, 2])
+    s_j = _side_scale(state, c_j, tri_j[:, 2])
     return s_i, s_j
+
+
+def sim3_closure_edge(state: VOState, c: LoopClosure):
+    """The Sim(3) edge (s_z, R_z, t_z) a verified closure contributes.
+
+    Derivation (map-unit coordinates, X^map = lambda * X^metric with
+    lambda_k keyframe k's local scale): the metric relation
+    X_j = R X_i + B t_unit becomes
+    X_j^map = (lambda_j/lambda_i) R X_i^map + lambda_j B t_unit.
+    With s_k = _side_scale = lambda_k * B, the measured i->j similarity is
+
+        s_z = s_j / s_i,   R_z = R,   t_z = s_j * t_unit.
+
+    Returns None when either side lacks landmark depth support.
+    """
+    res = c.result
+    if res is None:
+        return None
+    s_i, s_j = closure_scales(state, c.i, c.j, res)
+    if s_i is None or s_j is None or s_i <= 0 or s_j <= 0:
+        return None
+    return s_j / s_i, np.asarray(res.R), np.asarray(res.t) * s_j
 
 
 def _closure_scale(state: VOState, i: int, res) -> float:
@@ -280,12 +312,7 @@ def close_loops(
     Rn = np.asarray(opt.R)
     tn = np.asarray(opt.t)
 
-    n_lm = state.num_landmarks
-    anchor = np.full(n_lm, -1, np.int64)
-    for k in reversed(range(len(state.keyframes))):  # first observer wins
-        ids = state.keyframes[k].landmark_ids
-        ids = ids[(ids >= 0) & (ids < n_lm)]
-        anchor[ids] = k
+    anchor = _landmark_anchors(state)
     for k in np.unique(anchor[anchor >= 0]):
         sel = np.nonzero(anchor == k)[0]
         Ro, to = old[k]
@@ -297,6 +324,17 @@ def close_loops(
     return len(closures)
 
 
+def _landmark_anchors(state: VOState) -> np.ndarray:
+    """[num_landmarks] first-observer keyframe index per landmark (-1 = none)."""
+    n_lm = state.num_landmarks
+    anchor = np.full(n_lm, -1, np.int64)
+    for k in reversed(range(len(state.keyframes))):  # first observer wins
+        ids = state.keyframes[k].landmark_ids
+        ids = ids[(ids >= 0) & (ids < n_lm)]
+        anchor[ids] = k
+    return anchor
+
+
 def close_loops_sim3(
     state: VOState,
     *,
@@ -304,28 +342,33 @@ def close_loops_sim3(
     min_inliers: int = 25,
     iterations: int = 20,
     closure_weight: float = 10.0,
+    max_closure_residual: float = 0.1,
 ) -> int:
     """Scale-drift-aware loop closure: Sim(3) pose graph over keyframes.
 
     Each closure edge carries the relative map scale measured from the
     depth ratios of the closure's own triangulation against both
-    keyframes' landmark maps (closure_scales); odometry edges carry scale
-    1. After optimization, poses are rescaled back to SE(3) (each pose's
-    recovered scale folds into its translation and its anchored
-    landmarks), correcting monocular scale drift that the SE(3) graph of
-    :func:`close_loops` cannot express.
+    keyframes' landmark maps (sim3_closure_edge; the same TwoViewResult
+    that passed geometric verification is reused — no re-run). Odometry
+    edges carry scale 1. False-positive protection mirrors
+    :func:`close_loops`: closures whose post-optimization residual exceeds
+    ``max_closure_residual`` (or that bend the odometry chain beyond 3x
+    that bound) are dropped and the graph re-optimized. After
+    optimization, poses are re-metricated back to SE(3): each pose's
+    recovered scale folds into its translation and its anchored landmarks
+    move by the inverse similarity (all reprojections invariant).
     """
-    import jax.numpy as jnp
-
-    from cvsteer_tpu.slam import sim3 as s3
     from cvsteer_tpu.slam.posegraph_sim3 import (
         Sim3Graph,
+        edge_residuals as sim3_edge_residuals,
         optimize_pose_graph_sim3,
     )
     from cvsteer_tpu.slam.sim3 import Sim3
 
     closures = find_loop_closures(state, min_gap=min_gap, min_inliers=min_inliers)
-    if not closures:
+    edges = [(c, sim3_closure_edge(state, c)) for c in closures]
+    edges = [(c, e) for c, e in edges if e is not None]
+    if not edges:
         return 0
 
     kfs = state.keyframes
@@ -335,72 +378,64 @@ def close_loops_sim3(
         R=jnp.asarray(np.stack([kf.R for kf in kfs])),
         t=jnp.asarray(np.stack([kf.t for kf in kfs])),
     )
-
-    ii, jj, sz, Rz, tz, w = [], [], [], [], [], []
-    for k in range(P - 1):
-        Rrel = kfs[k + 1].R @ kfs[k].R.T
-        ii.append(k)
-        jj.append(k + 1)
-        sz.append(1.0)
-        Rz.append(Rrel)
-        tz.append(kfs[k + 1].t - Rrel @ kfs[k].t)
-        w.append(1.0)
-    n_odo = len(ii)
-    # re-verify closures to recover their scale ratios
-    K = state.config.intrinsics
-    thresh_px = float(np.sqrt(state.config.ransac_threshold)) * 0.5 * (K.fx + K.fy)
-    used = 0
-    for c in closures:
-        res = two_view_pose_from_features(
-            kfs[c.i].features,
-            kfs[c.j].features,
-            K,
-            match_ratio=state.config.match_ratio,
-            ransac_hypotheses=state.config.ransac_hypotheses,
-            ransac_threshold_px=thresh_px,
-        )
-        s_i, s_j = closure_scales(state, c.i, res)
-        if s_i is None or s_j is None:
-            continue
-        ii.append(c.i)
-        jj.append(c.j)
-        # measured relative similarity i -> j in i's metric scale
-        sz.append(s_i / s_j)
-        Rz.append(np.asarray(res.R))
-        tz.append(np.asarray(res.t) * s_i)
-        w.append(closure_weight)
-        used += 1
-    if used == 0:
-        return 0
-
     fixed = np.zeros(P, bool)
     fixed[0] = True
-    graph = Sim3Graph(
-        i=jnp.asarray(ii, jnp.int32),
-        j=jnp.asarray(jj, jnp.int32),
-        s_z=jnp.asarray(sz, jnp.float32),
-        R_z=jnp.asarray(np.stack(Rz), jnp.float32),
-        t_z=jnp.asarray(np.stack(tz), jnp.float32),
-        weight=jnp.asarray(w, jnp.float32),
-        fixed=jnp.asarray(fixed),
-    )
-    opt, stats = optimize_pose_graph_sim3(poses, graph, iterations=iterations)
-    if not bool(np.isfinite(float(stats.cost))):
+    n_odo = P - 1
+    odo_bound = 3.0 * max_closure_residual
+
+    def build(edge_list):
+        ii, jj, sz, Rz, tz, w = [], [], [], [], [], []
+        for k in range(n_odo):
+            Rrel = kfs[k + 1].R @ kfs[k].R.T
+            ii.append(k)
+            jj.append(k + 1)
+            sz.append(1.0)
+            Rz.append(Rrel)
+            tz.append(kfs[k + 1].t - Rrel @ kfs[k].t)
+            w.append(1.0)
+        for c, (s_z, R_z, t_z) in edge_list:
+            ii.append(c.i)
+            jj.append(c.j)
+            sz.append(s_z)
+            Rz.append(R_z)
+            tz.append(t_z)
+            w.append(closure_weight)
+        return Sim3Graph(
+            i=jnp.asarray(ii, jnp.int32),
+            j=jnp.asarray(jj, jnp.int32),
+            s_z=jnp.asarray(sz, jnp.float32),
+            R_z=jnp.asarray(np.stack(Rz), jnp.float32),
+            t_z=jnp.asarray(np.stack(tz), jnp.float32),
+            weight=jnp.asarray(w, jnp.float32),
+            fixed=jnp.asarray(fixed),
+        )
+
+    while edges:
+        graph = build(edges)
+        opt, stats = optimize_pose_graph_sim3(poses, graph, iterations=iterations)
+        if not bool(np.isfinite(float(stats.cost))):
+            return 0
+        res = np.linalg.norm(np.asarray(sim3_edge_residuals(opt, graph)), axis=-1)
+        odo_res, clo_res = res[:n_odo], res[n_odo:]
+        bad = clo_res >= max_closure_residual
+        if not bad.any() and (n_odo == 0 or odo_res.max() < odo_bound):
+            break
+        if bad.any():
+            edges = [e for e, b in zip(edges, bad) if not b]
+        else:
+            edges = [e for k, e in enumerate(edges) if k != int(np.argmax(clo_res))]
+    if not edges:
         return 0
 
-    # write back: landmarks move with their anchor's Sim3 correction, poses
-    # fold the recovered scale into translation (map re-metrication)
+    # write back: landmarks move with their anchor's inverse-similarity
+    # correction (camera-frame coords invariant); poses re-metricate by
+    # folding the recovered scale into translation
     old = [(kf.R.copy(), kf.t.copy()) for kf in state.keyframes]
     sn = np.asarray(opt.s)
     Rn = np.asarray(opt.R)
     tn = np.asarray(opt.t)
 
-    n_lm = state.num_landmarks
-    anchor = np.full(n_lm, -1, np.int64)
-    for k in reversed(range(P)):
-        ids = state.keyframes[k].landmark_ids
-        ids = ids[(ids >= 0) & (ids < n_lm)]
-        anchor[ids] = k
+    anchor = _landmark_anchors(state)
     for k in np.unique(anchor[anchor >= 0]):
         sel = np.nonzero(anchor == k)[0]
         Ro, to = old[k]
@@ -410,4 +445,4 @@ def close_loops_sim3(
 
     for k, kf in enumerate(state.keyframes):
         kf.R, kf.t = Rn[k], (tn[k] / sn[k]).astype(np.float32)
-    return used
+    return len(edges)

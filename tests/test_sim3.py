@@ -208,3 +208,81 @@ def test_close_loops_sim3_no_drift_is_stable():
         assert np.linalg.norm(kf.t - t0) < 0.1
     # landmarks stay where they were (scale ~1)
     assert np.abs(state.landmarks[:n_pts] - X).max() < 0.2
+
+
+def test_sim3_closure_edge_measures_scale_drift():
+    """Edge construction algebra: with keyframe j's local map at twice
+    metric scale (lambda_j = 2, lambda_i = 1), the measured edge must be
+    s_z = 2 and t_z = 2 * t_metric — the regression the no-drift test
+    cannot see (an inverted ratio passes when s_i == s_j)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from types import SimpleNamespace
+
+    from test_vo import DESC_DIM, K, N_CAP
+    from cvsteer_tpu.features.frontend import Features
+    from cvsteer_tpu.slam.loopclosure import LoopClosure, sim3_closure_edge
+    from cvsteer_tpu.slam.vo import Keyframe, VOConfig, init_vo
+
+    rng = np.random.default_rng(31)
+    n_half = 40
+    X_i = rng.uniform([-2, -2, 6], [2, 2, 12], (n_half, 3)).astype(np.float32)
+    X_j = rng.uniform([-2, -2, 6], [2, 2, 12], (n_half, 3)).astype(np.float32)
+
+    # metric poses
+    R_i = np.eye(3, dtype=np.float32)
+    t_i = np.zeros(3, np.float32)
+    R_rel = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.1, 0.0], jnp.float32)))
+    B = 0.8  # metric baseline
+    t_rel_metric = (B * np.array([1.0, 0.0, 0.2]) / np.linalg.norm([1.0, 0.0, 0.2])).astype(np.float32)
+    R_j = (R_rel @ R_i).astype(np.float32)
+    t_j_metric = (R_rel @ t_i + t_rel_metric).astype(np.float32)
+
+    lam = 2.0  # keyframe j's local map scale error
+
+    def dummy_features():
+        return Features(
+            yx=jnp.zeros((N_CAP, 2)), score=jnp.zeros(N_CAP),
+            theta=jnp.zeros(N_CAP), level=jnp.zeros(N_CAP, jnp.int32),
+            desc=jnp.zeros((N_CAP, DESC_DIM)), valid=jnp.ones(N_CAP, bool),
+        )
+
+    state = init_vo(VOConfig(intrinsics=K))
+    ids_i = np.full(N_CAP, -1, np.int64)
+    ids_i[:n_half] = np.arange(n_half)
+    ids_j = np.full(N_CAP, -1, np.int64)
+    ids_j[:n_half] = np.arange(n_half, 2 * n_half)
+    state.keyframes.append(
+        Keyframe(index=0, features=dummy_features(), R=R_i, t=t_i, landmark_ids=ids_i)
+    )
+    state.keyframes.append(
+        Keyframe(
+            index=1, features=dummy_features(),
+            R=R_j, t=(lam * t_j_metric).astype(np.float32),  # map-unit pose
+            landmark_ids=ids_j,
+        )
+    )
+    state.landmarks[:n_half] = X_i  # i's map: metric
+    state.landmarks[n_half : 2 * n_half] = lam * X_j  # j's map: 2x metric
+    state.landmark_valid[: 2 * n_half] = True
+    state.num_landmarks = 2 * n_half
+    state.initialized = True
+
+    # exact unit-baseline two-view result of the metric geometry
+    tri = (np.concatenate([X_i, X_j]) @ R_i.T + t_i) / B  # camera-i frame / B
+    res = SimpleNamespace(
+        R=R_rel,
+        t=(t_rel_metric / B).astype(np.float32),  # unit translation
+        points=tri.astype(np.float32),
+        point_valid=np.ones(2 * n_half, bool),
+    )
+    c = LoopClosure(i=0, j=1, R=R_rel, t=res.t, num_inliers=80, result=res)
+
+    edge = sim3_closure_edge(state, c)
+    assert edge is not None
+    s_z, R_z, t_z = edge
+    assert abs(s_z - lam) < 0.05, f"s_z {s_z} != {lam}"
+    np.testing.assert_allclose(R_z, R_rel, atol=1e-6)
+    # t_z = s_j * t_unit = lam * B * t_unit = lam * t_metric
+    np.testing.assert_allclose(t_z, lam * t_rel_metric, rtol=0.05)
