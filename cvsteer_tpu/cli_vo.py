@@ -98,6 +98,10 @@ def main(argv=None) -> int:
         if img is None:
             if args.verbose:
                 print(f"skip unreadable: {seq.image_paths[k]}", file=sys.stderr)
+            # keep frame ids aligned with the sequence index: trajectory
+            # entries index seq.timestamps / seq.gt_* and checkpoint resume
+            # restarts at frame_count, so a skipped frame must still advance
+            state.frame_count += 1
             continue
         with timer.span("vo"):
             state = process_image(state, img)

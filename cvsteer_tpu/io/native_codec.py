@@ -82,20 +82,19 @@ def imdecode_gray(data: bytes) -> Optional[np.ndarray]:
 
 
 def imread_gray(path: str) -> Optional[np.ndarray]:
-    """Read a JPEG/PNG file as uint8 grayscale; None on failure."""
-    lib = _load()
-    if lib is None:
+    """Read a JPEG/PNG file as uint8 grayscale; None on failure.
+
+    Reads the bytes once and decodes from memory so both the size probe and
+    the fill decode the *same* data — re-reading the path twice would let a
+    concurrently rewritten file overflow the probe-sized buffer (TOCTOU)."""
+    if _load() is None:
         return None
-    w = ctypes.c_int()
-    h = ctypes.c_int()
-    p = path.encode()
-    if lib.cvsteer_read_gray(p, None, ctypes.byref(w), ctypes.byref(h)):
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
         return None
-    out = np.empty((h.value, w.value), np.uint8)
-    dst = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    if lib.cvsteer_read_gray(p, dst, ctypes.byref(w), ctypes.byref(h)):
-        return None
-    return out
+    return imdecode_gray(data)
 
 
 def imwrite_png_gray(path: str, img: np.ndarray) -> bool:

@@ -182,7 +182,8 @@ def _g2_maps_kernel(img_ref, edges_ref, dark_ref, bright_ref, *, xtaps, ytaps, h
     # Half-angle steering weights without atan2: theta = arctan2(c3, c2)/2.
     rho = jnp.sqrt(c2 * c2 + c3 * c3)
     inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
-    cos2t = c2 * inv_rho
+    # rho==0 must steer to theta=0 (arctan2(0,0)=0 on the XLA path), not pi/4.
+    cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
     ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
     st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
     st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
@@ -379,7 +380,8 @@ def _g2_maps_tiled_kernel(
 
     rho = jnp.sqrt(c2 * c2 + c3 * c3)
     inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
-    cos2t = c2 * inv_rho
+    # rho==0 must steer to theta=0 (arctan2(0,0)=0 on the XLA path), not pi/4.
+    cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
     ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
     st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
     st = jnp.where(c3 >= 0.0, st_mag, -st_mag)

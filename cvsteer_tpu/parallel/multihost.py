@@ -63,9 +63,14 @@ def initialize_distributed(
 
 
 def device_barrier() -> float:
-    """Block until every device participates; returns the summed token."""
-    n = jax.device_count()
-    token = jnp.ones((n,))
+    """Block until every device participates; returns the summed token.
+
+    pmap maps over *local* devices only (the collective still spans all
+    processes in a multi-host SPMD run), so the token must be sized by
+    local_device_count — a global-sized token raises on any multi-host
+    cluster and would spuriously trip the Heartbeat failure path."""
+    n_local = jax.local_device_count()
+    token = jnp.ones((n_local,))
     out = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(token)
     return float(np.asarray(out)[0])
 

@@ -31,9 +31,10 @@ from cvsteer_tpu.slam.posegraph import (
 from cvsteer_tpu.slam.twoview import two_view_pose_from_features
 from cvsteer_tpu.slam.vo import VOState
 
-# Signatures are pure functions of a keyframe's immutable features; cache by
-# (id of the state, keyframe index) so detection is O(P) dot products.
-_signature_cache: dict = {}
+# Signatures are pure functions of a keyframe's immutable features and are
+# cached on the Keyframe object itself (Keyframe.signature) so the cache's
+# lifetime is tied to the owning keyframe — no global dict to leak or to
+# serve stale entries after id() reuse.
 
 
 class LoopClosure(NamedTuple):
@@ -80,10 +81,10 @@ def find_loop_closures(
         key = jax.random.key(j)
 
     def sig(idx: int) -> np.ndarray:
-        ck = (id(state), idx)
-        if ck not in _signature_cache:
-            _signature_cache[ck] = keyframe_signature(kfs[idx].features)
-        return _signature_cache[ck]
+        kf = kfs[idx]
+        if kf.signature is None:
+            kf.signature = keyframe_signature(kf.features)
+        return kf.signature
 
     sig_j = keyframe_signature(kfs[j].features)
     scores = sorted(

@@ -58,6 +58,9 @@ class Keyframe:
     R: np.ndarray  # [3, 3] world->camera
     t: np.ndarray  # [3]
     landmark_ids: np.ndarray  # [N] int64, -1 = feature has no landmark
+    # lazily computed global descriptor (loopclosure.keyframe_signature);
+    # lives on the keyframe so its lifetime is tied to the owning object
+    signature: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass

@@ -63,6 +63,23 @@ def test_fused_maps_match_xla_pipeline(small_fish):
         assert diff.max() / scale < 5e-3, f"{name}: {diff.max()} vs scale {scale}"
 
 
+def test_isotropic_energy_matches_xla():
+    """rho==0 pixels (c2=c3=0) must steer to theta=0 like arctan2(0,0)/2.
+
+    A constant image zeroes every basis response, so c2=c3=0 everywhere —
+    the regression case where the algebraic half-angle kernels previously
+    chose theta=pi/4 and diverged from the XLA path (ADVICE r1)."""
+    from cvsteer_tpu.ops.pallas_frontend import g2_maps_tiled_pallas
+
+    bank = g2_bank()
+    flat = jnp.full((32, 160), 0.5, jnp.float32)
+    maps = steerable_pipeline_g2(flat, bank, method="xla")
+    for fn in (g2_maps_pallas, g2_maps_tiled_pallas):
+        e, d, b = fn(flat, bank.xtaps, bank.ytaps)
+        for ours, ref in [(e, maps.edges), (d, maps.lines_dark), (b, maps.lines_bright)]:
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
+
+
 def test_vmem_gate_falls_back():
     # a 4k image must not claim pallas whole-tile support (16MB VMEM)
     assert not pallas_supported(2160, 4096, 7, 4)
