@@ -20,8 +20,9 @@ import math
 import sys
 import time
 
-B, H, W = 16, 512, 512
-DEVICE_ITERS = 64  # scan iterations inside one jitted dispatch
+B, H, W = 64, 512, 512
+DEVICE_ITERS = 24  # chained dispatches
+UNROLL = 2  # kernel invocations per dispatch (amortizes tunnel RPC cost)
 BASE_MIN_ITERS = 2
 BASE_MIN_SECONDS = 3.0
 
@@ -55,9 +56,13 @@ def bench_device(images) -> float:
 
     @jax.jit
     def step(x, carry):
-        # vary the input per iteration so nothing can be memoized
-        e, d, b = g2_maps_pallas(x + carry * 1e-6, bank.xtaps, bank.ytaps)
-        return carry + e[0, 0, 0] + d[0, 0, 0] + b[0, 0, 0]
+        # vary the input per iteration so nothing can be memoized; UNROLL
+        # kernel invocations per dispatch amortize the per-dispatch host/RPC
+        # cost of the remote tunnel (measured ~0.5 ms/dispatch in round 2)
+        for _ in range(UNROLL):
+            e, d, b = g2_maps_pallas(x + carry * 1e-6, bank.xtaps, bank.ytaps)
+            carry = carry + e[0, 0, 0] + d[0, 0, 0] + b[0, 0, 0]
+        return carry
 
     c = jnp.float32(0.0)
     c = step(x, c)
@@ -70,7 +75,7 @@ def bench_device(images) -> float:
     c = float(c)  # fetch forces completion of the whole chain
     dt = time.perf_counter() - t0
     assert c == c, "NaN checksum"
-    return B * DEVICE_ITERS / dt
+    return B * UNROLL * DEVICE_ITERS / dt
 
 
 def bench_reference_cpu(images) -> float:

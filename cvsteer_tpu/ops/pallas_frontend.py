@@ -161,25 +161,240 @@ def filter_bank_pallas(image: jax.Array, xtaps, ytaps) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Fully fused G2 pipeline kernel: image -> (edges, dark, bright[, extras])
+# Fully fused G2 pipeline: image -> (edges, dark, bright).
+#
+# One unified row-tiled kernel for all image sizes (VERDICT r1 item 9): bands
+# of tile_h rows (+ conv overlap) are double-buffered HBM->VMEM; the row pass
+# runs on the VPU with tap-deduplicated symmetry-folded slices and emits
+# bf16 hi/lo halves straight from its register-resident accumulators; the
+# column pass is three plain bf16 MXU matmuls against prebaked hi/lo banded
+# matrices (the bf16x3 scheme, ~2e-3 worst-case relative on the output maps
+# vs the fp32 XLA path — the fp32-exact basis path filter_bank_pallas keeps
+# Precision.HIGHEST); REFLECT_101 row handling is baked into per-tile-class
+# column matrices so no row padding is ever materialized in HBM.
 # ---------------------------------------------------------------------------
 
+# Mosaic's scoped-vmem live set for the fused kernel is ~32 fp32 buffers of
+# the band (measured round 1: 34 MB at 520x520 whole-tile); stay well inside
+# the 16 MB VMEM.
+_FUSED_LIVE_BUFFERS = 32
 
-def _g2_maps_kernel(img_ref, edges_ref, dark_ref, bright_ref, *, xtaps, ytaps, h, w):
-    padded = img_ref[0]
-    g2a, g2b, g2c, h2a, h2b, h2c, h2d = _row_col_bank(padded, xtaps, ytaps, h, w)
 
-    # Oriented-energy Fourier coefficients (SteerableFiltersG2.cpp:93-95).
-    g2aa, g2cc, g2bb = g2a * g2a, g2c * g2c, g2b * g2b
-    h2aa, h2bb, h2cc, h2dd = h2a * h2a, h2b * h2b, h2c * h2c, h2d * h2d
-    h2ac, h2bd = h2a * h2c, h2b * h2d
-    c2 = 0.5 * (g2aa - g2cc) + 0.46875 * (h2aa - h2dd) + 0.28125 * (h2bb - h2cc) + 0.1875 * (h2ac - h2bd)
+def _dedup_xtaps(xtaps: np.ndarray):
+    """Group filters whose x-tap vectors are proportional.
+
+    Returns (reps, slot_rep, slot_scale): ``reps`` are filter indices whose
+    row convolution actually runs; slot k reuses reps[slot_rep[k]] scaled by
+    slot_scale[k], folded into the column matrices at build time (zero kernel
+    ops). For G2/H2, G22 == H22 and G23 = sqrt(1.8430) * H23
+    (cvsteer/SteerableFiltersG2.cpp:35-42), so only 5 of 7 row convs run.
+    """
+    reps, slot_rep, slot_scale = [], [], []
+    for k in range(xtaps.shape[0]):
+        hit = None
+        for ri, rk in enumerate(reps):
+            a = xtaps[rk].astype(np.float64)
+            b = xtaps[k].astype(np.float64)
+            s = float(np.dot(a, b) / np.dot(a, a))
+            if np.max(np.abs(b - s * a)) <= 1e-6 * max(1.0, float(np.max(np.abs(b)))):
+                hit = (ri, s)
+                break
+        if hit is None:
+            reps.append(k)
+            hit = (len(reps) - 1, 1.0)
+        slot_rep.append(hit[0])
+        slot_scale.append(hit[1])
+    return reps, slot_rep, slot_scale
+
+
+def _shifted_slices(padded, T: int, wo: int):
+    """The T lane-shifted band views sl[u][:, c] = padded[:, c + u].
+
+    On real TPU these are pltpu.roll + an aligned slice — a dedicated lane
+    rotate, measured ~2x faster end-to-end than unaligned slicing (which
+    Mosaic materializes with expensive shuffles). padded is wide enough
+    (wp >= wo + T - 1) that the roll wrap-around never reaches a valid
+    output column. Interpreter mode (CPU tests) keeps plain slices.
+    """
+    if _interpret():
+        return [padded[:, u : u + wo] for u in range(T)]
+    W = padded.shape[-1]
+    out = []
+    for u in range(T):
+        if u == 0:
+            out.append(padded[:, :wo])
+        else:
+            out.append(pltpu.roll(padded, W - u, 1)[:, :wo])
+    return out
+
+
+def _row_pass_split(padded, xtaps: np.ndarray, wo: int, reps, slot_rep):
+    """Dedup'd symmetry-folded row pass emitting bf16 (hi, lo) stacks.
+
+    The hi/lo split happens on the register-resident accumulators, so the
+    column matmuls below get pre-split operands and Mosaic never runs its
+    own (expensive) HIGHEST-precision operand splitting passes.
+    """
+    K, T = xtaps.shape
+    r = (T - 1) // 2
+    xsl = _shifted_slices(padded, T, wo)
+    center = xsl[r]
+    sums = [xsl[r + u] + xsl[r - u] for u in range(1, r + 1)]
+    diffs = [xsl[r + u] - xsl[r - u] for u in range(1, r + 1)]
+    rep_hi, rep_lo = [], []
+    for rk in reps:
+        taps = xtaps[rk]
+        even = bool(np.allclose(taps[::-1], taps, atol=1e-7))
+        odd = bool(np.allclose(taps[::-1], -taps, atol=1e-7))
+        if even:
+            acc = center * float(taps[r])
+            for u in range(1, r + 1):
+                acc = acc + sums[u - 1] * float(taps[r + u])
+        elif odd:
+            acc = diffs[0] * float(taps[r + 1])
+            for u in range(2, r + 1):
+                acc = acc + diffs[u - 1] * float(taps[r + u])
+        else:  # generic fallback (custom non-symmetric taps)
+            acc = xsl[0] * float(taps[0])
+            for u in range(1, T):
+                acc = acc + xsl[u] * float(taps[u])
+        hi = acc.astype(jnp.bfloat16)
+        rep_lo.append((acc - hi.astype(jnp.float32)).astype(jnp.bfloat16))
+        rep_hi.append(hi)
+    rows_hi = jnp.stack([rep_hi[slot_rep[k]] for k in range(K)])
+    rows_lo = jnp.stack([rep_lo[slot_rep[k]] for k in range(K)])
+    return rows_hi, rows_lo
+
+
+# Sublane alignment for Mosaic DMA row starts: every band start must be a
+# multiple of 8, so bands carry an 8-row margin each side instead of r.
+_ROW_ALIGN = 8
+
+
+def _col_mats_reflect(
+    ytaps: np.ndarray, scales, tile_h: int, h: int, h8: int, num_tiles: int
+) -> np.ndarray:
+    """[3, K, tile_h, band_h] banded column-conv matrices, REFLECT_101 rows.
+
+    band_h = tile_h + 16; every band's DMA start row is a multiple of 8
+    (first: 0, interior: t*tile_h - 8, last: h8 - band_h with h8 = h rounded
+    up to 8). Tile classes: 0 = first (top reflection baked in), 1 =
+    interior (never touches a boundary: the gap between (T-1)*tile_h and h8
+    is a positive multiple of 8), 2 = last (bottom reflection about the true
+    h; output rows >= h and DMA'd alignment rows >= h are never referenced).
+    The x-tap dedup scales are folded into each filter's rows here.
+    """
+    K, T = ytaps.shape
+    r = (T - 1) // 2
+    assert r <= _ROW_ALIGN
+    a = _ROW_ALIGN
+    band_h = tile_h + 2 * a
+    C = np.zeros((3, K, tile_h, band_h), np.float32)
+
+    def fill(slot, t, s):
+        for k in range(K):
+            yt = ytaps[k].astype(np.float64) * float(scales[k])
+            for i in range(tile_h):
+                o = t * tile_h + i
+                if o >= h:
+                    continue  # alignment padding row: stays zero
+                for v in range(-r, r + 1):
+                    g = o + v
+                    if g < 0:
+                        g = -g
+                    elif g >= h:
+                        g = 2 * (h - 1) - g
+                    b = g - s
+                    assert 0 <= b < band_h, (slot, t, i, v, b)
+                    C[slot, k, i, b] += yt[v + r]
+
+    fill(0, 0, 0)
+    if num_tiles > 2:
+        for k in range(K):
+            yt = ytaps[k].astype(np.float64) * float(scales[k])
+            for i in range(tile_h):
+                for v in range(-r, r + 1):
+                    C[1, k, i, i + v + a] += yt[v + r]
+    fill(2, num_tiles - 1, h8 - band_h)
+    return C
+
+
+def _g2_maps_tiled_kernel(
+    img_hbm, chi_ref, clo_ref, edges_ref, dark_ref, bright_ref, band, sems,
+    *, xtaps, tile_h, wo, num_tiles, reps, slot_rep, s_last,
+):
+    """Grid (N, T): band DMA of image rows (8-aligned window, REFLECT_101 via
+    the column matrices), double-buffered across grid steps, then the fused
+    front-end math on the VMEM band. See the section comment above."""
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    band_h = tile_h + 2 * _ROW_ALIGN
+
+    def start_row(tt):
+        s = jnp.where(tt == 0, 0, tt * tile_h - _ROW_ALIGN)
+        s = jnp.where(tt == num_tiles - 1, s_last, s)
+        return pl.multiple_of(s, _ROW_ALIGN)
+
+    def band_dma(slot, nn, tt):
+        return pltpu.make_async_copy(
+            img_hbm.at[nn, pl.ds(start_row(tt), band_h), :],
+            band.at[slot],
+            sems.at[slot],
+        )
+
+    # Slots follow the GLOBAL step index so they stay consistent across the
+    # image boundary (a per-image t%2 would collide with the cross-image
+    # prefetch when num_tiles is odd, and double-start the first band).
+    step = n * num_tiles + t
+    slot = lax.rem(step, 2)
+    next_slot = lax.rem(step + 1, 2)
+
+    # Warm-up: only the very first grid step issues its own DMA; every other
+    # band was prefetched by the previous step.
+    @pl.when(step == 0)
+    def _():
+        band_dma(slot, 0, 0).start()
+
+    # Prefetch the next band (next tile, or first tile of the next image).
+    last_tile = t == num_tiles - 1
+
+    @pl.when(jnp.logical_not(last_tile))
+    def _():
+        band_dma(next_slot, n, t + 1).start()
+
+    @pl.when(last_tile & (n + 1 < pl.num_programs(0)))
+    def _():
+        band_dma(next_slot, n + 1, 0).start()
+
+    band_dma(slot, n, t).wait()
+
+    padded = band[slot]  # [band_h, wp]
+    rows_hi, rows_lo = _row_pass_split(padded, xtaps, wo, reps, slot_rep)
+
+    cls = jnp.where(t == 0, 0, jnp.where(t == num_tiles - 1, 2, 1))
+    chi = chi_ref[cls]  # [K, tile_h, band_h] bf16
+    clo = clo_ref[cls]
+
+    dn = (((2,), (1,)), ((0,), (0,)))
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    # bf16x3: C*R = (Chi + Clo)(Rhi + Rlo) minus the negligible Clo*Rlo term
+    basis = dot(chi, rows_hi) + dot(chi, rows_lo) + dot(clo, rows_hi)
+    g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[k] for k in range(xtaps.shape[0])]
+
+    c2 = (
+        0.5 * (g2a * g2a - g2c * g2c)
+        + 0.46875 * (h2a * h2a - h2d * h2d)
+        + 0.28125 * (h2b * h2b - h2c * h2c)
+        + 0.1875 * (h2a * h2c - h2b * h2d)
+    )
     c3 = (
         -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
         - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
     )
 
-    # Half-angle steering weights without atan2: theta = arctan2(c3, c2)/2.
     rho = jnp.sqrt(c2 * c2 + c3 * c3)
     inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
     # rho==0 must steer to theta=0 (arctan2(0,0)=0 on the XLA path), not pi/4.
@@ -195,17 +410,45 @@ def _g2_maps_kernel(img_ref, edges_ref, dark_ref, bright_ref, *, xtaps, ytaps, h
 
     mag2 = g2v * g2v + h2v * h2v
     inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
-
-    # Algebraic phase-selective maps (see module docstring).
     edges_ref[0] = (h2v * h2v) * inv_mag
     g2sq_over_mag = (g2v * g2v) * inv_mag
     dark_ref[0] = jnp.where(g2v > 0.0, g2sq_over_mag, 0.0)
     bright_ref[0] = jnp.where(g2v < 0.0, g2sq_over_mag, 0.0)
 
 
-# Mosaic's scoped-vmem live set for the fused kernel is ~32 fp32 buffers of
-# the padded tile (measured: 34 MB at 520x520); stay well inside 16 MB.
-_FUSED_LIVE_BUFFERS = 32
+def _g2_maps_reference_xla(image, xtaps, ytaps):
+    """fp32 XLA fallback for shapes the banded kernel cannot tile (tiny
+    images): the same maps algebra over filter_bank_xla basis responses."""
+    from cvsteer_tpu.ops.sepconv import filter_bank_xla
+
+    basis = filter_bank_xla(image, xtaps, ytaps)
+    g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[..., k, :, :] for k in range(7)]
+    c2 = (
+        0.5 * (g2a * g2a - g2c * g2c)
+        + 0.46875 * (h2a * h2a - h2d * h2d)
+        + 0.28125 * (h2b * h2b - h2c * h2c)
+        + 0.1875 * (h2a * h2c - h2b * h2d)
+    )
+    c3 = (
+        -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
+        - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
+    )
+    rho = jnp.sqrt(c2 * c2 + c3 * c3)
+    inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
+    cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
+    ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
+    st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
+    st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
+    ct2, st2 = ct * ct, st * st
+    g2v = ct2 * g2a - 2.0 * ct * st * g2b + st2 * g2c
+    h2v = ct * ct2 * h2a - 3.0 * ct2 * st * h2b + 3.0 * ct * st2 * h2c - st * st2 * h2d
+    mag2 = g2v * g2v + h2v * h2v
+    inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
+    edges = (h2v * h2v) * inv_mag
+    g2sq = (g2v * g2v) * inv_mag
+    dark = jnp.where(g2v > 0.0, g2sq, 0.0)
+    bright = jnp.where(g2v < 0.0, g2sq, 0.0)
+    return edges, dark, bright
 
 
 def g2_maps_pallas(
@@ -213,48 +456,10 @@ def g2_maps_pallas(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused front-end: image [..., H, W] -> (edges, lines_dark, lines_bright).
 
-    One HBM read of the image, three map writes; everything else VMEM/VPU.
-    Dispatches to the row-tiled double-buffered kernel when the whole padded
-    tile would not fit VMEM.
-    """
-    xtaps = np.asarray(xtaps, np.float32)
-    ytaps = np.asarray(ytaps, np.float32)
-    K, T = xtaps.shape
-    r = (T - 1) // 2
-    *batch, h, w = image.shape
-
-    ho, wo = _round_up(h, 8), _round_up(w, 128)
-    if 4 * (ho + 2 * r) * (wo + 2 * r) * _FUSED_LIVE_BUFFERS > _VMEM_BUDGET:
-        return g2_maps_tiled_pallas(image, xtaps, ytaps)
-    hi, wi = ho + 2 * r, wo + 2 * r
-    img = _pad_for_kernel(image.reshape((-1, h, w)), r, ho, wo)
-    n = img.shape[0]
-
-    kernel = functools.partial(_g2_maps_kernel, xtaps=xtaps, ytaps=ytaps, h=ho, w=wo)
-    spec = pl.BlockSpec((1, ho, wo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)
-    edges, dark, bright = pl.pallas_call(
-        kernel,
-        grid=(n,),
-        in_specs=[pl.BlockSpec((1, hi, wi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=(spec, spec, spec),
-        out_shape=(shape, shape, shape),
-        cost_estimate=pl.CostEstimate(
-            flops=n * ho * wo * (4 * K * T + 60),
-            bytes_accessed=n * (hi * wi + 3 * ho * wo) * 4,
-            transcendentals=n * ho * wo * 3,
-        ),
-        interpret=_interpret(),
-    )(img)
-    crop = lambda x: x[:, :h, :w].reshape(tuple(batch) + (h, w))
-    return crop(edges), crop(dark), crop(bright)
-
-
-# ---------------------------------------------------------------------------
-# Row-tiled fused G2 pipeline: double-buffered HBM->VMEM band DMA.
-# Scales to arbitrary image sizes; the whole-tile kernel above is the
-# small-image special case.
-# ---------------------------------------------------------------------------
+    One HBM read of the image, three map writes; everything else VMEM-
+    resident. Alias for the unified row-tiled kernel (the former whole-tile
+    variant was removed in round 2 — one formulation, one tile policy)."""
+    return g2_maps_tiled_pallas(image, xtaps, ytaps)
 
 
 def _row_pass_symmetric(padded, xtaps: np.ndarray, wo: int):
@@ -266,7 +471,7 @@ def _row_pass_symmetric(padded, xtaps: np.ndarray, wo: int):
     Returns a list of K [band_h, wo] row-response arrays."""
     K, T = xtaps.shape
     r = (T - 1) // 2
-    xsl = [padded[:, u : u + wo] for u in range(T)]
+    xsl = _shifted_slices(padded, T, wo)
     center = xsl[r]
     sums = [xsl[r + u] + xsl[r - u] for u in range(1, r + 1)]
     diffs = [xsl[r + u] - xsl[r - u] for u in range(1, r + 1)]
@@ -307,99 +512,7 @@ def _col_conv_matrix(ytaps: np.ndarray, tile_h: int, band_h: int) -> np.ndarray:
     return C
 
 
-def _g2_maps_tiled_kernel(
-    img_hbm, colmat_ref, edges_ref, dark_ref, bright_ref, band, sems,
-    *, xtaps, ytaps, tile_h, wp, wo, num_tiles,
-):
-    """Grid (N, T): band DMA of rows [t*tile_h, t*tile_h + tile_h + 2r) of
-    image n, double-buffered across grid steps, then the fused front-end math
-    on the VMEM band. Row pass on the VPU with the T shifted slices hoisted
-    and shared across the K filters; column pass as one batched banded
-    matmul on the MXU; steering/phase algebra fused on the VPU."""
-    n = pl.program_id(0)
-    t = pl.program_id(1)
-    r = (xtaps.shape[1] - 1) // 2
-    band_h = tile_h + 2 * r
-
-    def band_dma(slot, nn, tt):
-        return pltpu.make_async_copy(
-            img_hbm.at[nn, pl.ds(tt * tile_h, band_h), :],
-            band.at[slot],
-            sems.at[slot],
-        )
-
-    # Slots follow the GLOBAL step index so they stay consistent across the
-    # image boundary (a per-image t%2 would collide with the cross-image
-    # prefetch when num_tiles is odd, and double-start the first band).
-    step = n * num_tiles + t
-    slot = lax.rem(step, 2)
-    next_slot = lax.rem(step + 1, 2)
-
-    # Warm-up: only the very first grid step issues its own DMA; every other
-    # band was prefetched by the previous step.
-    @pl.when(step == 0)
-    def _():
-        band_dma(slot, 0, 0).start()
-
-    # Prefetch the next band (next tile, or first tile of the next image).
-    last_tile = t == num_tiles - 1
-
-    @pl.when(jnp.logical_not(last_tile))
-    def _():
-        band_dma(next_slot, n, t + 1).start()
-
-    @pl.when(last_tile & (n + 1 < pl.num_programs(0)))
-    def _():
-        band_dma(next_slot, n + 1, 0).start()
-
-    band_dma(slot, n, t).wait()
-
-    padded = band[slot]  # [band_h, wp]
-    # Row pass: symmetry-folded shared slices (see _row_pass_symmetric).
-    rows_st = jnp.stack(_row_pass_symmetric(padded, xtaps, wo))  # [K, band_h, wo]
-    # Column pass: batched banded matmul on the MXU (fp32 via HIGHEST).
-    basis = jax.lax.dot_general(
-        colmat_ref[:],
-        rows_st,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [K, tile_h, wo]
-    g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[k] for k in range(xtaps.shape[0])]
-
-    c2 = (
-        0.5 * (g2a * g2a - g2c * g2c)
-        + 0.46875 * (h2a * h2a - h2d * h2d)
-        + 0.28125 * (h2b * h2b - h2c * h2c)
-        + 0.1875 * (h2a * h2c - h2b * h2d)
-    )
-    c3 = (
-        -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
-        - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
-    )
-
-    rho = jnp.sqrt(c2 * c2 + c3 * c3)
-    inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
-    # rho==0 must steer to theta=0 (arctan2(0,0)=0 on the XLA path), not pi/4.
-    cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
-    ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
-    st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
-    st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
-
-    ct2, st2 = ct * ct, st * st
-    ct3, st3 = ct2 * ct, st2 * st
-    g2v = ct2 * g2a - 2.0 * ct * st * g2b + st2 * g2c
-    h2v = ct3 * h2a - 3.0 * ct2 * st * h2b + 3.0 * ct * st2 * h2c - st3 * h2d
-
-    mag2 = g2v * g2v + h2v * h2v
-    inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
-    edges_ref[0] = (h2v * h2v) * inv_mag
-    g2sq_over_mag = (g2v * g2v) * inv_mag
-    dark_ref[0] = jnp.where(g2v > 0.0, g2sq_over_mag, 0.0)
-    bright_ref[0] = jnp.where(g2v < 0.0, g2sq_over_mag, 0.0)
-
-
-DEFAULT_TILE_H = 128
+DEFAULT_TILE_H = 64
 
 
 def g2_maps_tiled_pallas(
@@ -407,7 +520,9 @@ def g2_maps_tiled_pallas(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Row-tiled fused front-end for images of any size.
 
-    The image stays in HBM; bands of ``tile_h`` rows (+ 2*radius overlap) are
+    The image stays in HBM unpadded in the row direction (REFLECT_101 rows
+    are baked into the per-tile-class column matrices; only a width pad is
+    materialized); bands of ``tile_h`` rows (+ 2*radius overlap) are
     double-buffered into VMEM and the whole pipeline (bank conv -> energy ->
     half-angle steering -> phase-selective maps) runs per band.
     """
@@ -422,28 +537,45 @@ def g2_maps_tiled_pallas(
     wo_est = _round_up(w, 128)
     max_tile = _VMEM_BUDGET // (4 * wo_est * _FUSED_LIVE_BUFFERS)
     tile_h = max(8, min(tile_h, (max_tile // 8) * 8))
+    # The 8-aligned DMA window needs band_h = tile_h + 16 <= h8.
+    h8 = _round_up(h, _ROW_ALIGN)
+    tile_h = min(tile_h, ((h8 - 2 * _ROW_ALIGN) // 8) * 8 if h8 > 2 * _ROW_ALIGN else 0)
+    if tile_h < 8 or r > _ROW_ALIGN:
+        return _g2_maps_reference_xla(image.astype(jnp.float32), xtaps, ytaps)
 
-    tile_h = min(tile_h, _round_up(h, 8))
-    ho, wo = _round_up(h, tile_h), _round_up(w, 128)
+    wo = _round_up(w, 128)
+    num_tiles = -(-h // tile_h)  # ceil: output rows >= h, cropped below
+    ho = num_tiles * tile_h
+    band_h = tile_h + 2 * _ROW_ALIGN
     # Mosaic DMA slices must be lane-aligned: round the padded width to 128.
-    hp, wp = ho + 2 * r, _round_up(wo + 2 * r, 128)
-    img = _pad_for_kernel(image.reshape((-1, h, w)), r, ho, wo, wp=wp)
+    wp = _round_up(wo + 2 * r, 128)
+
+    # Width pad: reflect r columns each side, zero-fill to wp lanes; rows are
+    # zero-filled to a multiple of 8 only when h is not already one (the
+    # alignment rows are never referenced by the column matrices).
+    img = image.reshape((-1, h, w)).astype(jnp.float32)
+    img = jnp.pad(img, [(0, 0), (0, 0), (r, r)], mode="reflect")
+    img = jnp.pad(img, [(0, 0), (0, h8 - h), (0, wp - (w + 2 * r))])
     n = img.shape[0]
-    num_tiles = ho // tile_h
-    band_h = tile_h + 2 * r
+
+    reps, slot_rep, slot_scale = _dedup_xtaps(xtaps)
+    cmats = _col_mats_reflect(ytaps, slot_scale, tile_h, h, h8, num_tiles)
+    chi = cmats.astype(jnp.bfloat16)
+    clo = (cmats - np.asarray(chi, np.float32)).astype(jnp.bfloat16)
 
     kernel = functools.partial(
         _g2_maps_tiled_kernel,
-        xtaps=xtaps, ytaps=ytaps, tile_h=tile_h, wp=wp, wo=wo, num_tiles=num_tiles,
+        xtaps=xtaps, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
+        reps=reps, slot_rep=slot_rep, s_last=h8 - band_h,
     )
-    colmat = jnp.asarray(_col_conv_matrix(ytaps, tile_h, band_h))
     spec = pl.BlockSpec((1, tile_h, wo), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)
     edges, dark, bright = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(spec, spec, spec),
@@ -454,11 +586,11 @@ def g2_maps_tiled_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=n * ho * wo * (4 * K * T + 60),
-            bytes_accessed=n * (hp * wp + 3 * ho * wo) * 4,
+            bytes_accessed=n * (h * wp + 3 * ho * wo) * 4,
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(img, colmat)
+    )(img, jnp.asarray(chi), jnp.asarray(clo))
     crop = lambda x: x[:, :h, :w].reshape(tuple(batch) + (h, w))
     return crop(edges), crop(dark), crop(bright)
 
@@ -576,7 +708,7 @@ def bank_tiled_pallas(
         kernel,
         grid=(n, num_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
