@@ -143,6 +143,76 @@ def bench_reference_cpu(images) -> float:
     return B * iters / dt
 
 
+def bench_features() -> float:
+    """Feature-extraction frames/s (BASELINE config 2): batched pyramid ->
+    G2 maps -> NMS keypoints -> phase descriptors, one jit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvsteer_tpu.features.frontend import FrontendConfig, extract_features
+
+    FB, FH, FW = 8, 480, 640
+    cfg = FrontendConfig()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 255, (FB, FH, FW)).astype("float32"))
+
+    @jax.jit
+    def step(x, carry):
+        f = extract_features(x + carry * 1e-6, cfg=cfg)
+        return carry + jnp.sum(f.score) * 1e-9
+
+    c = jnp.float32(0.0)
+    float(step(x, c))
+    iters = 8
+    t0 = time.perf_counter()
+    c = jnp.float32(0.0)
+    for _ in range(iters):
+        c = step(x, c)
+    float(c)
+    return FB * iters / (time.perf_counter() - t0)
+
+
+def bench_ba() -> float:
+    """Windowed Schur-BA LM iterations/s (BASELINE config 4) on a synthetic
+    C=8-camera, L=1024-landmark window."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust
+
+    C, L, ITERS_PER_CALL, CALLS = 8, 1024, 50, 4
+    rng = np.random.default_rng(3)
+    X = rng.uniform([-4, -3, 4], [4, 3, 12], (L, 3)).astype(np.float32)
+    Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (C, 3, 3)).copy()
+    ts = np.zeros((C, 3), np.float32)
+    ts[:, 0] = np.linspace(0, 1.5, C)
+    p = np.einsum("cij,lj->cli", Rs, X) + ts[:, None, :]
+    uv = (p[..., :2] / p[..., 2:3]).astype(np.float32)
+    uv += rng.normal(0, 1e-3, uv.shape).astype(np.float32)
+    mask = np.ones((C, L), bool)
+    fixed = np.zeros(C, bool)
+    fixed[:2] = True
+    problem = BAProblem(jnp.asarray(uv), jnp.asarray(mask), jnp.asarray(fixed), 4e-3)
+    # perturb the state so the optimizer has real work every iteration
+    state0 = BAState(
+        R=jnp.asarray(Rs),
+        t=jnp.asarray(ts + rng.normal(0, 0.02, ts.shape).astype(np.float32)),
+        X=jnp.asarray(X + rng.normal(0, 0.05, X.shape).astype(np.float32)),
+    )
+
+    run = jax.jit(lambda st: bundle_adjust(st, problem, iterations=ITERS_PER_CALL))
+    final, stats = run(state0)
+    float(stats.cost)  # compile + warm
+    t0 = time.perf_counter()
+    st = state0
+    for _ in range(CALLS):
+        st, stats = run(st)  # chained: each call resumes from the last state
+    float(stats.cost)
+    return ITERS_PER_CALL * CALLS / (time.perf_counter() - t0)
+
+
 def main() -> int:
     images = _images()
     value = bench_device(images)
@@ -152,6 +222,15 @@ def main() -> int:
     except Exception as e:  # cv2 missing or failed: report raw throughput only
         print(f"baseline failed: {e}", file=sys.stderr)
         vs = 0.0
+    extra = {}
+    for name, fn in [
+        ("feature_frames_per_s_480x640", bench_features),
+        ("ba_iters_per_s_c8_l1024", bench_ba),
+    ]:
+        try:
+            extra[name] = round(fn(), 2)
+        except Exception as e:
+            print(f"{name} failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -159,6 +238,7 @@ def main() -> int:
                 "value": round(value, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(vs, 3),
+                "extra": extra,
             }
         )
     )

@@ -62,26 +62,46 @@ class Features(NamedTuple):
     valid: jax.Array
 
 
-def _extract_single(image: jax.Array, bank: fg2.G2Bank, cfg: FrontendConfig) -> Features:
-    levels = gaussian_pyramid(image, cfg.levels)
+def extract_features(
+    images: jax.Array,
+    bank: Optional[fg2.G2Bank] = None,
+    cfg: FrontendConfig = FrontendConfig(),
+) -> Features:
+    """Features of ``images [H, W]`` or ``[B, H, W]``.
+
+    The batch flows natively through the pyramid and the (Pallas) basis
+    bank — batching there is a reshape into the kernel grid, not a vmap, so
+    the fused TPU kernels keep their hand-written layout. Only the
+    per-image keypoint selection and descriptor sampling (pure XLA top-k /
+    gather work) are vmapped.
+    """
+    if bank is None:
+        bank = fg2.g2_bank()
+    single = images.ndim == 2
+    imgs = images[None] if single else images
+    levels = gaussian_pyramid(imgs, cfg.levels)
     parts = []
-    for lvl, img in enumerate(levels):
-        basis = fg2.g2_basis(img, bank)
+    for lvl, lv_imgs in enumerate(levels):
+        basis = fg2.g2_basis(lv_imgs, bank)  # [B, K, H, W]
         c1, c2, c3 = fg2.energy_coefficients(basis)
         theta, strength = fg2.dominant_orientation(c2, c3)
         score_map = (
             fg2.corner_strength(c1, c2, c3) if cfg.score == "corner" else strength
         )
-        kp = detect_keypoints(
-            score_map,
-            theta,
-            max_keypoints=cfg.keypoints_per_level,
-            nms_radius=cfg.nms_radius,
-            threshold=cfg.threshold,
-        )
-        desc = phase_descriptors(
-            basis, kp, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
-        )
+        kp = jax.vmap(
+            lambda s, th: detect_keypoints(
+                s,
+                th,
+                max_keypoints=cfg.keypoints_per_level,
+                nms_radius=cfg.nms_radius,
+                threshold=cfg.threshold,
+            )
+        )(score_map, theta)
+        desc = jax.vmap(
+            lambda b, k: phase_descriptors(
+                b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
+            )
+        )(basis, kp)
         scale = float(2**lvl)
         parts.append(
             Features(
@@ -93,17 +113,7 @@ def _extract_single(image: jax.Array, bank: fg2.G2Bank, cfg: FrontendConfig) -> 
                 valid=kp.valid,
             )
         )
-    return Features(*(jnp.concatenate(xs, axis=0) for xs in zip(*parts)))
-
-
-def extract_features(
-    images: jax.Array,
-    bank: Optional[fg2.G2Bank] = None,
-    cfg: FrontendConfig = FrontendConfig(),
-) -> Features:
-    """Features of ``images [H, W]`` or ``[B, H, W]`` (vmapped over B)."""
-    if bank is None:
-        bank = fg2.g2_bank()
-    if images.ndim == 2:
-        return _extract_single(images, bank, cfg)
-    return jax.vmap(lambda im: _extract_single(im, bank, cfg))(images)
+    feats = Features(*(jnp.concatenate(xs, axis=1) for xs in zip(*parts)))
+    if single:
+        feats = jax.tree.map(lambda x: x[0], feats)
+    return feats

@@ -14,6 +14,7 @@ two-view initialization baseline (||t|| = 1), as is standard for monocular.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -22,7 +23,7 @@ import numpy as np
 
 from cvsteer_tpu.features.frontend import Features, FrontendConfig, extract_features
 from cvsteer_tpu.features.matching import match_descriptors
-from cvsteer_tpu.geometry.camera import Intrinsics, normalize_pixels
+from cvsteer_tpu.geometry.camera import Intrinsics
 from cvsteer_tpu.geometry.epipolar import ransac_essential
 from cvsteer_tpu.geometry.pose import recover_pose, triangulate
 from cvsteer_tpu.slam import se3
@@ -90,15 +91,44 @@ def init_vo(config: VOConfig = VOConfig()) -> VOState:
     return state
 
 
+# Compile-once device steps (VERDICT r1 item 2): every per-frame jax call in
+# the VO loop goes through a cached jit with static shapes, so after warmup a
+# run performs zero recompiles and a bounded number of device dispatches per
+# frame.
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def _match_jit(desc_a, valid_a, desc_b, valid_b, ratio):
+    m = match_descriptors(desc_a, valid_a, desc_b, valid_b, ratio=ratio)
+    return m.index, m.valid
+
+
+_refine_pose_jit = jax.jit(
+    refine_pose, static_argnames=("iterations", "huber_delta", "lam0")
+)
+
+_bundle_adjust_jit = jax.jit(
+    bundle_adjust, static_argnames=("iterations", "axis_name")
+)
+
+_triangulate_jit = jax.jit(triangulate)
+
+
 def _match(state: VOState, fa: Features, fb: Features):
-    m = match_descriptors(
+    idx, valid = _match_jit(
         fa.desc, fa.valid, fb.desc, fb.valid, ratio=state.config.match_ratio
     )
-    return np.asarray(m.index), np.asarray(m.valid)
+    return np.asarray(idx), np.asarray(valid)
 
 
 def _norm_pts(state: VOState, feats: Features) -> np.ndarray:
-    return np.asarray(normalize_pixels(feats.yx, state.config.intrinsics))
+    """Normalized pixels, computed host-side (tiny array; avoids a device
+    round-trip per frame)."""
+    K = state.config.intrinsics
+    yx = np.asarray(feats.yx, np.float32)
+    x = (yx[..., 1] - K.cx) / K.fx
+    y = (yx[..., 0] - K.cy) / K.fy
+    return np.stack([x, y], -1)
 
 
 def _try_initialize(state: VOState, feats: Features) -> bool:
@@ -200,7 +230,7 @@ def _track(state: VOState, feats: Features):
     uv[sel] = uv_all[np.maximum(idx, 0)[sel]]
 
     def _refine(R_init, t_init):
-        R, t, inl = refine_pose(
+        R, t, inl = _refine_pose_jit(
             jnp.asarray(X),
             jnp.asarray(uv),
             jnp.asarray(sel),
@@ -241,7 +271,7 @@ def _track_against(state: VOState, feats: Features, kf: Keyframe):
     uv_all = _norm_pts(state, feats)
     uv = np.zeros((n, 2), np.float32)
     uv[sel] = uv_all[np.maximum(idx, 0)[sel]]
-    R, t, inl = refine_pose(
+    R, t, inl = _refine_pose_jit(
         jnp.asarray(X), jnp.asarray(uv), jnp.asarray(sel),
         jnp.asarray(kf.R), jnp.asarray(kf.t),
         iterations=12, huber_delta=state.config.huber_delta,
@@ -290,18 +320,21 @@ def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid, ref_kf=None
     inherit = valid & prev_has
     lm_ids[np.maximum(idx, 0)[inherit]] = kf_prev.landmark_ids[inherit]
 
-    # triangulate brand-new correspondences
+    # triangulate brand-new correspondences (static [N] shape: all feature
+    # slots go to the device, the fresh subset is selected host-side after)
     fresh = valid & ~prev_has
     if fresh.sum() >= 8 and state.num_landmarks < state.config.max_landmarks:
-        x_prev = _norm_pts(state, kf_prev.features)[fresh]
-        x_new = _norm_pts(state, feats)[np.maximum(idx, 0)[fresh]]
+        x_prev_all = _norm_pts(state, kf_prev.features)
+        x_new_all = _norm_pts(state, feats)[np.maximum(idx, 0)]
         P1 = jnp.asarray(
             np.concatenate([kf_prev.R, kf_prev.t[:, None]], 1), jnp.float32
         )
         P2 = jnp.asarray(np.concatenate([R, t[:, None]], 1), jnp.float32)
-        Xw = np.asarray(
-            triangulate(P1, P2, jnp.asarray(x_prev), jnp.asarray(x_new))
+        Xw_all = np.asarray(
+            _triangulate_jit(P1, P2, jnp.asarray(x_prev_all), jnp.asarray(x_new_all))
         )
+        fresh_idx = np.nonzero(fresh)[0]
+        Xw = Xw_all[fresh_idx]
         # cheirality + depth sanity in both views
         z1 = (Xw @ kf_prev.R.T + kf_prev.t)[:, 2]
         z2 = (Xw @ np.asarray(R).T + np.asarray(t))[:, 2]
@@ -321,8 +354,20 @@ def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid, ref_kf=None
     _windowed_ba(state)
 
 
+# Landmark-count buckets for the windowed BA: L is padded up to one of these
+# so jit compiles at most len(_BA_L_BUCKETS) x 1 window-shape variants over a
+# whole run (VERDICT r1 item 2: zero recompiles after warmup).
+_BA_L_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+
+
 def _windowed_ba(state: VOState):
-    """Dense masked BA over the last ``window`` keyframes."""
+    """Dense masked BA over the last ``window`` keyframes, static shapes.
+
+    Cameras are padded to exactly ``cfg.window`` (padding cameras are fixed
+    with no observations); landmarks are padded to a size bucket. The grid
+    assembly is vectorized (searchsorted scatter), no Python-per-observation
+    loop.
+    """
     cfg = state.config
     window = state.keyframes[-cfg.window :]
     C = len(window)
@@ -335,26 +380,42 @@ def _windowed_ba(state: VOState):
     )
     if lm_set.size < 8:
         return
-    local_of_global = {g: i for i, g in enumerate(lm_set)}
+
+    max_bucket = _BA_L_BUCKETS[-1]
+    if lm_set.size > max_bucket:
+        # keep the most-observed landmarks (ties: lowest id)
+        counts = np.zeros(lm_set.size, np.int64)
+        for kf in window:
+            ids = kf.landmark_ids[kf.landmark_ids >= 0]
+            counts += np.isin(lm_set, ids)
+        order = np.argsort(-counts, kind="stable")[:max_bucket]
+        lm_set = np.sort(lm_set[order])
     L = lm_set.size
+    Lp = next(b for b in _BA_L_BUCKETS if b >= L)
+    Cp = cfg.window
 
-    uv = np.zeros((C, L, 2), np.float32)
-    mask = np.zeros((C, L), bool)
+    uv = np.zeros((Cp, Lp, 2), np.float32)
+    mask = np.zeros((Cp, Lp), bool)
     for c, kf in enumerate(window):
-        x = np.asarray(normalize_pixels(kf.features.yx, cfg.intrinsics))
+        x = _norm_pts(state, kf.features)
         fvalid = np.asarray(kf.features.valid)
-        for f_idx in np.nonzero(kf.landmark_ids >= 0)[0]:
-            if not fvalid[f_idx]:
-                continue
-            l = local_of_global[kf.landmark_ids[f_idx]]
-            uv[c, l] = x[f_idx]
-            mask[c, l] = True
+        sel = (kf.landmark_ids >= 0) & fvalid & np.isin(kf.landmark_ids, lm_set)
+        loc = np.searchsorted(lm_set, kf.landmark_ids[sel])
+        uv[c, loc] = x[sel]
+        mask[c, loc] = True
 
-    fixed = np.zeros(C, bool)
+    fixed = np.ones(Cp, bool)  # padding cameras held fixed
+    fixed[:C] = False
     fixed[0] = True
-    if C >= 2:
-        # monocular gauge: also freeze the second camera to pin scale
-        fixed[1] = True
+    # monocular gauge: also freeze the second camera to pin scale
+    fixed[1] = True
+
+    R_pad = np.broadcast_to(np.eye(3, dtype=np.float32), (Cp, 3, 3)).copy()
+    t_pad = np.zeros((Cp, 3), np.float32)
+    R_pad[:C] = np.stack([kf.R for kf in window])
+    t_pad[:C] = np.stack([kf.t for kf in window])
+    X_pad = np.zeros((Lp, 3), np.float32)
+    X_pad[:L] = state.landmarks[lm_set]
 
     problem = BAProblem(
         uv=jnp.asarray(uv),
@@ -363,16 +424,14 @@ def _windowed_ba(state: VOState):
         huber_delta=cfg.huber_delta,
     )
     ba_state = BAState(
-        R=jnp.asarray(np.stack([kf.R for kf in window])),
-        t=jnp.asarray(np.stack([kf.t for kf in window])),
-        X=jnp.asarray(state.landmarks[lm_set]),
+        R=jnp.asarray(R_pad), t=jnp.asarray(t_pad), X=jnp.asarray(X_pad)
     )
-    final, _ = bundle_adjust(ba_state, problem, iterations=cfg.ba_iterations)
+    final, _ = _bundle_adjust_jit(ba_state, problem, iterations=cfg.ba_iterations)
 
     Rs, ts, X = np.asarray(final.R), np.asarray(final.t), np.asarray(final.X)
     for c, kf in enumerate(window):
         kf.R, kf.t = Rs[c], ts[c]
-    state.landmarks[lm_set] = X
+    state.landmarks[lm_set] = X[:L]
 
     # Cull landmarks the optimizer could not reconcile: mean reprojection
     # error beyond 3x the Huber width across their window observations.
@@ -469,6 +528,11 @@ def finalize(state: VOState) -> VOState:
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _extract_features_jit(image, cfg: FrontendConfig):
+    return extract_features(image, cfg=cfg)
+
+
 def process_image(state: VOState, image: jax.Array) -> VOState:
-    feats = extract_features(image, cfg=state.config.frontend)
+    feats = _extract_features_jit(image, state.config.frontend)
     return process_frame(state, feats)

@@ -9,6 +9,7 @@ front-end itself is covered by the feature/frontend tests on real images.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -204,3 +205,41 @@ def test_relocalization_after_blackout():
     c_gt = -R_gt.T @ t_gt
     err = np.linalg.norm(c_aligned - c_gt)
     assert err < 0.3, f"center error {err:.3f} m after relocalization"
+
+
+def test_vo_zero_recompiles_after_warmup():
+    """Every per-frame device step compiles once (VERDICT r1 item 2).
+
+    After a warmup run covering tracking, keyframing, and windowed BA (which
+    pads to static camera/landmark-bucket shapes), a further stretch of
+    frames must trigger no new XLA compilations."""
+    import logging
+
+    X, desc = _make_world()
+    rng = np.random.default_rng(7)
+    n_frames = 40
+    cfg = VOConfig(intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30)
+    state = init_vo(cfg)
+
+    compiles = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if msg.startswith("Compiling "):
+                compiles.append(msg)
+
+    handler = Capture(level=logging.WARNING)
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    logger.addHandler(handler)
+    try:
+        with jax.log_compiles():
+            for k in range(n_frames):
+                R, t = _gt_pose(k, n_frames)
+                state = process_frame(state, _render_features(X, desc, R, t, rng))
+                if k == 24:  # warmup boundary: all shapes/buckets seen by now
+                    compiles.clear()
+    finally:
+        logger.removeHandler(handler)
+    assert state.initialized and len(state.keyframes) >= 4
+    assert not compiles, f"recompiles after warmup: {compiles}"
