@@ -64,6 +64,11 @@ def main(argv=None) -> int:
         help="multi-device mesh, e.g. 'data=4,space=2' (-1 infers one axis); "
         "shards the batch over 'data' and image rows over 'space'",
     )
+    ap.add_argument(
+        "--batch", type=int, default=16,
+        help="device batch size: same-shaped images dispatch as soon as this "
+        "many have decoded (decode/compute/write overlap)",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -97,18 +102,6 @@ def main(argv=None) -> int:
             return m._replace()._asdict() | {
                 "edges": edges, "lines_dark": dark, "lines_bright": bright
             }
-
-    # Group same-shaped images into device batches (vmap over batch axis).
-    images, shapes = [], defaultdict(list)
-    for i, fn in enumerate(filenames):
-        img = imread_gray_f32(fn)
-        if img is None:
-            if args.verbose:
-                print(f"skip unreadable: {fn}", file=sys.stderr)
-            images.append(None)
-            continue
-        images.append(img)
-        shapes[img.shape].append(i)
 
     mesh = None
     if args.mesh:
@@ -164,10 +157,24 @@ def main(argv=None) -> int:
             to8 = lambda x: normalize_minmax_u8(x, axes=(-2, -1))
         return to8(edges), to8(dark), to8(bright)
 
+    # Pipelined execution (the TPU-native analog of the reference's
+    # cv::parallel_for_ image loop, example/steer.cpp:169): images decode in
+    # a host thread pool (the native codec releases the GIL), same-shaped
+    # images accumulate into device batches that are dispatched
+    # asynchronously as soon as they fill (jax dispatch returns before the
+    # device finishes), and PNG encoding runs on the pool as results land —
+    # so decode, device compute, and writes genuinely overlap.
+    import concurrent.futures as cf
+
     t0 = time.time()
     n_done = 0
-    for shape, idxs in shapes.items():
-        batch = jnp.stack([jnp.asarray(images[i]) for i in idxs])
+    pending = defaultdict(list)  # shape -> [(file index, image)]
+    inflight = []  # (idxs, shape, device result triple)
+
+    def flush(shape):
+        entries = pending.pop(shape)
+        idxs = [i for i, _ in entries]
+        batch = jnp.stack([jnp.asarray(im) for _, im in entries])
         reason = _mesh_skip_reason(batch.shape[0], batch.shape[1])
         use_mesh = reason is None
         if mesh is not None and not use_mesh:
@@ -179,16 +186,40 @@ def main(argv=None) -> int:
             from cvsteer_tpu.parallel import shard_batch
 
             batch = shard_batch(batch, mesh)
-        edges8, dark8, bright8 = jax.device_get(run_batch(batch, use_mesh))
-        for j, i in enumerate(idxs):
-            n_done += 1
-            if args.verbose:
-                print(f"[{n_done}/{len(filenames)}] {filenames[i]} {shape}")
-            if args.output:
-                base = os.path.join(args.output, _basename(filenames[i]))
-                imwrite_u8(base + "_edges.png", edges8[j])
-                imwrite_u8(base + "_lines_dark.png", dark8[j])
-                imwrite_u8(base + "_lines_bright.png", bright8[j])
+        inflight.append((idxs, shape, run_batch(batch, use_mesh)))
+
+    def write_maps(i, edges8, dark8, bright8):
+        base = os.path.join(args.output, _basename(filenames[i]))
+        imwrite_u8(base + "_edges.png", edges8)
+        imwrite_u8(base + "_lines_dark.png", dark8)
+        imwrite_u8(base + "_lines_bright.png", bright8)
+
+    with cf.ThreadPoolExecutor() as pool:
+        write_futs = []
+        # ordered parallel decode: the pool races ahead of consumption
+        for i, img in enumerate(pool.map(imread_gray_f32, filenames)):
+            if img is None:
+                if args.verbose:
+                    print(f"skip unreadable: {filenames[i]}", file=sys.stderr)
+                continue
+            pending[img.shape].append((i, img))
+            if len(pending[img.shape]) >= args.batch:
+                flush(img.shape)
+        for shape in list(pending):
+            flush(shape)
+
+        for idxs, shape, result in inflight:
+            edges8, dark8, bright8 = jax.device_get(result)
+            for j, i in enumerate(idxs):
+                n_done += 1
+                if args.verbose:
+                    print(f"[{n_done}/{len(filenames)}] {filenames[i]} {shape}")
+                if args.output:
+                    write_futs.append(
+                        pool.submit(write_maps, i, edges8[j], dark8[j], bright8[j])
+                    )
+        for f in write_futs:
+            f.result()
     if args.verbose:
         dt = time.time() - t0
         print(f"processed {n_done} images in {dt:.3f}s ({n_done / max(dt, 1e-9):.1f} im/s)")

@@ -29,7 +29,7 @@ import numpy as np
 
 from cvsteer_tpu.features.keypoints import Keypoints
 from cvsteer_tpu.filters.g2 import G2A, G2B, G2C, H2A, H2B, H2C, H2D
-from cvsteer_tpu.ops.interp import bilinear_sample
+from cvsteer_tpu.ops.interp import bilinear_sample_channels_last
 
 
 def _grid_offsets(grid: int, spacing: float) -> np.ndarray:
@@ -60,21 +60,22 @@ def phase_descriptors(
     ys = keypoints.yx[:, 0:1] + dy
     xs = keypoints.yx[:, 1:2] + dx
 
-    samples = bilinear_sample(basis, ys, xs)  # [7, N, S]
+    # [N, S, 7]: channels-last row gathers (see bilinear_sample_channels_last)
+    samples = bilinear_sample_channels_last(jnp.moveaxis(basis, 0, -1), ys, xs)
 
     ct2, st2 = ct * ct, st * st
     ct3, st3 = ct2 * ct, st2 * st
     w = lambda v: v[:, None]  # [N] -> [N, 1] for broadcasting over S
     g2 = (
-        w(ct2) * samples[G2A]
-        - 2.0 * w(ct * st) * samples[G2B]
-        + w(st2) * samples[G2C]
+        w(ct2) * samples[..., G2A]
+        - 2.0 * w(ct * st) * samples[..., G2B]
+        + w(st2) * samples[..., G2C]
     )
     h2 = (
-        w(ct3) * samples[H2A]
-        - 3.0 * w(ct2 * st) * samples[H2B]
-        + 3.0 * w(ct * st2) * samples[H2C]
-        - w(st3) * samples[H2D]
+        w(ct3) * samples[..., H2A]
+        - 3.0 * w(ct2 * st) * samples[..., H2B]
+        + 3.0 * w(ct * st2) * samples[..., H2C]
+        - w(st3) * samples[..., H2D]
     )
 
     desc = jnp.concatenate([g2, h2], axis=-1)  # [N, 2*S]

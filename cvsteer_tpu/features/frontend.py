@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 
 from cvsteer_tpu.features.descriptors import phase_descriptors
-from cvsteer_tpu.features.keypoints import Keypoints, detect_keypoints
+from cvsteer_tpu.features.keypoints import (
+    Keypoints,
+    detect_keypoints,
+    detect_keypoints_cs,
+)
 from cvsteer_tpu.filters import g2 as fg2
 from cvsteer_tpu.ops.pyramid import gaussian_pyramid
 
@@ -80,23 +84,37 @@ def extract_features(
     single = images.ndim == 2
     imgs = images[None] if single else images
     levels = gaussian_pyramid(imgs, cfg.levels)
+    on_tpu = jax.default_backend() == "tpu"
     parts = []
     for lvl, lv_imgs in enumerate(levels):
         basis = fg2.g2_basis(lv_imgs, bank)  # [B, K, H, W]
-        c1, c2, c3 = fg2.energy_coefficients(basis)
-        theta, strength = fg2.dominant_orientation(c2, c3)
-        score_map = (
-            fg2.corner_strength(c1, c2, c3) if cfg.score == "corner" else strength
-        )
+        if cfg.score == "corner" and on_tpu:
+            # fused detector kernel: score + half-angle (cos, sin) in one
+            # pass — replaces the basis -> XLA elementwise coefficient chain
+            # that dominated the per-level cost
+            from cvsteer_tpu.ops.pallas_frontend import g2_feature_maps_pallas
+
+            score_map, ctm, stm = g2_feature_maps_pallas(
+                lv_imgs, bank.xtaps, bank.ytaps
+            )
+        else:
+            c1, c2, c3 = fg2.energy_coefficients(basis)
+            theta, strength = fg2.dominant_orientation(c2, c3)
+            score_map = (
+                fg2.corner_strength(c1, c2, c3) if cfg.score == "corner" else strength
+            )
+            ctm, stm = jnp.cos(theta), jnp.sin(theta)
         kp = jax.vmap(
-            lambda s, th: detect_keypoints(
+            lambda s, c, si: detect_keypoints_cs(
                 s,
-                th,
+                c,
+                si,
                 max_keypoints=cfg.keypoints_per_level,
                 nms_radius=cfg.nms_radius,
                 threshold=cfg.threshold,
+                approx=on_tpu,
             )
-        )(score_map, theta)
+        )(score_map, ctm, stm)
         desc = jax.vmap(
             lambda b, k: phase_descriptors(
                 b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing

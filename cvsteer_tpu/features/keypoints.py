@@ -56,21 +56,16 @@ def _subpixel_offset(s: jax.Array, ym: jax.Array, y0: jax.Array, yp: jax.Array):
     return jnp.clip(off, -0.5, 0.5)
 
 
-def detect_keypoints(
+def _detect_core(
     strength: jax.Array,
-    theta: jax.Array,
-    *,
-    max_keypoints: int = 512,
-    nms_radius: int = 2,
-    threshold: float = 0.0,
-    border: Optional[int] = None,
-) -> Keypoints:
-    """Detect up to ``max_keypoints`` local maxima of ``strength [H, W]``.
-
-    ``theta [H, W]`` supplies each keypoint's dominant orientation. Batched
-    inputs: vmap this function. ``border`` (default: nms_radius + 1) masks a
-    frame around the image where the filter support is incomplete.
-    """
+    max_keypoints: int,
+    nms_radius: int,
+    threshold: float,
+    border: Optional[int],
+    approx: bool,
+):
+    """NMS + top-N selection + subpixel refinement; returns
+    (yi, xi, yx, scores, valid)."""
     H, W = strength.shape
     k = 2 * nms_radius + 1
     b = (nms_radius + 1) if border is None else border
@@ -82,7 +77,20 @@ def detect_keypoints(
     mask = is_max & in_border & (strength > threshold)
 
     score_masked = jnp.where(mask, strength, -jnp.inf)
-    flat_scores, flat_idx = lax.top_k(score_masked.reshape(-1), max_keypoints)
+    kk = min(max_keypoints, H * W)  # tiny pyramid levels: fewer pixels than k
+    if approx and kk < H * W:
+        # TPU-optimized approximate top-k (recall >= 0.99): the full-map
+        # exact top_k lowers to a whole-image sort, which dominates the
+        # detector's cost on large levels.
+        flat_scores, flat_idx = lax.approx_max_k(
+            score_masked.reshape(-1), kk, recall_target=0.99
+        )
+    else:
+        flat_scores, flat_idx = lax.top_k(score_masked.reshape(-1), kk)
+    if kk < max_keypoints:
+        pad = max_keypoints - kk
+        flat_scores = jnp.pad(flat_scores, (0, pad), constant_values=-jnp.inf)
+        flat_idx = jnp.pad(flat_idx, (0, pad))
     valid = jnp.isfinite(flat_scores)
     yi = flat_idx // W
     xi = flat_idx % W
@@ -98,9 +106,59 @@ def detect_keypoints(
     yx = jnp.stack(
         [yi.astype(jnp.float32) + dy, xi.astype(jnp.float32) + dx], axis=-1
     )
+    return yi, xi, yx, flat_scores, valid
+
+
+def detect_keypoints(
+    strength: jax.Array,
+    theta: jax.Array,
+    *,
+    max_keypoints: int = 512,
+    nms_radius: int = 2,
+    threshold: float = 0.0,
+    border: Optional[int] = None,
+    approx: bool = False,
+) -> Keypoints:
+    """Detect up to ``max_keypoints`` local maxima of ``strength [H, W]``.
+
+    ``theta [H, W]`` supplies each keypoint's dominant orientation. Batched
+    inputs: vmap this function. ``border`` (default: nms_radius + 1) masks a
+    frame around the image where the filter support is incomplete.
+    """
+    yi, xi, yx, scores, valid = _detect_core(
+        strength, max_keypoints, nms_radius, threshold, border, approx
+    )
     return Keypoints(
         yx=jnp.where(valid[:, None], yx, 0.0),
-        score=jnp.where(valid, flat_scores, 0.0),
+        score=jnp.where(valid, scores, 0.0),
         theta=jnp.where(valid, theta[yi, xi], 0.0),
+        valid=valid,
+    )
+
+
+def detect_keypoints_cs(
+    strength: jax.Array,
+    ct: jax.Array,
+    st: jax.Array,
+    *,
+    max_keypoints: int = 512,
+    nms_radius: int = 2,
+    threshold: float = 0.0,
+    border: Optional[int] = None,
+    approx: bool = False,
+) -> Keypoints:
+    """detect_keypoints taking (cos, sin) orientation maps instead of theta.
+
+    Pairs with the fused Pallas detector front-end, which produces the
+    half-angle (cos, sin) without transcendentals; arctan2 runs only on the
+    few selected keypoints."""
+    yi, xi, yx, scores, valid = _detect_core(
+        strength, max_keypoints, nms_radius, threshold, border, approx
+    )
+    theta = jnp.arctan2(st[yi, xi], ct[yi, xi])
+    return Keypoints(
+        yx=jnp.where(valid[:, None], yx, 0.0),
+        score=jnp.where(valid, scores, 0.0),
+        theta=jnp.where(valid, theta, 0.0),
         valid=valid,
     )

@@ -42,3 +42,36 @@ def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     bot = v10 * (1.0 - wx) + v11 * wx
     out = top * (1.0 - wy) + bot * wy
     return out.reshape(tuple(batch) + s_shape)
+
+
+def bilinear_sample_channels_last(
+    img: jax.Array, ys: jax.Array, xs: jax.Array
+) -> jax.Array:
+    """Sample ``img [H, W, C]`` at float coordinates ``ys/xs [S...]``.
+
+    Returns ``[S..., C]``. TPU-shaped gather: with channels last, every
+    sample fetches one ROW of the [H*W, C] matrix — a major-dimension
+    gather, which XLA lowers efficiently — instead of per-element picks
+    along the minor (lane) dimension, which are ~50x slower on TPU.
+    """
+    H, W, C = img.shape
+    s_shape = ys.shape
+    ys = jnp.clip(ys.reshape(-1), 0.0, H - 1.0)
+    xs = jnp.clip(xs.reshape(-1), 0.0, W - 1.0)
+
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (ys - y0.astype(ys.dtype))[:, None]
+    wx = (xs - x0.astype(xs.dtype))[:, None]
+
+    flat = img.reshape(H * W, C)
+    v00 = flat[y0 * W + x0]  # [S, C] row gathers
+    v01 = flat[y0 * W + x1]
+    v10 = flat[y1 * W + x0]
+    v11 = flat[y1 * W + x1]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    out = top * (1.0 - wy) + bot * wy
+    return out.reshape(s_shape + (C,))

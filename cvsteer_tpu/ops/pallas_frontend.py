@@ -321,7 +321,7 @@ def _col_mats_reflect(
 
 def _g2_maps_tiled_kernel(
     img_hbm, chi_ref, clo_ref, edges_ref, dark_ref, bright_ref, band, sems,
-    *, xtaps, tile_h, wo, num_tiles, reps, slot_rep, s_last,
+    *, xtaps, tile_h, wo, num_tiles, reps, slot_rep, s_last, mode="maps",
 ):
     """Grid (N, T): band DMA of image rows (8-aligned window, REFLECT_101 via
     the column matrices), double-buffered across grid steps, then the fused
@@ -403,6 +403,23 @@ def _g2_maps_tiled_kernel(
     st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
     st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
 
+    if mode == "features":
+        # Detector maps: corner score c1 - rho (filters.g2.corner_strength)
+        # and the half-angle (cos, sin) — theta itself is recovered by
+        # arctan2 only at the few selected keypoints.
+        c1 = (
+            0.5 * (g2b * g2b)
+            + 0.25 * (g2a * g2c)
+            + 0.375 * (g2a * g2a + g2c * g2c)
+            + 0.3125 * (h2a * h2a + h2d * h2d)
+            + 0.5625 * (h2b * h2b + h2c * h2c)
+            + 0.375 * (h2a * h2c + h2b * h2d)
+        )
+        edges_ref[0] = c1 - rho  # score
+        dark_ref[0] = ct
+        bright_ref[0] = st
+        return
+
     ct2, st2 = ct * ct, st * st
     ct3, st3 = ct2 * ct, st2 * st
     g2v = ct2 * g2a - 2.0 * ct * st * g2b + st2 * g2c
@@ -462,6 +479,51 @@ def g2_maps_pallas(
     return g2_maps_tiled_pallas(image, xtaps, ytaps)
 
 
+def _g2_feature_maps_reference_xla(image, xtaps, ytaps):
+    """fp32 XLA fallback for the detector maps (tiny images / CPU)."""
+    from cvsteer_tpu.ops.sepconv import filter_bank_xla
+
+    basis = filter_bank_xla(image, xtaps, ytaps)
+    g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[..., k, :, :] for k in range(7)]
+    c1 = (
+        0.5 * (g2b * g2b)
+        + 0.25 * (g2a * g2c)
+        + 0.375 * (g2a * g2a + g2c * g2c)
+        + 0.3125 * (h2a * h2a + h2d * h2d)
+        + 0.5625 * (h2b * h2b + h2c * h2c)
+        + 0.375 * (h2a * h2c + h2b * h2d)
+    )
+    c2 = (
+        0.5 * (g2a * g2a - g2c * g2c)
+        + 0.46875 * (h2a * h2a - h2d * h2d)
+        + 0.28125 * (h2b * h2b - h2c * h2c)
+        + 0.1875 * (h2a * h2c - h2b * h2d)
+    )
+    c3 = (
+        -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
+        - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
+    )
+    rho = jnp.sqrt(c2 * c2 + c3 * c3)
+    inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
+    cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
+    ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
+    st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
+    st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
+    return c1 - rho, ct, st
+
+
+def g2_feature_maps_pallas(
+    image: jax.Array, xtaps, ytaps
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused detector front-end: image [..., H, W] -> (score, cos, sin).
+
+    score = corner strength c1 - |(c2, c3)| (filters.g2.corner_strength);
+    (cos, sin) of the dominant half-angle orientation, computed without
+    transcendentals. One kernel per image instead of the basis-bank +
+    XLA-elementwise chain (VERDICT r1 item 4 / round-2 feature fusion)."""
+    return g2_maps_tiled_pallas(image, xtaps, ytaps, mode="features")
+
+
 def _row_pass_symmetric(padded, xtaps: np.ndarray, wo: int):
     """Row convolutions for all K filters over a padded band, exploiting the
     even/odd symmetry of the analytic taps (Freeman-Adelson tap functions
@@ -516,7 +578,8 @@ DEFAULT_TILE_H = 64
 
 
 def g2_maps_tiled_pallas(
-    image: jax.Array, xtaps, ytaps, *, tile_h: int = DEFAULT_TILE_H
+    image: jax.Array, xtaps, ytaps, *, tile_h: int = DEFAULT_TILE_H,
+    mode: str = "maps",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Row-tiled fused front-end for images of any size.
 
@@ -541,7 +604,8 @@ def g2_maps_tiled_pallas(
     h8 = _round_up(h, _ROW_ALIGN)
     tile_h = min(tile_h, ((h8 - 2 * _ROW_ALIGN) // 8) * 8 if h8 > 2 * _ROW_ALIGN else 0)
     if tile_h < 8 or r > _ROW_ALIGN:
-        return _g2_maps_reference_xla(image.astype(jnp.float32), xtaps, ytaps)
+        ref = _g2_feature_maps_reference_xla if mode == "features" else _g2_maps_reference_xla
+        return ref(image.astype(jnp.float32), xtaps, ytaps)
 
     wo = _round_up(w, 128)
     num_tiles = -(-h // tile_h)  # ceil: output rows >= h, cropped below
@@ -566,7 +630,7 @@ def g2_maps_tiled_pallas(
     kernel = functools.partial(
         _g2_maps_tiled_kernel,
         xtaps=xtaps, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
-        reps=reps, slot_rep=slot_rep, s_last=h8 - band_h,
+        reps=reps, slot_rep=slot_rep, s_last=h8 - band_h, mode=mode,
     )
     spec = pl.BlockSpec((1, tile_h, wo), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)

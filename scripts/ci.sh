@@ -6,7 +6,19 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== native codec build =="
+echo "== native codec build (install path) =="
+python setup.py build_ext --inplace
+
+echo "== native codec sanitizer leg (ASan + LSan, reference .travis.yml:48-51) =="
+# rebuild the codec with AddressSanitizer and run its tests with the asan
+# runtime preloaded into python (the codec is ctypes-loaded, not linked)
+make -C cvsteer_tpu/io/native clean
+make -C cvsteer_tpu/io/native CXXFLAGS="-O1 -g -fPIC -std=c++17 -fsanitize=address"
+ASAN_LIB="$(g++ -print-file-name=libasan.so)"
+LD_PRELOAD="$ASAN_LIB" ASAN_OPTIONS="detect_leaks=1" \
+    LSAN_OPTIONS="suppressions=$PWD/scripts/lsan.supp:print_suppressions=0" \
+    python -m pytest tests/test_native_codec.py -q
+make -C cvsteer_tpu/io/native clean
 make -C cvsteer_tpu/io/native
 
 echo "== test suite (8-device CPU mesh) =="
@@ -38,5 +50,10 @@ import __graft_entry__ as g
 g.dryrun_multichip(8)
 print("dryrun ok")
 EOF
+
+if [ "${CVSTEER_CI_TPU:-0}" = "1" ]; then
+    echo "== TPU leg: Pallas kernels under Mosaic + golden bar on the chip =="
+    CVSTEER_TEST_TPU=1 python -m pytest tests/test_pallas_frontend.py tests/test_golden.py -q
+fi
 
 echo "CI OK"

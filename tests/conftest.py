@@ -7,19 +7,29 @@ tested against XLA's host-platform device emulation instead
 
 import os
 
-# Hard override: the container env pins JAX_PLATFORMS=axon (single real TPU
-# chip); the test suite must run on an emulated 8-device CPU mesh instead.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# CVSTEER_TEST_TPU=1 runs the selected leg on the real chip (single device;
+# only TPU-safe test files — see scripts/ci.sh): Pallas kernels then compile
+# with Mosaic instead of the interpreter, catching real-hardware-only
+# regressions (bf16 MXU quantization, DMA alignment).
+_TPU_LEG = os.environ.get("CVSTEER_TEST_TPU") == "1"
+
+if not _TPU_LEG:
+    # Hard override: the container env pins JAX_PLATFORMS=axon (single real
+    # TPU chip); the suite runs on an emulated 8-device CPU mesh instead.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # The axon PJRT plugin ignores the env var once registered; the config update
 # is authoritative and must happen before any backend is touched.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LEG:
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
