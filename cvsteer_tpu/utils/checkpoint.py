@@ -9,6 +9,7 @@ host.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -18,6 +19,17 @@ import orbax.checkpoint as ocp
 
 from cvsteer_tpu.features.frontend import Features
 from cvsteer_tpu.slam.vo import Keyframe, VOState
+
+
+def _config_json(cfg) -> str:
+    """Nested NamedTuple config -> canonical JSON (for mismatch detection)."""
+
+    def conv(v):
+        if hasattr(v, "_asdict"):
+            return {k: conv(x) for k, x in v._asdict().items()}
+        return v
+
+    return json.dumps(conv(cfg), sort_keys=True)
 
 
 def _state_to_tree(state: VOState) -> Dict[str, Any]:
@@ -59,7 +71,8 @@ def _tree_to_state(tree: Dict[str, Any], state: VOState) -> VOState:
         for f, R, t in zip(tree["traj_frames"], tree["traj_R"], tree["traj_t"])
     ]
     state.keyframes = []
-    for n in sorted(tree["keyframes"], key=int):
+    # an empty keyframes dict disappears through the flat .npz emergency form
+    for n in sorted(tree.get("keyframes", {}), key=int):
         kf = tree["keyframes"][n]
         state.keyframes.append(
             Keyframe(
@@ -79,25 +92,115 @@ class SlamCheckpointer:
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self.manager = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
-        )
+        self._max_to_keep = max_to_keep
+        self._manager: Optional[ocp.CheckpointManager] = None
+
+    @property
+    def manager(self) -> ocp.CheckpointManager:
+        # lazy: CheckpointManager construction itself runs cross-process
+        # coordination, which must never happen on the emergency_save path
+        # (called when a peer host is already dead)
+        if self._manager is None:
+            self._manager = ocp.CheckpointManager(
+                self.directory,
+                options=ocp.CheckpointManagerOptions(max_to_keep=self._max_to_keep),
+            )
+        return self._manager
+
+    @property
+    def _config_path(self) -> str:
+        return os.path.join(self.directory, "config.json")
 
     def save(self, step: int, state: VOState) -> None:
+        # persist the config alongside the state: a resume with a different
+        # window/threshold config would silently mix optimization regimes
+        if not os.path.exists(self._config_path):
+            with open(self._config_path, "w") as f:
+                f.write(_config_json(state.config))
         self.manager.save(step, args=ocp.args.StandardSave(_state_to_tree(state)))
         self.manager.wait_until_finished()
 
-    def latest_step(self) -> Optional[int]:
-        return self.manager.latest_step()
+    def emergency_save(self, step: int, state: VOState) -> None:
+        """Single-host, collective-free checkpoint for failure paths.
 
-    def restore(self, state: VOState, step: Optional[int] = None) -> VOState:
-        """Restore into ``state`` (a fresh init_vo() shell with the config)."""
+        Orbax's save/wait coordinates across *all* processes of the
+        jax.distributed cluster; when a peer host has died (exactly the
+        situation a Heartbeat ``on_failure`` runs in) that sync blocks
+        forever. This path serializes the same state tree with numpy to an
+        atomically-renamed .npz instead — no collectives, safe to call from
+        a failure handler. ``restore`` picks it up when it is newer than
+        the latest orbax step."""
+        if not os.path.exists(self._config_path):
+            with open(self._config_path, "w") as f:
+                f.write(_config_json(state.config))
+        flat: Dict[str, np.ndarray] = {}
+
+        def flatten(prefix, node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    flatten(f"{prefix}/{k}" if prefix else k, v)
+            else:
+                flat[prefix] = np.asarray(node)
+
+        flatten("", _state_to_tree(state))
+        # np.savez appends .npz when missing — keep the suffix on the temp name
+        tmp = os.path.join(self.directory, f".emergency_{step}.tmp.npz")
+        np.savez(tmp, **flat)
+        os.replace(tmp, os.path.join(self.directory, f"emergency_{step}.npz"))
+
+    def _emergency_steps(self):
+        steps = []
+        for fn in os.listdir(self.directory):
+            if fn.startswith("emergency_") and fn.endswith(".npz"):
+                try:
+                    steps.append(int(fn[len("emergency_"):-len(".npz")]))
+                except ValueError:
+                    pass
+        return sorted(steps)
+
+    def latest_step(self) -> Optional[int]:
+        steps = [s for s in [self.manager.latest_step()] if s is not None]
+        steps += self._emergency_steps()
+        return max(steps) if steps else None
+
+    def restore(
+        self,
+        state: VOState,
+        step: Optional[int] = None,
+        *,
+        allow_config_mismatch: bool = False,
+    ) -> VOState:
+        """Restore into ``state`` (a fresh init_vo() shell with the config).
+
+        Raises ValueError if the checkpoint was written under a different
+        VOConfig than ``state.config`` (pass ``allow_config_mismatch=True``
+        to resume anyway, e.g. deliberately changing the BA window)."""
         step = self.latest_step() if step is None else step
         if step is None:
             return state
-        tree = self.manager.restore(step)
+        if os.path.exists(self._config_path) and not allow_config_mismatch:
+            with open(self._config_path) as f:
+                saved = f.read()
+            current = _config_json(state.config)
+            if saved != current:
+                raise ValueError(
+                    "checkpoint config differs from the current VOConfig; "
+                    "pass allow_config_mismatch=True to resume anyway.\n"
+                    f"saved:   {saved}\ncurrent: {current}"
+                )
+        if step in self._emergency_steps() and step != self.manager.latest_step():
+            with np.load(os.path.join(self.directory, f"emergency_{step}.npz")) as z:
+                tree: Dict[str, Any] = {}
+                for key in z.files:
+                    node = tree
+                    parts = key.split("/")
+                    for p in parts[:-1]:
+                        node = node.setdefault(p, {})
+                    node[parts[-1]] = z[key]
+        else:
+            tree = self.manager.restore(step)
         return _tree_to_state(tree, state)
 
     def close(self) -> None:
-        self.manager.close()
+        if self._manager is not None:
+            self._manager.close()

@@ -6,6 +6,7 @@ supplies exactly the rows REFLECT_101 padding would otherwise see
 (SURVEY.md sections 2.3 and 5).
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -170,3 +171,95 @@ def test_sharded_filter_bank_g4(rng):
     out = sharded_filter_bank(placed, bank.xtaps, bank.ytaps, mesh)
     assert out.shape == (4, 11, 64, 48)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_fault_injection_recovery(tmp_path):
+    """Kill one process of a 2-process cluster: the survivor's heartbeat
+    must fire on_failure, write a checkpoint, and exit; a restarted process
+    must resume from that checkpoint (SURVEY.md section 5 fault injection).
+
+    Runs real subprocesses (CPU backend, Gloo collectives on localhost) so
+    the production device_barrier / Heartbeat / SlamCheckpointer path is
+    exercised end-to-end, not mocked.
+    """
+    import pathlib
+    import signal
+    import socket
+    import subprocess
+    import sys as _sys
+    import time as _t
+
+    worker = pathlib.Path(__file__).parent / "multihost_worker.py"
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out = tmp_path
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, str(worker), str(port), str(i), "2", str(out)],
+            env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        deadline = _t.time() + 90
+        while _t.time() < deadline and not all(
+            (out / f"ready_{i}").exists() for i in range(2)
+        ):
+            _t.sleep(0.2)
+        assert (out / "ready_0").exists() and (out / "ready_1").exists(), (
+            "workers never reached the startup barrier"
+        )
+        # both saw both devices
+        assert float((out / "ready_0").read_text()) == 2.0
+
+        procs[1].kill()  # drop a host
+
+        # the survivor's heartbeat must fire and checkpoint-and-exit
+        rc = procs[0].wait(timeout=60)
+        assert rc == 42, f"survivor exited {rc}, expected the on_failure path"
+        assert (out / "failed_0").exists()
+
+        # elastic restart: a fresh (single-host) process resumes the state
+        from cvsteer_tpu.slam.vo import VOConfig, init_vo
+        from cvsteer_tpu.utils.checkpoint import SlamCheckpointer
+
+        ck = SlamCheckpointer(str(out / "ckpt"))
+        assert ck.latest_step() == 1
+        resumed = ck.restore(init_vo(VOConfig()))
+        assert resumed.frame_count == 123
+        ck.close()
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+
+def test_checkpoint_config_mismatch_raises(tmp_path):
+    """Resuming under a different VOConfig must fail loudly (round-2 fix:
+    a silent window/threshold mismatch would mix optimization regimes)."""
+    import pytest as _pytest
+
+    from cvsteer_tpu.slam.vo import VOConfig, init_vo
+    from cvsteer_tpu.utils.checkpoint import SlamCheckpointer
+
+    ck = SlamCheckpointer(str(tmp_path / "ck"))
+    st = init_vo(VOConfig(window=8))
+    st.frame_count = 5
+    st.trajectory.append((0, np.eye(3, dtype=np.float32), np.zeros(3, np.float32)))
+    ck.save(1, st)
+    ck.close()
+
+    ck2 = SlamCheckpointer(str(tmp_path / "ck"))
+    with _pytest.raises(ValueError, match="config differs"):
+        ck2.restore(init_vo(VOConfig(window=4)))
+    resumed = ck2.restore(
+        init_vo(VOConfig(window=4)), allow_config_mismatch=True
+    )
+    assert resumed.frame_count == 5
+    same = ck2.restore(init_vo(VOConfig(window=8)))
+    assert same.frame_count == 5
+    ck2.close()
