@@ -213,6 +213,73 @@ def bench_ba() -> float:
     return ITERS_PER_CALL * CALLS / (time.perf_counter() - t0)
 
 
+def bench_vo():
+    """VO frames/s + synthetic ATE (BASELINE config 4 machinery on the
+    chip): matching, PnP refinement, triangulation, and windowed Schur BA
+    over a synthetic feature stream (the front-end is benchmarked
+    separately), timed after the compile-once warmup."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvsteer_tpu.features.frontend import Features
+    from cvsteer_tpu.geometry.camera import Intrinsics
+    from cvsteer_tpu.slam import se3
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+    from cvsteer_tpu.slam.vo import VOConfig, finalize, init_vo, process_frame
+
+    K = Intrinsics(500.0, 500.0, 320.0, 240.0)
+    N_CAP, DESC_DIM, N_FRAMES, WARM = 256, 32, 60, 20
+    rng = np.random.default_rng(0)
+    X = rng.uniform([-4, -3, 4], [4, 3, 12], (400, 3)).astype(np.float32)
+    desc0 = rng.normal(size=(400, DESC_DIM)).astype(np.float32)
+    desc0 /= np.linalg.norm(desc0, axis=1, keepdims=True)
+
+    def gt_pose(k):
+        s = k / (N_FRAMES - 1)
+        Rwc = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.25 * s, 0.0])))
+        c = np.array([3.0 * s, 0.5 * np.sin(np.pi * s), 2.0 * s], np.float32)
+        R = Rwc.T.astype(np.float32)
+        return R, (-R @ c).astype(np.float32)
+
+    def render(R, t):
+        p = X @ R.T + t
+        uv = p[:, :2] / p[:, 2:3]
+        pix = np.stack([uv[:, 1] * K.fy + K.cy, uv[:, 0] * K.fx + K.cx], -1)
+        vis = (p[:, 2] > 0.5) & (pix[:, 0] > 5) & (pix[:, 0] < 475) \
+            & (pix[:, 1] > 5) & (pix[:, 1] < 635)
+        ids = np.nonzero(vis)[0][:N_CAP]
+        n = len(ids)
+        yx = np.zeros((N_CAP, 2), np.float32)
+        dsc = np.zeros((N_CAP, DESC_DIM), np.float32)
+        valid = np.zeros(N_CAP, bool)
+        yx[:n] = pix[ids] + rng.normal(0, 0.2, (n, 2))
+        d = desc0[ids] + rng.normal(0, 0.05, (n, DESC_DIM)).astype(np.float32)
+        dsc[:n] = d / np.linalg.norm(d, axis=1, keepdims=True)
+        valid[:n] = True
+        return Features(
+            yx=jnp.asarray(yx), score=jnp.asarray(valid, jnp.float32),
+            theta=jnp.zeros(N_CAP), level=jnp.zeros(N_CAP, jnp.int32),
+            desc=jnp.asarray(dsc), valid=jnp.asarray(valid),
+        )
+
+    frames = [render(*gt_pose(k)) for k in range(N_FRAMES)]
+    gt = [gt_pose(k) for k in range(N_FRAMES)]
+    state = init_vo(VOConfig(intrinsics=K, kf_max_gap=5, window=8,
+                             track_min_landmarks=30))
+    for k in range(WARM):
+        state = process_frame(state, frames[k])
+    t0 = time.perf_counter()
+    for k in range(WARM, N_FRAMES):
+        state = process_frame(state, frames[k])
+    dt = time.perf_counter() - t0
+    state = finalize(state)
+    Rs, ts = state.poses()
+    ate = float(ate_rmse(Rs, ts, np.stack([g[0] for g in gt]),
+                         np.stack([g[1] for g in gt])))
+    return (N_FRAMES - WARM) / dt, ate
+
+
 def main() -> int:
     images = _images()
     value = bench_device(images)
@@ -231,6 +298,12 @@ def main() -> int:
             extra[name] = round(fn(), 2)
         except Exception as e:
             print(f"{name} failed: {e}", file=sys.stderr)
+    try:
+        vo_fps, ate = bench_vo()
+        extra["vo_frames_per_s_synthetic"] = round(vo_fps, 2)
+        extra["vo_ate_rmse_m_synthetic"] = round(ate, 4)
+    except Exception as e:
+        print(f"vo bench failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

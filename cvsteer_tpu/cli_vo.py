@@ -71,6 +71,7 @@ def main(argv=None) -> int:
         ransac_threshold=cfg.slam.ransac_threshold,
         max_landmarks=cfg.slam.max_landmarks,
         loop_closure=cfg.slam.loop_closure,
+        loop_closure_sim3=cfg.slam.loop_closure_sim3,
         loop_min_gap=cfg.slam.loop_min_gap,
         loop_min_inliers=cfg.slam.loop_min_inliers,
         motion_model=cfg.slam.motion_model,

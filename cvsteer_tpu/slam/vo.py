@@ -45,6 +45,9 @@ class VOConfig(NamedTuple):
     ransac_threshold: float = 1e-5
     max_landmarks: int = 4096
     loop_closure: bool = False  # detect + correct loops at each new keyframe
+    # Sim(3) closure graph: corrects monocular scale drift, not just
+    # rotation/translation drift (slam.loopclosure.close_loops_sim3)
+    loop_closure_sim3: bool = False
     loop_min_gap: int = 6  # keyframes of separation before closures apply
     loop_min_inliers: int = 25
     # constant-velocity PnP initialization: helps under fast motion, but the
@@ -498,9 +501,12 @@ def process_frame(state: VOState, feats: Features) -> VOState:
     if needs_kf and has_content:
         _add_keyframe(state, feats, R, t, idx, valid, ref_kf=ref_kf)
         if state.config.loop_closure:
-            from cvsteer_tpu.slam.loopclosure import close_loops
+            from cvsteer_tpu.slam.loopclosure import close_loops, close_loops_sim3
 
-            close_loops(
+            closer = (
+                close_loops_sim3 if state.config.loop_closure_sim3 else close_loops
+            )
+            closer(
                 state,
                 min_gap=state.config.loop_min_gap,
                 min_inliers=state.config.loop_min_inliers,

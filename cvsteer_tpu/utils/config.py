@@ -57,6 +57,9 @@ class SlamConfig:
     ransac_threshold: float = 1e-5
     max_landmarks: int = 4096
     loop_closure: bool = False
+    # Sim(3) pose graph for closures (scale-drift-aware monocular loop
+    # closure) instead of the SE(3) graph
+    loop_closure_sim3: bool = False
     loop_min_gap: int = 6
     loop_min_inliers: int = 25
     motion_model: bool = False

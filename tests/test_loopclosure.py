@@ -180,3 +180,115 @@ def test_false_closure_rejected(loop_world, monkeypatch):
     assert n == 0
     for kf, R0 in zip(state.keyframes, R_before):
         np.testing.assert_array_equal(kf.R, R0)
+
+
+def _inject_scale_drift(state, rate):
+    """Apply progressive monocular scale drift to a real VO state.
+
+    Emulates how drift manifests: keyframe k's local neighborhood stays
+    internally consistent while the relative translation of each odometry
+    step is scaled by (1+rate)^k, and every landmark follows the similarity
+    of its anchoring (first-observer) keyframe — so the closure's depth-
+    ratio scale measurement sees the genuine per-side map scales."""
+    kfs = state.keyframes
+    P = len(kfs)
+    centers = [(-kf.R.T @ kf.t).astype(np.float64) for kf in kfs]
+    s = [(1.0 + rate) ** k for k in range(P)]
+    c_new = [centers[0]]
+    for k in range(1, P):
+        c_new.append(c_new[-1] + s[k - 1] * (centers[k] - centers[k - 1]))
+    # landmarks move with their anchor keyframe's similarity
+    anchor = {}
+    for k, kf in enumerate(kfs):
+        for lid in kf.landmark_ids[kf.landmark_ids >= 0]:
+            anchor.setdefault(int(lid), k)
+    for lid, k in anchor.items():
+        X = state.landmarks[lid].astype(np.float64)
+        state.landmarks[lid] = (c_new[k] + s[k] * (X - centers[k])).astype(
+            np.float32
+        )
+    for k, kf in enumerate(kfs):
+        kf.t = (-kf.R @ c_new[k]).astype(np.float32)
+    return s[-1]
+
+
+def _run_loop_vo(loop_world, n_frames=48):
+    """Full VO (process_frame) around a circle that revisits its start."""
+    from cvsteer_tpu.slam.vo import process_frame
+
+    X, desc = loop_world
+    rng = np.random.default_rng(11)
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=4, window=6, track_min_landmarks=40,
+        min_parallax=0.01,
+    )
+    state = init_vo(cfg)
+    gt = []
+    for k in range(n_frames):
+        a = 2 * np.pi * (k / (n_frames - 1))
+        c = np.array([7.0 * np.sin(a), 0.0, -7.0 * np.cos(a)])
+        R, t = _lookat_pose(c)
+        gt.append((R, t))
+        state = process_frame(state, _render_features(X, desc, R, t, rng, pix_noise=0.1))
+    return state, gt
+
+
+def test_sim3_closure_end_to_end_scale_drift(loop_world):
+    """Full VO around a loop + injected scale drift: close_loops_sim3 must
+    detect the revisit, measure the relative map scale from landmark depth
+    ratios, and correct the trajectory — strictly better than the SE(3)
+    closure on the same drifted state (VERDICT r1 item 4)."""
+    import copy
+
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+    from cvsteer_tpu.slam.loopclosure import close_loops_sim3
+
+    state, gt = _run_loop_vo(loop_world)
+    assert state.initialized and len(state.keyframes) >= 10
+
+    drift_total = _inject_scale_drift(state, rate=0.06)
+    assert drift_total > 1.8  # a real, large accumulated scale error
+
+    def kf_ate(st):
+        Rs = np.stack([kf.R for kf in st.keyframes])
+        ts = np.stack([kf.t for kf in st.keyframes])
+        gtR = np.stack([gt[kf.index][0] for kf in st.keyframes])
+        gtt = np.stack([gt[kf.index][1] for kf in st.keyframes])
+        return ate_rmse(Rs, ts, gtR, gtt)
+
+    ate_before = kf_ate(state)
+    state_se3 = copy.deepcopy(state)
+
+    n = close_loops_sim3(state, min_gap=6, min_inliers=20)
+    assert n >= 1, "no Sim(3) closure accepted on the revisit"
+    ate_sim3 = kf_ate(state)
+    assert ate_sim3 < 0.5 * ate_before, f"ATE {ate_before:.3f} -> {ate_sim3:.3f}"
+
+    n_se3 = close_loops(state_se3, min_gap=6, min_inliers=20)
+    ate_se3 = kf_ate(state_se3) if n_se3 else ate_before
+    assert ate_sim3 < ate_se3, (
+        f"Sim(3) {ate_sim3:.3f} not better than SE(3) {ate_se3:.3f} on scale drift"
+    )
+
+
+def test_vo_runs_with_sim3_closure_enabled(loop_world):
+    """The VOConfig.loop_closure_sim3 wiring drives close_loops_sim3 inside
+    process_frame without breaking the run."""
+    from cvsteer_tpu.slam.vo import process_frame
+
+    X, desc = loop_world
+    rng = np.random.default_rng(12)
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=4, window=6, track_min_landmarks=40,
+        min_parallax=0.01, loop_closure=True, loop_closure_sim3=True,
+        loop_min_gap=6, loop_min_inliers=20,
+    )
+    state = init_vo(cfg)
+    n_frames = 40
+    for k in range(n_frames):
+        a = 2 * np.pi * (k / (n_frames - 1))
+        c = np.array([7.0 * np.sin(a), 0.0, -7.0 * np.cos(a)])
+        R, t = _lookat_pose(c)
+        state = process_frame(state, _render_features(X, desc, R, t, rng, pix_noise=0.1))
+    assert state.initialized
+    assert all(np.isfinite(kf.t).all() for kf in state.keyframes)
