@@ -280,6 +280,9 @@ def bench_vo():
     return (N_FRAMES - WARM) / dt, ate
 
 
+_T_START = time.perf_counter()
+
+
 def main() -> int:
     images = _images()
     value = bench_device(images)
@@ -298,12 +301,20 @@ def main() -> int:
             extra[name] = round(fn(), 2)
         except Exception as e:
             print(f"{name} failed: {e}", file=sys.stderr)
-    try:
-        vo_fps, ate = bench_vo()
-        extra["vo_frames_per_s_synthetic"] = round(vo_fps, 2)
-        extra["vo_ate_rmse_m_synthetic"] = round(ate, 4)
-    except Exception as e:
-        print(f"vo bench failed: {e}", file=sys.stderr)
+    # soft deadline: the driver runs bench.py under a timeout; VO adds
+    # ~2 min of tunnel compiles, so skip it when the earlier sections were
+    # slowed by remote-compile contention
+    if time.perf_counter() - _T_START < 330.0:
+        try:
+            vo_fps, ate = bench_vo()
+            # NOTE: host-driven VO through the remote tunnel is RTT-bound
+            # (~40 ms per device fetch); see BENCH_NOTES.md
+            extra["vo_frames_per_s_synthetic"] = round(vo_fps, 2)
+            extra["vo_ate_rmse_m_synthetic"] = round(ate, 4)
+        except Exception as e:
+            print(f"vo bench failed: {e}", file=sys.stderr)
+    else:
+        print("vo bench skipped (soft deadline)", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -92,6 +92,12 @@ def main(argv=None) -> int:
         bank = g4_bank(args.width or 6, args.spacing or 0.5)
 
         def pipeline(batch, bank=None, method="auto"):
+            if jax.default_backend() == "tpu":
+                # fused G4 maps kernel (round 2): one kernel per image
+                from cvsteer_tpu.ops.pallas_frontend import g4_maps_pallas
+
+                edges, dark, bright = g4_maps_pallas(batch, bank.xtaps, bank.ytaps)
+                return {"edges": edges, "lines_dark": dark, "lines_bright": bright}
             m = steerable_pipeline_g4(batch, bank)
             # expose the same three output maps via the quadrature phase
             from cvsteer_tpu.filters import g2 as fg2
@@ -125,8 +131,6 @@ def main(argv=None) -> int:
         """None if the batch can shard; otherwise the human-readable reason."""
         if mesh is None:
             return "no mesh"
-        if args.filters != "g2":
-            return "--filters g4 has no sharded pipeline yet"
         nd = mesh.shape.get("data", 1)
         ns = mesh.shape.get("space", 1)
         if b % nd != 0:
@@ -140,9 +144,10 @@ def main(argv=None) -> int:
     @functools.partial(jax.jit, static_argnames=("use_mesh",))
     def run_batch(batch, use_mesh):
         if use_mesh:
-            from cvsteer_tpu.parallel import sharded_g2_maps
+            from cvsteer_tpu.parallel import sharded_g2_maps, sharded_g4_maps
 
-            edges, dark, bright = sharded_g2_maps(batch, mesh, bank)
+            sharded = sharded_g2_maps if args.filters == "g2" else sharded_g4_maps
+            edges, dark, bright = sharded(batch, mesh, bank)
         else:
             maps = pipeline(batch, bank)
             if isinstance(maps, dict):

@@ -319,6 +319,25 @@ def _col_mats_reflect(
     return C
 
 
+def _g4_quad_terms():
+    """Unique (i, j, w2, w3) products for the G4 2nd-harmonic coefficients
+    c2/c3 (filters.g4._energy_quadratic_tables, symmetrized; c1 is not
+    needed for the magnitude-based output maps). 33 shared products."""
+    from cvsteer_tpu.filters.g4 import _energy_quadratic_tables
+
+    _, M2, M3 = _energy_quadratic_tables()
+    M2s = (M2 + M2.T) / 2.0
+    M3s = (M3 + M3.T) / 2.0
+    terms = []
+    for i in range(11):
+        for j in range(i, 11):
+            f = 1.0 if i == j else 2.0
+            w2, w3 = f * float(M2s[i, j]), f * float(M3s[i, j])
+            if abs(w2) > 1e-7 or abs(w3) > 1e-7:
+                terms.append((i, j, w2, w3))
+    return terms
+
+
 def _g2_maps_tiled_kernel(
     img_hbm, chi_ref, clo_ref, edges_ref, dark_ref, bright_ref, band, sems,
     *, xtaps, tile_h, wo, num_tiles, reps, slot_rep, s_last, mode="maps",
@@ -382,6 +401,43 @@ def _g2_maps_tiled_kernel(
     )
     # bf16x3: C*R = (Chi + Clo)(Rhi + Rlo) minus the negligible Clo*Rlo term
     basis = dot(chi, rows_hi) + dot(chi, rows_lo) + dot(clo, rows_hi)
+
+    if mode == "g4maps":
+        b = [basis[k] for k in range(11)]
+        c2 = None
+        c3 = None
+        for i, j, w2, w3 in _g4_quad_terms():
+            p = b[i] * b[j]
+            if abs(w2) > 1e-7:
+                c2 = p * w2 if c2 is None else c2 + p * w2
+            if abs(w3) > 1e-7:
+                c3 = p * w3 if c3 is None else c3 + p * w3
+        rho = jnp.sqrt(c2 * c2 + c3 * c3)
+        inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
+        cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
+        ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
+        st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
+        st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
+        c2_, s2_ = ct * ct, st * st
+        c3_, s3_ = c2_ * ct, s2_ * st
+        c4_, s4_ = c3_ * ct, s3_ * st
+        c5_, s5_ = c4_ * ct, s4_ * st
+        g4v = (
+            c4_ * b[0] - 4.0 * c3_ * st * b[1] + 6.0 * c2_ * s2_ * b[2]
+            - 4.0 * ct * s3_ * b[3] + s4_ * b[4]
+        )
+        h4v = (
+            c5_ * b[5] - 5.0 * c4_ * st * b[6] + 10.0 * c3_ * s2_ * b[7]
+            - 10.0 * c2_ * s3_ * b[8] + 5.0 * ct * s4_ * b[9] - s5_ * b[10]
+        )
+        mag2 = g4v * g4v + h4v * h4v
+        inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
+        edges_ref[0] = (h4v * h4v) * inv_mag
+        g4sq = (g4v * g4v) * inv_mag
+        dark_ref[0] = jnp.where(g4v > 0.0, g4sq, 0.0)
+        bright_ref[0] = jnp.where(g4v < 0.0, g4sq, 0.0)
+        return
+
     g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[k] for k in range(xtaps.shape[0])]
 
     c2 = (
@@ -512,6 +568,37 @@ def _g2_feature_maps_reference_xla(image, xtaps, ytaps):
     return c1 - rho, ct, st
 
 
+def _g4_maps_reference_xla(image, xtaps, ytaps):
+    """fp32 XLA fallback for the fused G4 maps (tiny images / CPU)."""
+    from cvsteer_tpu.filters import g2 as fg2
+    from cvsteer_tpu.filters import g4 as fg4
+    from cvsteer_tpu.ops.sepconv import filter_bank_xla
+
+    basis = filter_bank_xla(image, xtaps, ytaps)
+    _, c2, c3 = fg4.energy_coefficients(basis)
+    theta, _ = fg4.dominant_orientation(c2, c3)
+    g4v, h4v = fg4.steer(basis, theta)
+    magnitude, phase = fg4.magnitude_phase(g4v, h4v)
+    return (
+        fg2.find_edges(magnitude, phase),
+        fg2.find_dark_lines(magnitude, phase),
+        fg2.find_bright_lines(magnitude, phase),
+    )
+
+
+def g4_maps_pallas(
+    image: jax.Array, xtaps, ytaps
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused G4/H4 front-end: image [..., H, W] -> (edges, dark, bright).
+
+    The G4 analog of :func:`g2_maps_pallas` (VERDICT r1 item 9): the same
+    unified tiled kernel with the 4th-order tail — closed-form quadratic
+    c2/c3 (33 shared basis products), transcendental-free half-angle
+    steering with binomial 4th/5th-degree weights, and the magnitude-based
+    phase-selective maps (quirk C23 semantics, matching the CLI g4 path)."""
+    return g2_maps_tiled_pallas(image, xtaps, ytaps, mode="g4maps")
+
+
 def g2_feature_maps_pallas(
     image: jax.Array, xtaps, ytaps
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -595,16 +682,20 @@ def g2_maps_tiled_pallas(
     r = (T - 1) // 2
     *batch, h, w = image.shape
 
-    # Auto-shrink the band height so the ~32-buffer live set fits VMEM even
-    # for very wide images.
+    # Auto-shrink the band height so the live set fits VMEM even for very
+    # wide images (the buffer count grows with the filter count K).
     wo_est = _round_up(w, 128)
-    max_tile = _VMEM_BUDGET // (4 * wo_est * _FUSED_LIVE_BUFFERS)
+    live = _FUSED_LIVE_BUFFERS + 3 * max(K - 7, 0)
+    max_tile = _VMEM_BUDGET // (4 * wo_est * live)
     tile_h = max(8, min(tile_h, (max_tile // 8) * 8))
     # The 8-aligned DMA window needs band_h = tile_h + 16 <= h8.
     h8 = _round_up(h, _ROW_ALIGN)
     tile_h = min(tile_h, ((h8 - 2 * _ROW_ALIGN) // 8) * 8 if h8 > 2 * _ROW_ALIGN else 0)
     if tile_h < 8 or r > _ROW_ALIGN:
-        ref = _g2_feature_maps_reference_xla if mode == "features" else _g2_maps_reference_xla
+        ref = {
+            "features": _g2_feature_maps_reference_xla,
+            "g4maps": _g4_maps_reference_xla,
+        }.get(mode, _g2_maps_reference_xla)
         return ref(image.astype(jnp.float32), xtaps, ytaps)
 
     wo = _round_up(w, 128)

@@ -17,6 +17,7 @@ from cvsteer_tpu.parallel.frontend_sharded import (  # noqa: F401
     shard_batch,
     sharded_filter_bank,
     sharded_g2_maps,
+    sharded_g4_maps,
 )
 from cvsteer_tpu.parallel.ba_sharded import bundle_adjust_sharded  # noqa: F401
 from cvsteer_tpu.parallel.posegraph_sharded import optimize_pose_graph_sharded  # noqa: F401

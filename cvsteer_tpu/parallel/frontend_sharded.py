@@ -73,6 +73,56 @@ def sharded_g2_maps(
     return fn(images)
 
 
+def _g4_maps_local(block: jax.Array, bank, space_axis: Optional[str]):
+    """Per-device G4 pipeline over a row block (all post-conv math local)."""
+    from cvsteer_tpu.filters import g4 as fg4
+
+    r = bank.radius
+    if space_axis is not None:
+        haloed = halo_exchange_rows(block, r, space_axis)
+        basis = filter_bank_xla(haloed, bank.xtaps, bank.ytaps, pad_axes=(False, True))
+    else:
+        basis = filter_bank_xla(block, bank.xtaps, bank.ytaps)
+    c1, c2, c3 = fg4.energy_coefficients(basis)
+    theta, _ = fg4.dominant_orientation(c2, c3)
+    g4v, h4v = fg4.steer(basis, theta)
+    magnitude, phase = fg4.magnitude_phase(g4v, h4v)
+    # magnitude-as-energy calling convention, as the reference CLI/test use
+    # the extractors (quirk C23) — identical to the single-device g4 path
+    edges = fg2.find_edges(magnitude, phase)
+    dark = fg2.find_dark_lines(magnitude, phase)
+    bright = fg2.find_bright_lines(magnitude, phase)
+    return edges, dark, bright
+
+
+def sharded_g4_maps(
+    images: jax.Array,
+    mesh: Mesh,
+    bank=None,
+    *,
+    data_axis: str = "data",
+    space_axis: Optional[str] = "space",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """G4/H4 analog of :func:`sharded_g2_maps` (CLI --mesh --filters g4)."""
+    from cvsteer_tpu.filters import g4 as fg4
+
+    if bank is None:
+        bank = fg4.g4_bank()
+    if space_axis is not None and space_axis not in mesh.axis_names:
+        space_axis = None
+    if data_axis not in mesh.axis_names:
+        data_axis = None
+    spec = P(data_axis, space_axis, None)
+
+    fn = jax.shard_map(
+        functools.partial(_g4_maps_local, bank=bank, space_axis=space_axis),
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(spec, spec, spec),
+    )
+    return fn(images)
+
+
 def shard_batch(images: jax.Array, mesh: Mesh, data_axis="data", space_axis="space"):
     """Place a host batch onto the mesh with the pipeline's sharding."""
     space = space_axis if space_axis in mesh.axis_names else None

@@ -120,3 +120,34 @@ def test_mesh_option_rejects_bad_values(tmp_path):
             cli.main(
                 ["--input", str(ASSETS / "fish.jpg"), "--mesh", bad]
             )
+
+
+def test_mesh_option_g4(tmp_path, rng, capsys):
+    """--mesh now also shards the G4 pipeline (round-2: parity of entry
+    points between filter orders); sharded == unsharded output."""
+    from cvsteer_tpu.io.imageio import imwrite_u8
+
+    lst = tmp_path / "in.txt"
+    names = []
+    for i in range(4):
+        p = tmp_path / f"g4im{i}.png"
+        imwrite_u8(str(p), rng.integers(0, 255, (64, 128), dtype=np.uint8))
+        names.append(str(p))
+    lst.write_text("\n".join(names) + "\n")
+
+    out = tmp_path / "out_g4"
+    rc = cli.main(
+        ["--input", str(lst), "--output", str(out), "--filters", "g4",
+         "--mesh", "data=4,space=2"]
+    )
+    assert rc == 0
+    assert "mesh skipped" not in capsys.readouterr().err
+
+    out_ref = tmp_path / "out_g4_ref"
+    assert cli.main(
+        ["--input", str(lst), "--output", str(out_ref), "--filters", "g4"]
+    ) == 0
+    for i in range(4):
+        a = _read(out / f"g4im{i}_edges.png").astype(int)
+        b = _read(out_ref / f"g4im{i}_edges.png").astype(int)
+        assert np.abs(a - b).max() <= 1  # 8-bit quantization slack

@@ -164,3 +164,23 @@ def test_g4_basis_pallas_is_differentiable(small_fish):
         lambda im: jnp.sum(filter_bank_xla(im, bank.xtaps, bank.ytaps) ** 2)
     )(img))
     assert np.abs(g_p - g_x).max() / (np.abs(g_x).max() + 1e-9) < 1e-3
+
+
+def test_g4_fused_maps_match_xla_pipeline(small_fish):
+    """Fused G4 maps kernel vs the XLA G4 pipeline + phase extractors."""
+    from cvsteer_tpu.filters import g2 as fg2
+    from cvsteer_tpu.filters.g4 import g4_bank, steerable_pipeline_g4
+    from cvsteer_tpu.ops.pallas_frontend import g4_maps_pallas
+
+    bank = g4_bank()
+    m = steerable_pipeline_g4(jnp.asarray(small_fish), bank, method="xla")
+    ref = (
+        fg2.find_edges(m.magnitude, m.phase),
+        fg2.find_dark_lines(m.magnitude, m.phase),
+        fg2.find_bright_lines(m.magnitude, m.phase),
+    )
+    e, d, b = g4_maps_pallas(jnp.asarray(small_fish), bank.xtaps, bank.ytaps)
+    for ours, want, name in [(e, ref[0], "edges"), (d, ref[1], "dark"), (b, ref[2], "bright")]:
+        diff = np.abs(np.asarray(ours) - np.asarray(want))
+        scale = np.abs(np.asarray(want)).mean() + 1e-6
+        assert diff.max() / scale < 1e-2, f"{name}: {diff.max()} vs scale {scale}"

@@ -263,3 +263,26 @@ def test_checkpoint_config_mismatch_raises(tmp_path):
     same = ck2.restore(init_vo(VOConfig(window=8)))
     assert same.frame_count == 5
     ck2.close()
+
+
+def test_sharded_g4_maps_matches_single_device(rng):
+    """G4 --mesh pipeline == single-device result (CLI g4 parity)."""
+    from cvsteer_tpu.filters import g2 as fg2
+    from cvsteer_tpu.filters.g4 import g4_bank, steerable_pipeline_g4
+    from cvsteer_tpu.parallel import sharded_g4_maps
+
+    bank = g4_bank()
+    mesh = make_mesh({"data": 2, "space": 4})
+    imgs = jnp.asarray(rng.uniform(0, 255, (4, 64, 48)), jnp.float32)
+    m = steerable_pipeline_g4(imgs, bank, method="xla")
+    ref = (
+        fg2.find_edges(m.magnitude, m.phase),
+        fg2.find_dark_lines(m.magnitude, m.phase),
+        fg2.find_bright_lines(m.magnitude, m.phase),
+    )
+    placed = shard_batch(imgs, mesh)
+    out = sharded_g4_maps(placed, mesh, bank)
+    for ours, want in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(want), rtol=1e-4, atol=1e-3
+        )
