@@ -83,9 +83,19 @@ def main(argv=None) -> int:
         os.makedirs(args.output, exist_ok=True)
 
     if args.filters == "g2":
-        from cvsteer_tpu.filters.g2 import g2_bank, steerable_pipeline_g2 as pipeline
+        from cvsteer_tpu.filters.g2 import g2_bank, steerable_pipeline_g2
 
         bank = g2_bank(args.width or 4, args.spacing or 0.67)
+
+        def pipeline(batch, bank=None, method="auto"):
+            if jax.default_backend() == "tpu":
+                # fused maps kernel: the CLI only writes the three maps, so
+                # skip the full-pipeline basis + elementwise chain entirely
+                from cvsteer_tpu.ops.pallas_frontend import g2_maps_pallas
+
+                edges, dark, bright = g2_maps_pallas(batch, bank.xtaps, bank.ytaps)
+                return {"edges": edges, "lines_dark": dark, "lines_bright": bright}
+            return steerable_pipeline_g2(batch, bank, method=method)
     else:
         from cvsteer_tpu.filters.g4 import g4_bank, steerable_pipeline_g4
 

@@ -23,6 +23,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from cvsteer_tpu.filters.taps import (
@@ -193,7 +194,7 @@ def _energy_quadratic_tables(num_angles: int = _NUM_ANGLES):
 
 def _quad_form(M: np.ndarray, basis: jax.Array) -> jax.Array:
     """sum_ij M_ij b_i b_j per pixel: one channel-mix + one reduction."""
-    t = jnp.einsum("ij,...jyx->...iyx", jnp.asarray(M), basis)
+    t = jnp.einsum("ij,...jyx->...iyx", jnp.asarray(M), basis, precision=lax.Precision.HIGHEST)
     return jnp.sum(basis * t, axis=-3)
 
 

@@ -786,14 +786,18 @@ def _taps_tuple(taps) -> tuple:
 
 
 def _bank_tiled_kernel(
-    img_hbm, colmat_ref, out_ref, band, sems, *, xtaps, tile_h, wo, num_tiles
+    img_hbm, colmat_ref, out_ref, band, sems,
+    *, xtaps, tile_h, wo, num_tiles, band_h,
 ):
-    """Generic K-filter bank over tiled bands: basis stack out [1, K, th, wo]."""
+    """Generic K-filter bank over tiled bands: basis stack out [1, K, th, wo].
+
+    ``band_h`` is tile_h + 2*radius rounded up to 8 (Mosaic requires VMEM
+    slices 8-aligned in the sublane dimension — caught by the real-TPU CI
+    leg for G4's radius 6); the alignment rows carry zero column-matrix
+    weight."""
     n = pl.program_id(0)
     t = pl.program_id(1)
     K, T = xtaps.shape
-    r = (T - 1) // 2
-    band_h = tile_h + 2 * r
 
     def band_dma(slot, nn, tt):
         return pltpu.make_async_copy(
@@ -850,13 +854,17 @@ def bank_tiled_pallas(
     tile_h = min(tile_h, _round_up(h, 8))
     ho, wo = _round_up(h, tile_h), _round_up(w, 128)
     wp = _round_up(wo + 2 * r, 128)
-    img = _pad_for_kernel(image.reshape((-1, h, w)), r, ho, wo, wp=wp)
-    n = img.shape[0]
     num_tiles = ho // tile_h
-    band_h = tile_h + 2 * r
+    # Mosaic needs the band scratch 8-aligned in sublanes; extra rows are
+    # zero-padded in HBM and carry zero weight in the column matrix.
+    band_h = _round_up(tile_h + 2 * r, 8)
+    extra = band_h - (tile_h + 2 * r)
+    img = _pad_for_kernel(image.reshape((-1, h, w)), r, ho + extra, wo, wp=wp)
+    n = img.shape[0]
 
     kernel = functools.partial(
-        _bank_tiled_kernel, xtaps=xtaps, tile_h=tile_h, wo=wo, num_tiles=num_tiles
+        _bank_tiled_kernel, xtaps=xtaps, tile_h=tile_h, wo=wo,
+        num_tiles=num_tiles, band_h=band_h,
     )
     colmat = jnp.asarray(_col_conv_matrix(ytaps, tile_h, band_h))
     out = pl.pallas_call(

@@ -65,7 +65,7 @@ class BAStats(NamedTuple):
 
 def _project(R, t, X):
     """p = R X + t (camera frame) and u = (x/z, y/z); [C, L, ...]."""
-    p = jnp.einsum("cij,lj->cli", R, X) + t[:, None, :]
+    p = jnp.einsum("cij,lj->cli", R, X, precision=lax.Precision.HIGHEST) + t[:, None, :]
     z = p[..., 2]
     z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
     u = p[..., :2] / z_safe[..., None]
@@ -124,7 +124,7 @@ def _jacobians(state: BAState, problem: BAProblem):
     Jw = dudp @ dpdw  # [C, L, 2, 3]
     Jv = dudp  # [C, L, 2, 3] (dp/dv = I)
     Jc = jnp.concatenate([Jw, Jv], axis=-1)  # [C, L, 2, 6]
-    Jl = jnp.einsum("clij,cjk->clik", dudp, state.R)  # dp/dX = R
+    Jl = jnp.einsum("clij,cjk->clik", dudp, state.R, precision=lax.Precision.HIGHEST)  # dp/dX = R
     return Jc, Jl, r, w
 
 
@@ -167,11 +167,11 @@ class NormalEquations(NamedTuple):
 
 def build_normal_equations(state: BAState, problem: BAProblem) -> NormalEquations:
     Jc, Jl, r, w = _jacobians(state, problem)
-    H_cc = jnp.einsum("clai,claj,cl->cij", Jc, Jc, w)
-    H_ll = jnp.einsum("clai,claj,cl->lij", Jl, Jl, w)
-    W = jnp.einsum("clai,claj,cl->clij", Jc, Jl, w)
-    b_c = -jnp.einsum("clai,cla,cl->ci", Jc, r, w)
-    b_l = -jnp.einsum("clai,cla,cl->li", Jl, r, w)
+    H_cc = jnp.einsum("clai,claj,cl->cij", Jc, Jc, w, precision=lax.Precision.HIGHEST)
+    H_ll = jnp.einsum("clai,claj,cl->lij", Jl, Jl, w, precision=lax.Precision.HIGHEST)
+    W = jnp.einsum("clai,claj,cl->clij", Jc, Jl, w, precision=lax.Precision.HIGHEST)
+    b_c = -jnp.einsum("clai,cla,cl->ci", Jc, r, w, precision=lax.Precision.HIGHEST)
+    b_l = -jnp.einsum("clai,cla,cl->li", Jl, r, w, precision=lax.Precision.HIGHEST)
     return NormalEquations(H_cc, H_ll, W, b_c, b_l)
 
 
@@ -195,9 +195,9 @@ def reduced_system(
     Hll_inv = _inv3(Hll)
 
     # S = blockdiag(H_cc + lam I) - sum_l W[:, l] Hll_inv[l] W[:, l]^T
-    WHinv = jnp.einsum("clij,ljk->clik", eqs.W, Hll_inv)  # [C, L, 6, 3]
-    S_off = -jnp.einsum("alik,bljk->aibj", WHinv, eqs.W)  # [C, 6, C, 6]
-    bs_lm = jnp.einsum("clik,lk->ci", WHinv, eqs.b_l)
+    WHinv = jnp.einsum("clij,ljk->clik", eqs.W, Hll_inv, precision=lax.Precision.HIGHEST)  # [C, L, 6, 3]
+    S_off = -jnp.einsum("alik,bljk->aibj", WHinv, eqs.W, precision=lax.Precision.HIGHEST)  # [C, 6, C, 6]
+    bs_lm = jnp.einsum("clik,lk->ci", WHinv, eqs.b_l, precision=lax.Precision.HIGHEST)
     H_cc, b_c = eqs.H_cc, eqs.b_c
     if axis_name is not None:
         S_off = lax.psum(S_off, axis_name)
@@ -206,13 +206,13 @@ def reduced_system(
         b_c = lax.psum(b_c, axis_name)
     S = S_off + jnp.einsum(
         "ab,aij->aibj", jnp.eye(C, dtype=eqs.H_cc.dtype), H_cc + lam * eye6
-    )
+    , precision=lax.Precision.HIGHEST)
     b_s = b_c - bs_lm
 
     # Gauge: fixed cameras get identity rows/cols and zero rhs.
     free = (~fixed).astype(S.dtype)
     S = S * free[:, None, None, None] * free[None, None, :, None]
-    S = S + jnp.einsum("ab,ij,a->aibj", jnp.eye(C, dtype=S.dtype), eye6, 1.0 - free)
+    S = S + jnp.einsum("ab,ij,a->aibj", jnp.eye(C, dtype=S.dtype), eye6, 1.0 - free, precision=lax.Precision.HIGHEST)
     b_s = b_s * free[:, None]
     return S, b_s, Hll_inv
 
@@ -234,8 +234,8 @@ def back_substitute(
     eqs: NormalEquations, Hll_inv: jax.Array, dx_c: jax.Array
 ) -> jax.Array:
     """Landmark updates dX [L, 3] given camera updates."""
-    Wt_dx = jnp.einsum("clij,ci->lj", eqs.W, dx_c)
-    return jnp.einsum("lij,lj->li", Hll_inv, eqs.b_l - Wt_dx)
+    Wt_dx = jnp.einsum("clij,ci->lj", eqs.W, dx_c, precision=lax.Precision.HIGHEST)
+    return jnp.einsum("lij,lj->li", Hll_inv, eqs.b_l - Wt_dx, precision=lax.Precision.HIGHEST)
 
 
 def apply_updates(
@@ -298,8 +298,8 @@ def refine_pose(
         R, t, cur, lam = carry
         st = BAState(R=R[None], t=t[None], X=X)
         Jc, _, r, w = _jacobians(st, problem)
-        H = jnp.einsum("clai,claj,cl->ij", Jc, Jc, w) + lam * jnp.eye(6)
-        b = -jnp.einsum("clai,cla,cl->i", Jc, r, w)
+        H = jnp.einsum("clai,claj,cl->ij", Jc, Jc, w, precision=lax.Precision.HIGHEST) + lam * jnp.eye(6)
+        b = -jnp.einsum("clai,cla,cl->i", Jc, r, w, precision=lax.Precision.HIGHEST)
         dx = jnp.linalg.solve(H, b)
         R_new = se3.exp_so3(dx[:3]) @ R
         t_new = t + dx[3:]

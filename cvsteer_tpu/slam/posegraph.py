@@ -108,11 +108,11 @@ def _build_system(poses: Poses, graph: PoseGraph, lam: jax.Array):
     Ji, Jj, r = _edge_jacobians(poses, graph)
     w = graph.weight
 
-    Hii = jnp.einsum("eai,eaj,e->eij", Ji, Ji, w)
-    Hjj = jnp.einsum("eai,eaj,e->eij", Jj, Jj, w)
-    Hij = jnp.einsum("eai,eaj,e->eij", Ji, Jj, w)
-    bi = -jnp.einsum("eai,ea,e->ei", Ji, r, w)
-    bj = -jnp.einsum("eai,ea,e->ei", Jj, r, w)
+    Hii = jnp.einsum("eai,eaj,e->eij", Ji, Ji, w, precision=lax.Precision.HIGHEST)
+    Hjj = jnp.einsum("eai,eaj,e->eij", Jj, Jj, w, precision=lax.Precision.HIGHEST)
+    Hij = jnp.einsum("eai,eaj,e->eij", Ji, Jj, w, precision=lax.Precision.HIGHEST)
+    bi = -jnp.einsum("eai,ea,e->ei", Ji, r, w, precision=lax.Precision.HIGHEST)
+    bj = -jnp.einsum("eai,ea,e->ei", Jj, r, w, precision=lax.Precision.HIGHEST)
 
     H = jnp.zeros((P, 6, P, 6), jnp.float32)
     H = H.at[graph.i, :, graph.i, :].add(Hii)
@@ -125,10 +125,10 @@ def _build_system(poses: Poses, graph: PoseGraph, lam: jax.Array):
 
     # damping + gauge
     eye6 = jnp.eye(6, dtype=jnp.float32)
-    H = H + jnp.einsum("pq,ij->piqj", jnp.eye(P, dtype=jnp.float32), lam * eye6)
+    H = H + jnp.einsum("pq,ij->piqj", jnp.eye(P, dtype=jnp.float32), lam * eye6, precision=lax.Precision.HIGHEST)
     free = (~graph.fixed).astype(jnp.float32)
     H = H * free[:, None, None, None] * free[None, None, :, None]
-    H = H + jnp.einsum("pq,ij,p->piqj", jnp.eye(P, dtype=jnp.float32), eye6, 1.0 - free)
+    H = H + jnp.einsum("pq,ij,p->piqj", jnp.eye(P, dtype=jnp.float32), eye6, 1.0 - free, precision=lax.Precision.HIGHEST)
     b = b * free[:, None]
     return H, b
 
@@ -172,12 +172,12 @@ def _gn_step_matfree(
     free = (~graph.fixed).astype(jnp.float32)[:, None]
 
     b = jnp.zeros((P, 6), jnp.float32)
-    b = b.at[graph.i].add(-jnp.einsum("eai,ea,e->ei", Ji, r, w))
-    b = b.at[graph.j].add(-jnp.einsum("eai,ea,e->ei", Jj, r, w))
+    b = b.at[graph.i].add(-jnp.einsum("eai,ea,e->ei", Ji, r, w, precision=lax.Precision.HIGHEST))
+    b = b.at[graph.j].add(-jnp.einsum("eai,ea,e->ei", Jj, r, w, precision=lax.Precision.HIGHEST))
     # Jacobi preconditioner blocks
     D = jnp.zeros((P, 6, 6), jnp.float32)
-    D = D.at[graph.i].add(jnp.einsum("eai,eaj,e->eij", Ji, Ji, w))
-    D = D.at[graph.j].add(jnp.einsum("eai,eaj,e->eij", Jj, Jj, w))
+    D = D.at[graph.i].add(jnp.einsum("eai,eaj,e->eij", Ji, Ji, w, precision=lax.Precision.HIGHEST))
+    D = D.at[graph.j].add(jnp.einsum("eai,eaj,e->eij", Jj, Jj, w, precision=lax.Precision.HIGHEST))
     if axis_name is not None:
         b = lax.psum(b, axis_name)
         D = lax.psum(D, axis_name)
@@ -188,18 +188,18 @@ def _gn_step_matfree(
     def hv(v):
         v = v * free
         u = (
-            jnp.einsum("eab,eb->ea", Ji, v[graph.i])
-            + jnp.einsum("eab,eb->ea", Jj, v[graph.j])
+            jnp.einsum("eab,eb->ea", Ji, v[graph.i], precision=lax.Precision.HIGHEST)
+            + jnp.einsum("eab,eb->ea", Jj, v[graph.j], precision=lax.Precision.HIGHEST)
         ) * w[:, None]
         out = jnp.zeros((P, 6), jnp.float32)
-        out = out.at[graph.i].add(jnp.einsum("eab,ea->eb", Ji, u))
-        out = out.at[graph.j].add(jnp.einsum("eab,ea->eb", Jj, u))
+        out = out.at[graph.i].add(jnp.einsum("eab,ea->eb", Ji, u, precision=lax.Precision.HIGHEST))
+        out = out.at[graph.j].add(jnp.einsum("eab,ea->eb", Jj, u, precision=lax.Precision.HIGHEST))
         if axis_name is not None:
             out = lax.psum(out, axis_name)
         return (out + lam * v) * free
 
     def precond(v):
-        return jnp.einsum("pij,pj->pi", D_inv, v) * free
+        return jnp.einsum("pij,pj->pi", D_inv, v, precision=lax.Precision.HIGHEST) * free
 
     x = jnp.zeros((P, 6), jnp.float32)
     res = b

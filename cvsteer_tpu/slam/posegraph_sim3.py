@@ -105,20 +105,20 @@ def optimize_pose_graph_sim3(
         Ji, Jj, r = _edge_jacobians(ps, graph)
         w = graph.weight
         H = jnp.zeros((P, 7, P, 7), jnp.float32)
-        H = H.at[graph.i, :, graph.i, :].add(jnp.einsum("eai,eaj,e->eij", Ji, Ji, w))
-        H = H.at[graph.j, :, graph.j, :].add(jnp.einsum("eai,eaj,e->eij", Jj, Jj, w))
-        Hij = jnp.einsum("eai,eaj,e->eij", Ji, Jj, w)
+        H = H.at[graph.i, :, graph.i, :].add(jnp.einsum("eai,eaj,e->eij", Ji, Ji, w, precision=lax.Precision.HIGHEST))
+        H = H.at[graph.j, :, graph.j, :].add(jnp.einsum("eai,eaj,e->eij", Jj, Jj, w, precision=lax.Precision.HIGHEST))
+        Hij = jnp.einsum("eai,eaj,e->eij", Ji, Jj, w, precision=lax.Precision.HIGHEST)
         H = H.at[graph.i, :, graph.j, :].add(Hij)
         H = H.at[graph.j, :, graph.i, :].add(jnp.swapaxes(Hij, -1, -2))
         b = jnp.zeros((P, 7), jnp.float32)
-        b = b.at[graph.i].add(-jnp.einsum("eai,ea,e->ei", Ji, r, w))
-        b = b.at[graph.j].add(-jnp.einsum("eai,ea,e->ei", Jj, r, w))
+        b = b.at[graph.i].add(-jnp.einsum("eai,ea,e->ei", Ji, r, w, precision=lax.Precision.HIGHEST))
+        b = b.at[graph.j].add(-jnp.einsum("eai,ea,e->ei", Jj, r, w, precision=lax.Precision.HIGHEST))
         eye7 = jnp.eye(7, dtype=jnp.float32)
-        H = H + jnp.einsum("pq,ij->piqj", jnp.eye(P, dtype=jnp.float32), lam * eye7)
+        H = H + jnp.einsum("pq,ij->piqj", jnp.eye(P, dtype=jnp.float32), lam * eye7, precision=lax.Precision.HIGHEST)
         H = H * free[:, None, None, None] * free[None, None, :, None]
         H = H + jnp.einsum(
             "pq,ij,p->piqj", jnp.eye(P, dtype=jnp.float32), eye7, 1.0 - free
-        )
+        , precision=lax.Precision.HIGHEST)
         return H, b * free[:, None]
 
     def body(_, carry):
