@@ -16,6 +16,11 @@ import sys
 import tempfile
 from pathlib import Path
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 

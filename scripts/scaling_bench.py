@@ -18,7 +18,12 @@ import time
 
 
 def bench_frontend(n_devices: int, batch: int, h: int, w: int, iters: int) -> float:
-    import numpy as np
+    import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
     import jax
     import jax.numpy as jnp
     from jax import lax
