@@ -280,6 +280,44 @@ def bench_vo():
     return (N_FRAMES - WARM) / dt, ate
 
 
+def bench_sim3():
+    """Sim(3) loop-closure metric (VERDICT r1 item 4 bench line): full VO
+    around a revisiting loop, 1.9x accumulated scale drift injected into
+    the resulting state, close_loops_sim3 run; reports (ate_before,
+    ate_after_sim3)."""
+    import sys as _sys
+
+    import numpy as np
+
+    _sys.path.insert(0, "tests")
+    from test_loopclosure import (  # noqa: E402 (test helpers as harness)
+        _inject_scale_drift,
+        _run_loop_vo,
+    )
+
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+    from cvsteer_tpu.slam.loopclosure import close_loops_sim3
+
+    rng = np.random.default_rng(9)
+    X = rng.uniform([-2, -1.5, -2], [2, 1.5, 2], (300, 3)).astype(np.float32)
+    desc = rng.normal(size=(300, 32)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    state, gt = _run_loop_vo((X, desc), n_frames=40)
+    _inject_scale_drift(state, rate=0.06)
+
+    def kf_ate(st):
+        Rs = np.stack([kf.R for kf in st.keyframes])
+        ts = np.stack([kf.t for kf in st.keyframes])
+        gtR = np.stack([gt[kf.index][0] for kf in st.keyframes])
+        gtt = np.stack([gt[kf.index][1] for kf in st.keyframes])
+        return ate_rmse(Rs, ts, gtR, gtt)
+
+    before = kf_ate(state)
+    n = close_loops_sim3(state, min_gap=6, min_inliers=20)
+    after = kf_ate(state) if n else before
+    return before, after
+
+
 _T_START = time.perf_counter()
 
 
@@ -315,6 +353,15 @@ def main() -> int:
             print(f"vo bench failed: {e}", file=sys.stderr)
     else:
         print("vo bench skipped (soft deadline)", file=sys.stderr)
+    if time.perf_counter() - _T_START < 400.0:
+        try:
+            b, a = bench_sim3()
+            extra["sim3_ate_before_m"] = round(b, 4)
+            extra["sim3_ate_after_m"] = round(a, 4)
+        except Exception as e:
+            print(f"sim3 bench failed: {e}", file=sys.stderr)
+    else:
+        print("sim3 bench skipped (soft deadline)", file=sys.stderr)
     print(
         json.dumps(
             {

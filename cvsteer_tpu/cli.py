@@ -185,6 +185,7 @@ def main(argv=None) -> int:
     n_done = 0
     pending = defaultdict(list)  # shape -> [(file index, image)]
     inflight = []  # (idxs, shape, device result triple)
+    MAX_INFLIGHT = 3  # bound device memory on long file lists
 
     def flush(shape):
         entries = pending.pop(shape)
@@ -211,19 +212,10 @@ def main(argv=None) -> int:
 
     with cf.ThreadPoolExecutor() as pool:
         write_futs = []
-        # ordered parallel decode: the pool races ahead of consumption
-        for i, img in enumerate(pool.map(imread_gray_f32, filenames)):
-            if img is None:
-                if args.verbose:
-                    print(f"skip unreadable: {filenames[i]}", file=sys.stderr)
-                continue
-            pending[img.shape].append((i, img))
-            if len(pending[img.shape]) >= args.batch:
-                flush(img.shape)
-        for shape in list(pending):
-            flush(shape)
 
-        for idxs, shape, result in inflight:
+        def drain_one():
+            nonlocal n_done
+            idxs, shape, result = inflight.pop(0)
             edges8, dark8, bright8 = jax.device_get(result)
             for j, i in enumerate(idxs):
                 n_done += 1
@@ -233,6 +225,22 @@ def main(argv=None) -> int:
                     write_futs.append(
                         pool.submit(write_maps, i, edges8[j], dark8[j], bright8[j])
                     )
+
+        # ordered parallel decode: the pool races ahead of consumption
+        for i, img in enumerate(pool.map(imread_gray_f32, filenames)):
+            if img is None:
+                if args.verbose:
+                    print(f"skip unreadable: {filenames[i]}", file=sys.stderr)
+                continue
+            pending[img.shape].append((i, img))
+            if len(pending[img.shape]) >= args.batch:
+                flush(img.shape)
+            while len(inflight) > MAX_INFLIGHT:  # bound device-side results
+                drain_one()
+        for shape in list(pending):
+            flush(shape)
+        while inflight:
+            drain_one()
         for f in write_futs:
             f.result()
     if args.verbose:

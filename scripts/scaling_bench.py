@@ -13,17 +13,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-
-def bench_frontend(n_devices: int, batch: int, h: int, w: int, iters: int) -> float:
-    import os
-import sys
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
+
+def bench_frontend(n_devices: int, batch: int, h: int, w: int, iters: int) -> float:
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from jax import lax
