@@ -27,10 +27,12 @@ sin(phase) = h2/mag):
 matching find{Edges,DarkLines,BrightLines}(magnitude, phase, ...) as the
 reference CLI/test call them (example/steer.cpp:88-90, quirk C23).
 
-Layout: lanes = image width (padded to 128), sublanes = image height
-(padded to 8). Whole-tile-in-VMEM for images up to ~1k x 1k; larger images
-currently fall back to the XLA path (tiled halo-DMA variant is the planned
-extension).
+Layout: lanes = image width (padded to 128), sublanes = image height.
+One unified row-tiled kernel serves every size and all three products
+(G2 maps / detector maps / G4 maps): 8-aligned double-buffered band DMA,
+pltpu.roll lane shifts, tap-deduplicated row pass emitting pre-split bf16
+hi/lo, 3-dot bf16x3 MXU column pass with REFLECT_101 rows baked into
+per-tile-class matrices. See docs/ROOFLINE.md for the measured breakdown.
 """
 
 from __future__ import annotations

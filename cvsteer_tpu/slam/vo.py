@@ -102,26 +102,45 @@ def init_vo(config: VOConfig = VOConfig()) -> VOState:
 
 @functools.partial(jax.jit, static_argnames=("ratio",))
 def _match_jit(desc_a, valid_a, desc_b, valid_b, ratio):
+    # valid is recoverable host-side as index >= 0: one fetched array
+    # instead of two (each blocking fetch costs a full RTT on remote-device
+    # setups)
     m = match_descriptors(desc_a, valid_a, desc_b, valid_b, ratio=ratio)
-    return m.index, m.valid
+    return m.index
 
 
-_refine_pose_jit = jax.jit(
-    refine_pose, static_argnames=("iterations", "huber_delta", "lam0")
+@functools.partial(
+    jax.jit, static_argnames=("iterations", "huber_delta", "lam0")
 )
+def _refine_pose_jit(X, uv, sel, R0, t0, *, iterations, huber_delta, lam0=1e-4):
+    R, t, inl = refine_pose(
+        X, uv, sel, R0, t0,
+        iterations=iterations, huber_delta=huber_delta, lam0=lam0,
+    )
+    # fold the inlier count on-device: one device_get per refinement
+    return R, t, jnp.sum(inl)
 
-_bundle_adjust_jit = jax.jit(
-    bundle_adjust, static_argnames=("iterations", "axis_name")
-)
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _windowed_ba_jit(ba_state: BAState, problem: BAProblem, iterations: int):
+    """BA + per-landmark mean reprojection error in ONE dispatch/fetch."""
+    from cvsteer_tpu.slam.ba import residuals as _ba_residuals
+
+    final, _ = bundle_adjust(ba_state, problem, iterations=iterations)
+    r, _w = _ba_residuals(final, problem)
+    rn = jnp.linalg.norm(r, axis=-1)
+    m = problem.mask.astype(rn.dtype)
+    obs = m.sum(axis=0)
+    mean_err = jnp.where(obs > 0, (rn * m).sum(axis=0) / jnp.maximum(obs, 1.0), 0.0)
+    return final.R, final.t, final.X, mean_err
 
 _triangulate_jit = jax.jit(triangulate)
 
 
 def _match(state: VOState, fa: Features, fb: Features):
-    idx, valid = _match_jit(
-        fa.desc, fa.valid, fb.desc, fb.valid, ratio=state.config.match_ratio
+    idx = np.asarray(
+        _match_jit(fa.desc, fa.valid, fb.desc, fb.valid, ratio=state.config.match_ratio)
     )
-    return np.asarray(idx), np.asarray(valid)
+    return idx, idx >= 0
 
 
 def _norm_pts(state: VOState, feats: Features) -> np.ndarray:
@@ -233,16 +252,18 @@ def _track(state: VOState, feats: Features):
     uv[sel] = uv_all[np.maximum(idx, 0)[sel]]
 
     def _refine(R_init, t_init):
-        R, t, inl = _refine_pose_jit(
-            jnp.asarray(X),
-            jnp.asarray(uv),
-            jnp.asarray(sel),
-            jnp.asarray(R_init),
-            jnp.asarray(t_init),
-            iterations=10,
-            huber_delta=state.config.huber_delta,
+        R, t, n = jax.device_get(
+            _refine_pose_jit(
+                jnp.asarray(X),
+                jnp.asarray(uv),
+                jnp.asarray(sel),
+                jnp.asarray(R_init),
+                jnp.asarray(t_init),
+                iterations=10,
+                huber_delta=state.config.huber_delta,
+            )
         )
-        return np.asarray(R), np.asarray(t), int(jnp.sum(inl))
+        return R, t, int(n)
 
     Rp, tp = _predict_pose(state) if state.config.motion_model else (kf.R, kf.t)
     R, t, n_tracked = _refine(Rp, tp)
@@ -274,12 +295,14 @@ def _track_against(state: VOState, feats: Features, kf: Keyframe):
     uv_all = _norm_pts(state, feats)
     uv = np.zeros((n, 2), np.float32)
     uv[sel] = uv_all[np.maximum(idx, 0)[sel]]
-    R, t, inl = _refine_pose_jit(
-        jnp.asarray(X), jnp.asarray(uv), jnp.asarray(sel),
-        jnp.asarray(kf.R), jnp.asarray(kf.t),
-        iterations=12, huber_delta=state.config.huber_delta,
+    R, t, n = jax.device_get(
+        _refine_pose_jit(
+            jnp.asarray(X), jnp.asarray(uv), jnp.asarray(sel),
+            jnp.asarray(kf.R), jnp.asarray(kf.t),
+            iterations=12, huber_delta=state.config.huber_delta,
+        )
     )
-    return np.asarray(R), np.asarray(t), int(jnp.sum(inl)), idx, valid
+    return R, t, int(n), idx, valid
 
 
 def _relocalize(state: VOState, feats: Features, *, max_candidates: int = 3):
@@ -429,23 +452,17 @@ def _windowed_ba(state: VOState):
     ba_state = BAState(
         R=jnp.asarray(R_pad), t=jnp.asarray(t_pad), X=jnp.asarray(X_pad)
     )
-    final, _ = _bundle_adjust_jit(ba_state, problem, iterations=cfg.ba_iterations)
-
-    Rs, ts, X = np.asarray(final.R), np.asarray(final.t), np.asarray(final.X)
+    Rs, ts, X, mean_err = jax.device_get(
+        _windowed_ba_jit(ba_state, problem, cfg.ba_iterations)
+    )
     for c, kf in enumerate(window):
         kf.R, kf.t = Rs[c], ts[c]
     state.landmarks[lm_set] = X[:L]
 
     # Cull landmarks the optimizer could not reconcile: mean reprojection
-    # error beyond 3x the Huber width across their window observations.
-    from cvsteer_tpu.slam.ba import residuals as _ba_residuals
-
-    r, wgt = _ba_residuals(final, problem)
-    rn = np.asarray(jnp.linalg.norm(r, axis=-1))
-    m = np.asarray(problem.mask)
-    obs_cnt = m.sum(axis=0)
-    mean_err = np.where(obs_cnt > 0, (rn * m).sum(axis=0) / np.maximum(obs_cnt, 1), 0.0)
-    bad_local = np.nonzero(mean_err > 3.0 * max(cfg.huber_delta, 1e-4))[0]
+    # error beyond 3x the Huber width across their window observations
+    # (mean_err computed on-device inside _windowed_ba_jit — one fetch).
+    bad_local = np.nonzero(mean_err[:L] > 3.0 * max(cfg.huber_delta, 1e-4))[0]
     if bad_local.size:
         bad_global = set(int(g) for g in lm_set[bad_local])
         state.landmark_valid[list(bad_global)] = False

@@ -19,6 +19,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon PJRT plugin ignores JAX_PLATFORMS once registered; honor an
+# explicit cpu request (virtual-mesh runs) via the authoritative config.
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def bench_frontend(n_devices: int, batch: int, h: int, w: int, iters: int) -> float:
     import numpy as np
