@@ -209,28 +209,59 @@ def _dedup_xtaps(xtaps: np.ndarray):
     return reps, slot_rep, slot_scale
 
 
-def _shifted_slices(padded, T: int, wo: int):
-    """The T lane-shifted band views sl[u][:, c] = padded[:, c + u].
+def _shifted_slices(padded, T: int, wo: int, off: int = 0):
+    """The T lane-shifted band views sl[u][:, c] = padded[:, c + u - off].
 
     On real TPU these are pltpu.roll + an aligned slice — a dedicated lane
     rotate, measured ~2x faster end-to-end than unaligned slicing (which
-    Mosaic materializes with expensive shuffles). padded is wide enough
-    (wp >= wo + T - 1) that the roll wrap-around never reaches a valid
-    output column. Interpreter mode (CPU tests) keeps plain slices.
+    Mosaic materializes with expensive shuffles).
+
+    off=0 (padded layout): buffer column j holds reflected-image column
+    j - r; shifts are all forward and the roll wrap-around never reaches a
+    valid output column. off=r (wrap layout, see _reflect_block): buffer
+    column j holds TRUE image column j for j < w, with the REFLECT_101
+    columns stored in the final 128-lane block so the roll wrap-around IS
+    the width reflection. Interpreter mode (CPU tests) keeps plain slices
+    and therefore only supports off=0.
     """
     if _interpret():
+        assert off == 0
         return [padded[:, u : u + wo] for u in range(T)]
     W = padded.shape[-1]
     out = []
     for u in range(T):
-        if u == 0:
+        d = u - off
+        if d == 0:
             out.append(padded[:, :wo])
         else:
-            out.append(pltpu.roll(padded, W - u, 1)[:, :wo])
+            out.append(pltpu.roll(padded, (W - d) % W, 1)[:, :wo])
     return out
 
 
-def _row_pass_split(padded, xtaps: np.ndarray, wo: int, reps, slot_rep):
+def _reflect_block(q, wo: int, r: int, band_h: int):
+    """[band_h, 128] wrap block making lane rolls over q REFLECT_101-correct.
+
+    q[:, :wo] holds the true image columns (w == wo). The row pass reads
+    column (c + d) mod wp for d in [-r, r]; storing block[m] = img[w-2-m]
+    (right reflection, lanes 0..r-1) and block[128-k] = img[k] (left
+    reflection via wrap-around, lanes 128-r..127) in q[:, wo:wo+128] makes
+    every out-of-range read land on its reflected column. Built from two
+    aligned 128-lane strips with narrow rolls + one-lane selects (Mosaic
+    has no lane-reversal primitive); the untouched middle lanes are never
+    referenced because |d| <= r < 64.
+    """
+    Sr = q[:, wo - 128 : wo]
+    Sl = q[:, 0:128]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (band_h, 128), 1)
+    block = jnp.zeros((band_h, 128), jnp.float32)
+    for m in range(r):
+        block = jnp.where(lane == m, pltpu.roll(Sr, 2 * m + 2, 1), block)
+    for k in range(1, r + 1):
+        block = jnp.where(lane == 128 - k, pltpu.roll(Sl, 128 - 2 * k, 1), block)
+    return block
+
+
+def _row_pass_split(padded, xtaps: np.ndarray, wo: int, reps, slot_rep, off: int = 0):
     """Dedup'd symmetry-folded row pass emitting bf16 (hi, lo) stacks.
 
     The hi/lo split happens on the register-resident accumulators, so the
@@ -239,7 +270,7 @@ def _row_pass_split(padded, xtaps: np.ndarray, wo: int, reps, slot_rep):
     """
     K, T = xtaps.shape
     r = (T - 1) // 2
-    xsl = _shifted_slices(padded, T, wo)
+    xsl = _shifted_slices(padded, T, wo, off)
     center = xsl[r]
     sums = [xsl[r + u] + xsl[r - u] for u in range(1, r + 1)]
     diffs = [xsl[r + u] - xsl[r - u] for u in range(1, r + 1)]
@@ -343,10 +374,18 @@ def _g4_quad_terms():
 def _g2_maps_tiled_kernel(
     img_hbm, chi_ref, clo_ref, edges_ref, dark_ref, bright_ref, band, sems,
     *, xtaps, tile_h, wo, num_tiles, reps, slot_rep, s_last, mode="maps",
+    xoff=0,
 ):
     """Grid (N, T): band DMA of image rows (8-aligned window, REFLECT_101 via
     the column matrices), double-buffered across grid steps, then the fused
-    front-end math on the VMEM band. See the section comment above."""
+    front-end math on the VMEM band. See the section comment above.
+
+    xoff=0: the image in HBM carries a materialized width reflect-pad and
+    fills the whole band scratch. xoff=r (the no-pad fast path for aligned
+    sizes): the UNPADDED image is DMA'd into the first wo lanes and the
+    reflection lives in a wrap block built in-kernel (_reflect_block), so
+    no padded copy of the image is ever written to HBM.
+    """
     n = pl.program_id(0)
     t = pl.program_id(1)
     band_h = tile_h + 2 * _ROW_ALIGN
@@ -357,9 +396,13 @@ def _g2_maps_tiled_kernel(
         return pl.multiple_of(s, _ROW_ALIGN)
 
     def band_dma(slot, nn, tt):
+        if xoff:
+            dst = band.at[slot, pl.ds(0, band_h), pl.ds(0, wo)]
+        else:
+            dst = band.at[slot]
         return pltpu.make_async_copy(
             img_hbm.at[nn, pl.ds(start_row(tt), band_h), :],
-            band.at[slot],
+            dst,
             sems.at[slot],
         )
 
@@ -389,8 +432,12 @@ def _g2_maps_tiled_kernel(
 
     band_dma(slot, n, t).wait()
 
+    if xoff:
+        band[slot, :, wo : wo + 128] = _reflect_block(
+            band[slot], wo, xoff, band_h
+        )
     padded = band[slot]  # [band_h, wp]
-    rows_hi, rows_lo = _row_pass_split(padded, xtaps, wo, reps, slot_rep)
+    rows_hi, rows_lo = _row_pass_split(padded, xtaps, wo, reps, slot_rep, xoff)
 
     cls = jnp.where(t == 0, 0, jnp.where(t == num_tiles - 1, 2, 1))
     chi = chi_ref[cls]  # [K, tile_h, band_h] bf16
@@ -414,28 +461,36 @@ def _g2_maps_tiled_kernel(
                 c2 = p * w2 if c2 is None else c2 + p * w2
             if abs(w3) > 1e-7:
                 c3 = p * w3 if c3 is None else c3 + p * w3
-        rho = jnp.sqrt(c2 * c2 + c3 * c3)
-        inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
-        cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
-        ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
-        st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
-        st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
-        c2_, s2_ = ct * ct, st * st
-        c3_, s3_ = c2_ * ct, s2_ * st
-        c4_, s4_ = c3_ * ct, s3_ * st
-        c5_, s5_ = c4_ * ct, s4_ * st
+        # Sqrt-free G4 steering tail (same scheme as the G2 one below, one
+        # harmonic higher): with (u, v) = (cos 2t, sin 2t), the even powers
+        # are cc = ct^2 = (1+u)/2, ss = st^2 = (1-u)/2, ct*st = v/2, so
+        #   g4v   = cc^2*b0 + 6*cc*ss*b2 + ss^2*b4 - 2v*(cc*b1 + ss*b3)
+        #   h4v   = ct*P - st*Q,  P = cc^2*b5 + 10*cc*ss*b7 + 5*ss^2*b9,
+        #                         Q = 5*cc^2*b6 + 10*cc*ss*b8 + ss^2*b10
+        #   h4v^2 = ((P^2+Q^2) + u*(P^2-Q^2))/2 - v*P*Q
+        # and the maps only consume g4v (with sign) and h4v^2.
+        s2 = c2 * c2 + c3 * c3
+        inv_rho = jnp.where(s2 > 0.0, jax.lax.rsqrt(s2), 0.0)
+        u = jnp.where(s2 > 0.0, c2 * inv_rho, 1.0)
+        v = c3 * inv_rho
+        cc = 0.5 * (1.0 + u)
+        ss = 0.5 * (1.0 - u)
+        cc2, ss2, cs = cc * cc, ss * ss, cc * ss
         g4v = (
-            c4_ * b[0] - 4.0 * c3_ * st * b[1] + 6.0 * c2_ * s2_ * b[2]
-            - 4.0 * ct * s3_ * b[3] + s4_ * b[4]
+            cc2 * b[0] + 6.0 * cs * b[2] + ss2 * b[4]
+            - 2.0 * v * (cc * b[1] + ss * b[3])
         )
-        h4v = (
-            c5_ * b[5] - 5.0 * c4_ * st * b[6] + 10.0 * c3_ * s2_ * b[7]
-            - 10.0 * c2_ * s3_ * b[8] + 5.0 * ct * s4_ * b[9] - s5_ * b[10]
+        P = cc2 * b[5] + 10.0 * cs * b[7] + 5.0 * ss2 * b[9]
+        Q = 5.0 * cc2 * b[6] + 10.0 * cs * b[8] + ss2 * b[10]
+        PP, QQ = P * P, Q * Q
+        h4sq = jnp.maximum(
+            0.5 * ((PP + QQ) + u * (PP - QQ)) - v * (P * Q), 0.0
         )
-        mag2 = g4v * g4v + h4v * h4v
+        g4sq_r = g4v * g4v
+        mag2 = g4sq_r + h4sq
         inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
-        edges_ref[0] = (h4v * h4v) * inv_mag
-        g4sq = (g4v * g4v) * inv_mag
+        edges_ref[0] = h4sq * inv_mag
+        g4sq = g4sq_r * inv_mag
         dark_ref[0] = jnp.where(g4v > 0.0, g4sq, 0.0)
         bright_ref[0] = jnp.where(g4v < 0.0, g4sq, 0.0)
         return
@@ -453,15 +508,14 @@ def _g2_maps_tiled_kernel(
         - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
     )
 
-    rho = jnp.sqrt(c2 * c2 + c3 * c3)
-    inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
-    # rho==0 must steer to theta=0 (arctan2(0,0)=0 on the XLA path), not pi/4.
-    cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
-    ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
-    st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
-    st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
-
     if mode == "features":
+        rho = jnp.sqrt(c2 * c2 + c3 * c3)
+        inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
+        # rho==0 must steer to theta=0 (arctan2(0,0)=0, XLA path), not pi/4.
+        cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
+        ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
+        st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
+        st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
         # Detector maps: corner score c1 - rho (filters.g2.corner_strength)
         # and the half-angle (cos, sin) — theta itself is recovered by
         # arctan2 only at the few selected keypoints.
@@ -478,15 +532,29 @@ def _g2_maps_tiled_kernel(
         bright_ref[0] = st
         return
 
-    ct2, st2 = ct * ct, st * st
-    ct3, st3 = ct2 * ct, st2 * st
-    g2v = ct2 * g2a - 2.0 * ct * st * g2b + st2 * g2c
-    h2v = ct3 * h2a - 3.0 * ct2 * st * h2b + 3.0 * ct * st2 * h2c - st3 * h2d
-
-    mag2 = g2v * g2v + h2v * h2v
+    # Sqrt-free steering tail. With (u, v) = (cos 2t, sin 2t) = (c2, c3)/rho,
+    # half-angle identities give ct^2 = (1+u)/2, st^2 = (1-u)/2, ct*st = v/2,
+    # so the steered responses need NO half-angle square roots:
+    #   g2v   = ((g2a+g2c) + u*(g2a-g2c))/2 - v*g2b
+    #   h2v   = ct*P - st*Q  with  P = ct^2*h2a + 3*st^2*h2c,
+    #                              Q = 3*ct^2*h2b + st^2*h2d
+    #   h2v^2 = ((P^2+Q^2) + u*(P^2-Q^2))/2 - v*P*Q
+    # and the three output maps only consume g2v (with sign) and h2v^2.
+    # rho==0 must steer to theta=0 (u=1, v=0), matching arctan2(0,0) = 0.
+    s2 = c2 * c2 + c3 * c3
+    inv_rho = jnp.where(s2 > 0.0, jax.lax.rsqrt(s2), 0.0)
+    u = jnp.where(s2 > 0.0, c2 * inv_rho, 1.0)
+    v = c3 * inv_rho
+    g2v = 0.5 * ((g2a + g2c) + u * (g2a - g2c)) - v * g2b
+    P = 0.5 * ((h2a + 3.0 * h2c) + u * (h2a - 3.0 * h2c))
+    Q = 0.5 * ((3.0 * h2b + h2d) + u * (3.0 * h2b - h2d))
+    PP, QQ = P * P, Q * Q
+    h2sq = jnp.maximum(0.5 * ((PP + QQ) + u * (PP - QQ)) - v * (P * Q), 0.0)
+    g2sq = g2v * g2v
+    mag2 = g2sq + h2sq
     inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
-    edges_ref[0] = (h2v * h2v) * inv_mag
-    g2sq_over_mag = (g2v * g2v) * inv_mag
+    edges_ref[0] = h2sq * inv_mag
+    g2sq_over_mag = g2sq * inv_mag
     dark_ref[0] = jnp.where(g2v > 0.0, g2sq_over_mag, 0.0)
     bright_ref[0] = jnp.where(g2v < 0.0, g2sq_over_mag, 0.0)
 
@@ -704,15 +772,31 @@ def g2_maps_tiled_pallas(
     num_tiles = -(-h // tile_h)  # ceil: output rows >= h, cropped below
     ho = num_tiles * tile_h
     band_h = tile_h + 2 * _ROW_ALIGN
-    # Mosaic DMA slices must be lane-aligned: round the padded width to 128.
-    wp = _round_up(wo + 2 * r, 128)
 
-    # Width pad: reflect r columns each side, zero-fill to wp lanes; rows are
-    # zero-filled to a multiple of 8 only when h is not already one (the
-    # alignment rows are never referenced by the column matrices).
+    # Fast path for aligned shapes (512x512, 480x640, ...): DMA the raw
+    # image and build the width reflection in-kernel as a wrap block
+    # (_reflect_block) — no padded copy of the image is materialized in HBM
+    # at all. Fallback: materialize the classic reflect-pad via XLA.
+    fast_reflect = (
+        not _interpret()
+        and w == wo
+        and w >= 128
+        and h % _ROW_ALIGN == 0
+        and r <= 32
+    )
     img = image.reshape((-1, h, w)).astype(jnp.float32)
-    img = jnp.pad(img, [(0, 0), (0, 0), (r, r)], mode="reflect")
-    img = jnp.pad(img, [(0, 0), (0, h8 - h), (0, wp - (w + 2 * r))])
+    if fast_reflect:
+        wp = wo + 128
+        xoff = r
+    else:
+        # Mosaic DMA slices must be lane-aligned: round padded width to 128.
+        wp = _round_up(wo + 2 * r, 128)
+        xoff = 0
+        # Width pad: reflect r columns each side, zero-fill to wp lanes;
+        # rows are zero-filled to a multiple of 8 only when h is not already
+        # one (alignment rows are never referenced by the column matrices).
+        img = jnp.pad(img, [(0, 0), (0, 0), (r, r)], mode="reflect")
+        img = jnp.pad(img, [(0, 0), (0, h8 - h), (0, wp - (w + 2 * r))])
     n = img.shape[0]
 
     reps, slot_rep, slot_scale = _dedup_xtaps(xtaps)
@@ -724,6 +808,7 @@ def g2_maps_tiled_pallas(
         _g2_maps_tiled_kernel,
         xtaps=xtaps, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
         reps=reps, slot_rep=slot_rep, s_last=h8 - band_h, mode=mode,
+        xoff=xoff,
     )
     spec = pl.BlockSpec((1, tile_h, wo), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)

@@ -150,10 +150,14 @@ def test_multihost_helpers_single_host():
     total = float(fn(x))
     assert total == float(jnp.abs(x).sum())
 
-    hb = Heartbeat(interval_s=0.05, timeout_s=5.0).start()
+    hb = Heartbeat(interval_s=0.05, timeout_s=30.0).start()
     import time as _t
 
-    _t.sleep(0.4)
+    # Deadline-based, not fixed-sleep: on a loaded host the beat thread can
+    # be starved well past interval_s, and a fixed sleep flakes.
+    deadline = _t.monotonic() + 20.0
+    while hb.beats < 2 and _t.monotonic() < deadline:
+        _t.sleep(0.05)
     hb.stop()
     assert hb.beats >= 2 and not hb.failed
 
