@@ -22,7 +22,9 @@ import time
 
 B, H, W = 64, 512, 512
 DEVICE_ITERS = 24  # chained dispatches
-UNROLL = 2  # kernel invocations per dispatch (amortizes tunnel RPC cost)
+UNROLL = 4  # kernel invocations per dispatch (amortizes tunnel RPC cost; 8+
+# measures ~10% faster when warm but its cold remote-compile takes >9 min
+# through the tunnel, which a fresh bench invocation cannot afford)
 BASE_MIN_ITERS = 2
 BASE_MIN_SECONDS = 3.0
 
