@@ -65,6 +65,15 @@ class Keyframe:
     # lazily computed global descriptor (loopclosure.keyframe_signature);
     # lives on the keyframe so its lifetime is tied to the owning object
     signature: Optional[np.ndarray] = None
+    # device mirror of this keyframe's landmark positions per feature slot,
+    # (track_version, X [N, 3] jax, sel [N] jax) — rebuilt when the map
+    # changes (see _kf_track_cache); lives on the keyframe for lifetime
+    track_cache: Optional[tuple] = None
+    # host mirror (x_norm [N, 2] np, valid [N] np) of the immutable feature
+    # pixels — features never change after keyframe creation, so this is
+    # fetched once; windowed BA over an 8-keyframe window otherwise costs
+    # 16 blocking device fetches per keyframe on a remote device
+    host_cache: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -79,6 +88,9 @@ class VOState:
     )  # (frame_idx, R, t)
     initialized: bool = False
     frame_count: int = 0
+    # bumped whenever landmark positions / keyframe poses mutate (BA, loop
+    # closure, initialization) — invalidates per-keyframe track caches
+    track_version: int = 0
 
     def poses(self) -> Tuple[np.ndarray, np.ndarray]:
         """Trajectory as (R [F, 3, 3], t [F, 3])."""
@@ -136,6 +148,70 @@ def _windowed_ba_jit(ba_state: BAState, problem: BAProblem, iterations: int):
 _triangulate_jit = jax.jit(triangulate)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ratio", "iterations", "huber_delta", "min_track", "dual_init"),
+)
+def _track_fused_jit(
+    desc_a, valid_a, X_slots, sel_slots, yx_b, desc_b, valid_b,
+    R0, t0, R1, t1, K4,
+    *, ratio, iterations, huber_delta, min_track, dual_init,
+):
+    """The whole steady-state tracking step in ONE dispatch / ONE fetch.
+
+    Match to the keyframe, gather the matched features' normalized pixels,
+    pair them with the keyframe-slot landmark mirror (X_slots/sel_slots,
+    prebuilt on device per keyframe), run the motion-only PnP refinement,
+    and — when ``dual_init`` — refine from both the motion-model prediction
+    (R0, t0) and the keyframe pose (R1, t1), selecting on-device exactly as
+    the old host retry did (fall back when the prediction yields < min_track
+    inliers and the keyframe init does better). On a remote/tunneled device
+    every separate blocking fetch costs a full RTT; this folds the previous
+    3-4 fetches per frame (match index, feature pixels, refinement, content
+    check) into one.
+    """
+    idx = match_descriptors(desc_a, valid_a, desc_b, valid_b, ratio=ratio).index
+    use = (idx >= 0) & sel_slots
+    yx = yx_b[jnp.maximum(idx, 0)]
+    uv = jnp.stack(
+        [(yx[:, 1] - K4[2]) / K4[0], (yx[:, 0] - K4[3]) / K4[1]], -1
+    )
+    uv = jnp.where(use[:, None], uv, 0.0)
+    Ra, ta, ia = refine_pose(
+        X_slots, uv, use, R0, t0,
+        iterations=iterations, huber_delta=huber_delta, lam0=1e-4,
+    )
+    na = jnp.sum(ia)
+    if dual_init:
+        Rb, tb, ib = refine_pose(
+            X_slots, uv, use, R1, t1,
+            iterations=iterations, huber_delta=huber_delta, lam0=1e-4,
+        )
+        nb = jnp.sum(ib)
+        pick_b = (na < min_track) & (nb > na)
+        Ra = jnp.where(pick_b, Rb, Ra)
+        ta = jnp.where(pick_b, tb, ta)
+        na = jnp.where(pick_b, nb, na)
+    return Ra, ta, na, idx, jnp.sum(valid_b)
+
+
+def _kf_track_cache(state: VOState, kf: Keyframe):
+    """Device mirror of ``kf``'s per-slot landmark positions.
+
+    Rebuilt when state.track_version moves (BA, loop closure, or
+    initialization mutated the map); otherwise the cached device arrays are
+    reused so tracking never re-uploads or re-gathers landmarks."""
+    if kf.track_cache is None or kf.track_cache[0] != state.track_version:
+        ids = kf.landmark_ids
+        sel = ids >= 0
+        X = np.zeros((ids.shape[0], 3), np.float32)
+        X[sel] = state.landmarks[ids[sel]]
+        kf.track_cache = (
+            state.track_version, jnp.asarray(X), jnp.asarray(sel)
+        )
+    return kf.track_cache[1], kf.track_cache[2]
+
+
 def _match(state: VOState, fa: Features, fb: Features):
     idx = np.asarray(
         _match_jit(fa.desc, fa.valid, fb.desc, fb.valid, ratio=state.config.match_ratio)
@@ -151,6 +227,16 @@ def _norm_pts(state: VOState, feats: Features) -> np.ndarray:
     x = (yx[..., 1] - K.cx) / K.fx
     y = (yx[..., 0] - K.cy) / K.fy
     return np.stack([x, y], -1)
+
+
+def _kf_host_cache(state: VOState, kf: Keyframe):
+    """(x_norm, valid) host mirrors of a keyframe's immutable features."""
+    if kf.host_cache is None:
+        kf.host_cache = (
+            _norm_pts(state, kf.features),
+            np.asarray(kf.features.valid),
+        )
+    return kf.host_cache
 
 
 def _try_initialize(state: VOState, feats: Features) -> bool:
@@ -207,6 +293,7 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
     )
     state.trajectory.append((state.frame_count, R, t))
     state.initialized = True
+    state.track_version += 1  # fresh landmark registrations
     return True
 
 
@@ -235,48 +322,37 @@ def _predict_pose(state: VOState):
 
 
 def _track(state: VOState, feats: Features):
-    """Match to the last keyframe's landmark-bearing features; PnP refine."""
+    """Match to the last keyframe's landmark-bearing features; PnP refine.
+
+    One fused device dispatch and one blocking fetch (_track_fused_jit).
+    Returns (R, t, n_tracked, idx, valid, n_valid_features)."""
     kf = state.keyframes[-1]
-    idx, valid = _match(state, kf.features, feats)
-
-    has_lm = kf.landmark_ids >= 0
-    use = valid & has_lm
-    lm_ids = np.where(use, kf.landmark_ids, -1)
-
-    n = len(idx)
-    X = np.zeros((n, 3), np.float32)
-    sel = lm_ids >= 0
-    X[sel] = state.landmarks[lm_ids[sel]]
-    uv_all = _norm_pts(state, feats)
-    uv = np.zeros((n, 2), np.float32)
-    uv[sel] = uv_all[np.maximum(idx, 0)[sel]]
-
-    def _refine(R_init, t_init):
-        R, t, n = jax.device_get(
-            _refine_pose_jit(
-                jnp.asarray(X),
-                jnp.asarray(uv),
-                jnp.asarray(sel),
-                jnp.asarray(R_init),
-                jnp.asarray(t_init),
-                iterations=10,
-                huber_delta=state.config.huber_delta,
-            )
-        )
-        return R, t, int(n)
+    X_dev, sel_dev = _kf_track_cache(state, kf)
 
     Rp, tp = _predict_pose(state) if state.config.motion_model else (kf.R, kf.t)
-    R, t, n_tracked = _refine(Rp, tp)
-    if n_tracked < state.config.track_min_landmarks and not (
+    dual = state.config.motion_model and not (
         np.array_equal(Rp, kf.R) and np.array_equal(tp, kf.t)
-    ):
-        # prediction led PnP astray: retry from the keyframe pose
-        R2, t2, n2 = _refine(kf.R, kf.t)
-        if n2 > n_tracked:
-            R, t, n_tracked = R2, t2, n2
+    )
+    K = state.config.intrinsics
+    R, t, n, idx, n_valid = jax.device_get(
+        _track_fused_jit(
+            kf.features.desc, kf.features.valid, X_dev, sel_dev,
+            feats.yx, feats.desc, feats.valid,
+            jnp.asarray(Rp), jnp.asarray(tp),
+            jnp.asarray(kf.R), jnp.asarray(kf.t),
+            jnp.asarray([K.fx, K.fy, K.cx, K.cy], jnp.float32),
+            ratio=state.config.match_ratio,
+            iterations=10,
+            huber_delta=state.config.huber_delta,
+            min_track=state.config.track_min_landmarks,
+            dual_init=dual,
+        )
+    )
+    n_tracked = int(n)
+    idx = np.asarray(idx)
     if not (np.isfinite(R).all() and np.isfinite(t).all()):
         R, t, n_tracked = kf.R.copy(), kf.t.copy(), 0
-    return R, t, n_tracked, idx, valid
+    return np.asarray(R), np.asarray(t), n_tracked, idx, idx >= 0, int(n_valid)
 
 
 def _track_against(state: VOState, feats: Features, kf: Keyframe):
@@ -348,10 +424,11 @@ def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid, ref_kf=None
 
     # triangulate brand-new correspondences (static [N] shape: all feature
     # slots go to the device, the fresh subset is selected host-side after)
+    x_new = _norm_pts(state, feats)  # one fetch; seeds the new kf's cache
     fresh = valid & ~prev_has
     if fresh.sum() >= 8 and state.num_landmarks < state.config.max_landmarks:
-        x_prev_all = _norm_pts(state, kf_prev.features)
-        x_new_all = _norm_pts(state, feats)[np.maximum(idx, 0)]
+        x_prev_all = _kf_host_cache(state, kf_prev)[0]
+        x_new_all = x_new[np.maximum(idx, 0)]
         P1 = jnp.asarray(
             np.concatenate([kf_prev.R, kf_prev.t[:, None]], 1), jnp.float32
         )
@@ -376,7 +453,9 @@ def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid, ref_kf=None
             kf_prev.landmark_ids[prev_feat_idx] = new_ids
             lm_ids[np.maximum(idx, 0)[prev_feat_idx]] = new_ids
 
-    state.keyframes.append(Keyframe(state.frame_count, feats, R, t, lm_ids))
+    kf_new = Keyframe(state.frame_count, feats, R, t, lm_ids)
+    kf_new.host_cache = (x_new, np.asarray(feats.valid))
+    state.keyframes.append(kf_new)
     _windowed_ba(state)
 
 
@@ -423,8 +502,7 @@ def _windowed_ba(state: VOState):
     uv = np.zeros((Cp, Lp, 2), np.float32)
     mask = np.zeros((Cp, Lp), bool)
     for c, kf in enumerate(window):
-        x = _norm_pts(state, kf.features)
-        fvalid = np.asarray(kf.features.valid)
+        x, fvalid = _kf_host_cache(state, kf)
         sel = (kf.landmark_ids >= 0) & fvalid & np.isin(kf.landmark_ids, lm_set)
         loc = np.searchsorted(lm_set, kf.landmark_ids[sel])
         uv[c, loc] = x[sel]
@@ -469,6 +547,7 @@ def _windowed_ba(state: VOState):
         for kf in state.keyframes:
             drop = np.isin(kf.landmark_ids, list(bad_global))
             kf.landmark_ids[drop] = -1
+    state.track_version += 1  # poses, landmark positions, and culls moved
 
 
 def process_frame(state: VOState, feats: Features) -> VOState:
@@ -498,7 +577,7 @@ def process_frame(state: VOState, feats: Features) -> VOState:
         state.frame_count += 1
         return state
 
-    R, t, n_tracked, idx, valid = _track(state, feats)
+    R, t, n_tracked, idx, valid, n_valid = _track(state, feats)
     ref_kf = None
     if n_tracked < 8:
         # tracking lost against the current keyframe: relocalize globally
@@ -514,7 +593,8 @@ def process_frame(state: VOState, feats: Features) -> VOState:
     )
     # never promote a degenerate frame (blackout/blur): a featureless
     # keyframe would become the tracking reference and strand the VO
-    has_content = int(feats.valid.sum()) >= 16
+    # (n_valid came back in the fused track fetch — no extra RTT)
+    has_content = n_valid >= 16
     if needs_kf and has_content:
         _add_keyframe(state, feats, R, t, idx, valid, ref_kf=ref_kf)
         if state.config.loop_closure:
@@ -528,6 +608,7 @@ def process_frame(state: VOState, feats: Features) -> VOState:
                 min_gap=state.config.loop_min_gap,
                 min_inliers=state.config.loop_min_inliers,
             )
+            state.track_version += 1  # closure may rewrite poses + landmarks
         kf = state.keyframes[-1]
         # the windowed BA just refined this pose — reflect it in the trajectory
         state.trajectory[-1] = (state.frame_count, kf.R.copy(), kf.t.copy())

@@ -104,20 +104,21 @@ def stage_kernel(img_hbm, chi_ref, clo_ref, o0, o1, o2, band, sems,
         o0[0], o1[0], o2[0] = c2, c3, c2 + c3
         return
 
-    rho = jnp.sqrt(c2 * c2 + c3 * c3)
-    inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
-    cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
-    ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
-    st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
-    st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
-    ct2, st2 = ct * ct, st * st
-    ct3, st3 = ct2 * ct, st2 * st
-    g2v = ct2 * g2a - 2.0 * ct * st * g2b + st2 * g2c
-    h2v = ct3 * h2a - 3.0 * ct2 * st * h2b + 3.0 * ct * st2 * h2c - st3 * h2d
-    mag2 = g2v * g2v + h2v * h2v
+    # Sqrt-free steering tail — mirror of the production kernel's.
+    s2 = c2 * c2 + c3 * c3
+    inv_rho = jnp.where(s2 > 0.0, jax.lax.rsqrt(s2), 0.0)
+    u = jnp.where(s2 > 0.0, c2 * inv_rho, 1.0)
+    v = c3 * inv_rho
+    g2v = 0.5 * ((g2a + g2c) + u * (g2a - g2c)) - v * g2b
+    P = 0.5 * ((h2a + 3.0 * h2c) + u * (h2a - 3.0 * h2c))
+    Q = 0.5 * ((3.0 * h2b + h2d) + u * (3.0 * h2b - h2d))
+    PP, QQ = P * P, Q * Q
+    h2sq = jnp.maximum(0.5 * ((PP + QQ) + u * (PP - QQ)) - v * (P * Q), 0.0)
+    g2sq_ = g2v * g2v
+    mag2 = g2sq_ + h2sq
     inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
-    o0[0] = (h2v * h2v) * inv_mag
-    g2sq = (g2v * g2v) * inv_mag
+    o0[0] = h2sq * inv_mag
+    g2sq = g2sq_ * inv_mag
     o1[0] = jnp.where(g2v > 0.0, g2sq, 0.0)
     o2[0] = jnp.where(g2v < 0.0, g2sq, 0.0)
 
