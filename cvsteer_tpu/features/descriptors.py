@@ -29,7 +29,7 @@ import numpy as np
 
 from cvsteer_tpu.features.keypoints import Keypoints
 from cvsteer_tpu.filters.g2 import G2A, G2B, G2C, H2A, H2B, H2C, H2D
-from cvsteer_tpu.ops.interp import bilinear_sample_channels_last
+from cvsteer_tpu.ops.interp import bilinear_sample_channels_last_pair_bf16
 
 
 def _grid_offsets(grid: int, spacing: float) -> np.ndarray:
@@ -60,8 +60,14 @@ def phase_descriptors(
     ys = keypoints.yx[:, 0:1] + dy
     xs = keypoints.yx[:, 1:2] + dx
 
-    # [N, S, 7]: channels-last row gathers (see bilinear_sample_channels_last)
-    samples = bilinear_sample_channels_last(jnp.moveaxis(basis, 0, -1), ys, xs)
+    # [N, S, 7]: two channels-last bf16 row gathers per sample from a
+    # right-neighbor pair table. Measured on v5e: XLA gather cost scales
+    # with GATHERED LANES (a 28-lane quad-table gather costs ~4x a 7-lane
+    # one, so one quad gather loses to two 14-lane pair gathers), making
+    # the pair table the sweet spot. Combine + steering stay fp32.
+    samples = bilinear_sample_channels_last_pair_bf16(
+        jnp.moveaxis(basis, 0, -1), ys, xs
+    )
 
     ct2, st2 = ct * ct, st * st
     ct3, st3 = ct2 * ct, st2 * st

@@ -83,43 +83,94 @@ def extract_features(
         bank = fg2.g2_bank()
     single = images.ndim == 2
     imgs = images[None] if single else images
-    levels = gaussian_pyramid(imgs, cfg.levels)
+    with jax.named_scope("pyramid"):
+        levels = gaussian_pyramid(imgs, cfg.levels)
     on_tpu = jax.default_backend() == "tpu"
+    if cfg.score == "corner" and on_tpu:
+        return _extract_features_tpu(levels, bank, cfg, single)
     parts = []
     for lvl, lv_imgs in enumerate(levels):
-        basis = fg2.g2_basis(lv_imgs, bank)  # [B, K, H, W]
-        if cfg.score == "corner" and on_tpu:
-            # fused detector kernel: score + half-angle (cos, sin) in one
-            # pass — replaces the basis -> XLA elementwise coefficient chain
-            # that dominated the per-level cost
-            from cvsteer_tpu.ops.pallas_frontend import g2_feature_maps_pallas
+        with jax.named_scope(f"basis_l{lvl}"):
+            basis = fg2.g2_basis(lv_imgs, bank)  # [B, K, H, W]
+        c1, c2, c3 = fg2.energy_coefficients(basis)
+        theta, strength = fg2.dominant_orientation(c2, c3)
+        score_map = (
+            fg2.corner_strength(c1, c2, c3) if cfg.score == "corner" else strength
+        )
+        ctm, stm = jnp.cos(theta), jnp.sin(theta)
+        with jax.named_scope(f"detect_l{lvl}"):
+            kp = jax.vmap(
+                lambda s, c, si: detect_keypoints_cs(
+                    s,
+                    c,
+                    si,
+                    max_keypoints=cfg.keypoints_per_level,
+                    nms_radius=cfg.nms_radius,
+                    threshold=cfg.threshold,
+                    approx=on_tpu,
+                )
+            )(score_map, ctm, stm)
+        with jax.named_scope(f"desc_l{lvl}"):
+            desc = jax.vmap(
+                lambda b, k: phase_descriptors(
+                    b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
+                )
+            )(basis, kp)
+        scale = float(2**lvl)
+        parts.append(
+            Features(
+                yx=kp.yx * scale,
+                score=kp.score,
+                theta=kp.theta,
+                level=jnp.full(kp.score.shape, lvl, jnp.int32),
+                desc=desc,
+                valid=kp.valid,
+            )
+        )
+    feats = Features(*(jnp.concatenate(xs, axis=1) for xs in zip(*parts)))
+    if single:
+        feats = jax.tree.map(lambda x: x[0], feats)
+    return feats
 
-            score_map, ctm, stm = g2_feature_maps_pallas(
-                lv_imgs, bank.xtaps, bank.ytaps
+
+def _extract_features_tpu(levels, bank, cfg: FrontendConfig, single: bool):
+    """TPU fast path: one fused kernel pass per level.
+
+    ops.pallas_frontend.g2_features_full_pallas produces basis + raw /
+    NMS-masked corner score + half-angle maps in a single kernel pass
+    (the old pipeline ran the bank twice plus an XLA reduce_window/mask
+    chain). Selection stays per level: a cross-level batched approx_max_k
+    over -inf-padded scores was tried and measured NO faster — approx_max_k
+    cost scales with total (padded) elements, not call count.
+    """
+    from cvsteer_tpu.features.keypoints import detect_keypoints_premasked
+    from cvsteer_tpu.ops.pallas_frontend import g2_features_full_pallas
+
+    per = []
+    for lvl, lv_imgs in enumerate(levels):
+        with jax.named_scope(f"detmaps_l{lvl}"):
+            raw, masked, ctm, stm, basis = g2_features_full_pallas(
+                lv_imgs, bank.xtaps, bank.ytaps,
+                threshold=cfg.threshold, nms_radius=cfg.nms_radius,
             )
-        else:
-            c1, c2, c3 = fg2.energy_coefficients(basis)
-            theta, strength = fg2.dominant_orientation(c2, c3)
-            score_map = (
-                fg2.corner_strength(c1, c2, c3) if cfg.score == "corner" else strength
-            )
-            ctm, stm = jnp.cos(theta), jnp.sin(theta)
-        kp = jax.vmap(
-            lambda s, c, si: detect_keypoints_cs(
-                s,
-                c,
-                si,
-                max_keypoints=cfg.keypoints_per_level,
-                nms_radius=cfg.nms_radius,
-                threshold=cfg.threshold,
-                approx=on_tpu,
-            )
-        )(score_map, ctm, stm)
-        desc = jax.vmap(
-            lambda b, k: phase_descriptors(
-                b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
-            )
-        )(basis, kp)
+        per.append((raw, masked, ctm, stm, basis))
+
+    parts = []
+    for lvl, (raw, masked, ctm, stm, basis) in enumerate(per):
+        with jax.named_scope(f"detect_l{lvl}"):
+            kp = jax.vmap(
+                lambda rw, mk, c, si: detect_keypoints_premasked(
+                    rw, mk, c, si,
+                    max_keypoints=cfg.keypoints_per_level,
+                    approx=True,
+                )
+            )(raw, masked, ctm, stm)
+        with jax.named_scope(f"desc_l{lvl}"):
+            desc = jax.vmap(
+                lambda b, k: phase_descriptors(
+                    b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
+                )
+            )(basis, kp)
         scale = float(2**lvl)
         parts.append(
             Features(

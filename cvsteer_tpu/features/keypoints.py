@@ -10,7 +10,7 @@ keypoints exist.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +49,7 @@ def _maxpool_same(x: jax.Array, k: int) -> jax.Array:
     )
 
 
-def _subpixel_offset(s: jax.Array, ym: jax.Array, y0: jax.Array, yp: jax.Array):
+def _subpixel_offset(ym: jax.Array, y0: jax.Array, yp: jax.Array):
     """1-D quadratic peak offset in [-0.5, 0.5] from neighbor samples."""
     denom = ym - 2.0 * y0 + yp
     off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (ym - yp) / denom, 0.0)
@@ -58,14 +58,24 @@ def _subpixel_offset(s: jax.Array, ym: jax.Array, y0: jax.Array, yp: jax.Array):
 
 def _detect_core(
     strength: jax.Array,
+    aux: Sequence[jax.Array],
     max_keypoints: int,
     nms_radius: int,
     threshold: float,
     border: Optional[int],
     approx: bool,
 ):
-    """NMS + top-N selection + subpixel refinement; returns
-    (yi, xi, yx, scores, valid)."""
+    """NMS + top-N selection + subpixel refinement.
+
+    Returns (yx, scores, valid, aux_rows) where ``aux_rows [N, len(aux)]``
+    holds each aux map's value at the keypoint. The subpixel neighborhood
+    (4 neighbors) and the aux picks come from ONE channels-last row gather
+    of a stacked table: per-element picks along the minor (lane) dimension
+    are ~50x slower on TPU than major-dim row gathers (see ops/interp.py),
+    and the old form cost 6+ such picks per level. Border note: keypoints
+    can only be selected at least ``border`` (>= 1) pixels from the edge,
+    so the edge-clamped shifted maps agree with interior neighbor reads.
+    """
     H, W = strength.shape
     k = 2 * nms_radius + 1
     b = (nms_radius + 1) if border is None else border
@@ -77,6 +87,18 @@ def _detect_core(
     mask = is_max & in_border & (strength > threshold)
 
     score_masked = jnp.where(mask, strength, -jnp.inf)
+    return _select_and_refine(strength, score_masked, aux, max_keypoints, approx)
+
+
+def _select_and_refine(
+    strength: jax.Array,
+    score_masked: jax.Array,
+    aux: Sequence[jax.Array],
+    max_keypoints: int,
+    approx: bool,
+):
+    """Top-N selection on a pre-masked score + table-gather subpixel/aux."""
+    H, W = strength.shape
     kk = min(max_keypoints, H * W)  # tiny pyramid levels: fewer pixels than k
     if approx and kk < H * W:
         # TPU-optimized approximate top-k (recall >= 0.99): the full-map
@@ -91,22 +113,85 @@ def _detect_core(
         pad = max_keypoints - kk
         flat_scores = jnp.pad(flat_scores, (0, pad), constant_values=-jnp.inf)
         flat_idx = jnp.pad(flat_idx, (0, pad))
+    return _gather_refine(strength, aux, flat_scores, flat_idx)
+
+
+def _gather_refine(
+    strength: jax.Array,
+    aux: Sequence[jax.Array],
+    flat_scores: jax.Array,
+    flat_idx: jax.Array,
+):
+    """Subpixel + aux picks for preselected flat indices (one row gather)."""
+    H, W = strength.shape
+    flat_idx = jnp.minimum(flat_idx, H * W - 1)  # cross-level padding guard
     valid = jnp.isfinite(flat_scores)
     yi = flat_idx // W
     xi = flat_idx % W
 
-    # Subpixel refinement: separable quadratic fit around the integer peak.
-    yc = jnp.clip(yi, 1, H - 2)
-    xc = jnp.clip(xi, 1, W - 2)
     s = strength
-    s0 = s[yc, xc]
-    dy = _subpixel_offset(s, s[yc - 1, xc], s0, s[yc + 1, xc])
-    dx = _subpixel_offset(s, s[yc, xc - 1], s0, s[yc, xc + 1])
+    up = jnp.concatenate([s[:1], s[:-1]], 0)
+    down = jnp.concatenate([s[1:], s[-1:]], 0)
+    left = jnp.concatenate([s[:, :1], s[:, :-1]], 1)
+    right = jnp.concatenate([s[:, 1:], s[:, -1:]], 1)
+    tbl = jnp.stack([s, up, down, left, right, *aux], -1).reshape(H * W, -1)
+    rows = tbl[flat_idx]  # [N, 5 + A] — one row gather
+    s0 = rows[:, 0]
+    dy = _subpixel_offset(rows[:, 1], s0, rows[:, 2])
+    dx = _subpixel_offset(rows[:, 3], s0, rows[:, 4])
 
     yx = jnp.stack(
         [yi.astype(jnp.float32) + dy, xi.astype(jnp.float32) + dx], axis=-1
     )
-    return yi, xi, yx, flat_scores, valid
+    return yx, flat_scores, valid, rows[:, 5:]
+
+
+def refine_selected_cs(
+    raw: jax.Array,
+    ct: jax.Array,
+    st: jax.Array,
+    flat_scores: jax.Array,
+    flat_idx: jax.Array,
+) -> Keypoints:
+    """Keypoints from externally selected flat indices (cross-level batched
+    top-k in features.frontend — approx_max_k costs ~28 us FIXED per call
+    on TPU, so one batched call replaces five per-level calls)."""
+    yx, scores, valid, aux = _gather_refine(raw, [ct, st], flat_scores, flat_idx)
+    theta = jnp.arctan2(aux[:, 1], aux[:, 0])
+    return Keypoints(
+        yx=jnp.where(valid[:, None], yx, 0.0),
+        score=jnp.where(valid, scores, 0.0),
+        theta=jnp.where(valid, theta, 0.0),
+        valid=valid,
+    )
+
+
+def detect_keypoints_premasked(
+    raw: jax.Array,
+    masked: jax.Array,
+    ct: jax.Array,
+    st: jax.Array,
+    *,
+    max_keypoints: int = 512,
+    approx: bool = False,
+) -> Keypoints:
+    """Selection-only detector for pre-masked scores.
+
+    Pairs with ops.pallas_frontend.g2_features_full_pallas, which applies
+    NMS + threshold + border masking in-kernel: ``masked`` is -inf outside
+    accepted maxima, ``raw`` is the unmasked score (subpixel refinement
+    needs real neighbor values), (ct, st) the half-angle orientation maps.
+    """
+    yx, scores, valid, aux = _select_and_refine(
+        raw, masked, [ct, st], max_keypoints, approx
+    )
+    theta = jnp.arctan2(aux[:, 1], aux[:, 0])
+    return Keypoints(
+        yx=jnp.where(valid[:, None], yx, 0.0),
+        score=jnp.where(valid, scores, 0.0),
+        theta=jnp.where(valid, theta, 0.0),
+        valid=valid,
+    )
 
 
 def detect_keypoints(
@@ -125,13 +210,13 @@ def detect_keypoints(
     inputs: vmap this function. ``border`` (default: nms_radius + 1) masks a
     frame around the image where the filter support is incomplete.
     """
-    yi, xi, yx, scores, valid = _detect_core(
-        strength, max_keypoints, nms_radius, threshold, border, approx
+    yx, scores, valid, aux = _detect_core(
+        strength, [theta], max_keypoints, nms_radius, threshold, border, approx
     )
     return Keypoints(
         yx=jnp.where(valid[:, None], yx, 0.0),
         score=jnp.where(valid, scores, 0.0),
-        theta=jnp.where(valid, theta[yi, xi], 0.0),
+        theta=jnp.where(valid, aux[:, 0], 0.0),
         valid=valid,
     )
 
@@ -152,10 +237,10 @@ def detect_keypoints_cs(
     Pairs with the fused Pallas detector front-end, which produces the
     half-angle (cos, sin) without transcendentals; arctan2 runs only on the
     few selected keypoints."""
-    yi, xi, yx, scores, valid = _detect_core(
-        strength, max_keypoints, nms_radius, threshold, border, approx
+    yx, scores, valid, aux = _detect_core(
+        strength, [ct, st], max_keypoints, nms_radius, threshold, border, approx
     )
-    theta = jnp.arctan2(st[yi, xi], ct[yi, xi])
+    theta = jnp.arctan2(aux[:, 1], aux[:, 0])
     return Keypoints(
         yx=jnp.where(valid[:, None], yx, 0.0),
         score=jnp.where(valid, scores, 0.0),

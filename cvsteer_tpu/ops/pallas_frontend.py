@@ -305,9 +305,11 @@ _ROW_ALIGN = 8
 
 
 def _col_mats_reflect(
-    ytaps: np.ndarray, scales, tile_h: int, h: int, h8: int, num_tiles: int
+    ytaps: np.ndarray, scales, tile_h: int, h: int, h8: int, num_tiles: int,
+    ext: int = 0,
 ) -> np.ndarray:
-    """[3, K, tile_h, band_h] banded column-conv matrices, REFLECT_101 rows.
+    """[3, K, ext + tile_h + ext, band_h] banded column-conv matrices,
+    REFLECT_101 rows.
 
     band_h = tile_h + 16; every band's DMA start row is a multiple of 8
     (first: 0, interior: t*tile_h - 8, last: h8 - band_h with h8 = h rounded
@@ -316,27 +318,44 @@ def _col_mats_reflect(
     is a positive multiple of 8), 2 = last (bottom reflection about the true
     h; output rows >= h and DMA'd alignment rows >= h are never referenced).
     The x-tap dedup scales are folded into each filter's rows here.
+
+    ``ext`` > 0 additionally emits ``ext`` rows above and below the tile
+    (matrix row i covers global output row t*tile_h + i - ext, reflected at
+    image boundaries) so a kernel can run row-window operations (NMS) on
+    the tile without cross-tile communication. Requires ext + r <=
+    _ROW_ALIGN so the extended support stays inside the band.
     """
     K, T = ytaps.shape
     r = (T - 1) // 2
-    assert r <= _ROW_ALIGN
+    assert r + ext <= _ROW_ALIGN
     a = _ROW_ALIGN
     band_h = tile_h + 2 * a
-    C = np.zeros((3, K, tile_h, band_h), np.float32)
+    te = tile_h + 2 * ext
+    C = np.zeros((3, K, te, band_h), np.float32)
+
+    def reflect(g):
+        # REFLECT_101 about [0, h)
+        while g < 0 or g >= h:
+            if g < 0:
+                g = -g
+            else:
+                g = 2 * (h - 1) - g
+        return g
 
     def fill(slot, t, s):
         for k in range(K):
             yt = ytaps[k].astype(np.float64) * float(scales[k])
-            for i in range(tile_h):
-                o = t * tile_h + i
-                if o >= h:
-                    continue  # alignment padding row: stays zero
+            for i in range(te):
+                o = t * tile_h + i - ext
+                if ext == 0 and o >= h:
+                    continue  # alignment padding row: stays zero (legacy)
+                # Extended / out-of-range rows mirror their reflected source
+                # row's coefficients: they are NMS context only, and the
+                # border mask (>= nms_radius + 1) keeps any reflected
+                # context from influencing an unmasked pixel.
+                g0 = reflect(o)
                 for v in range(-r, r + 1):
-                    g = o + v
-                    if g < 0:
-                        g = -g
-                    elif g >= h:
-                        g = 2 * (h - 1) - g
+                    g = reflect(g0 + v)
                     b = g - s
                     assert 0 <= b < band_h, (slot, t, i, v, b)
                     C[slot, k, i, b] += yt[v + r]
@@ -345,9 +364,9 @@ def _col_mats_reflect(
     if num_tiles > 2:
         for k in range(K):
             yt = ytaps[k].astype(np.float64) * float(scales[k])
-            for i in range(tile_h):
+            for i in range(te):
                 for v in range(-r, r + 1):
-                    C[1, k, i, i + v + a] += yt[v + r]
+                    C[1, k, i, i - ext + v + a] += yt[v + r]
     fill(2, num_tiles - 1, h8 - band_h)
     return C
 
@@ -371,24 +390,18 @@ def _g4_quad_terms():
     return terms
 
 
-def _g2_maps_tiled_kernel(
-    img_hbm, chi_ref, clo_ref, edges_ref, dark_ref, bright_ref, band, sems,
-    *, xtaps, tile_h, wo, num_tiles, reps, slot_rep, s_last, mode="maps",
-    xoff=0,
+def _band_prologue(
+    img_hbm, band, sems, *, tile_h, wo, num_tiles, s_last, xoff
 ):
-    """Grid (N, T): band DMA of image rows (8-aligned window, REFLECT_101 via
-    the column matrices), double-buffered across grid steps, then the fused
-    front-end math on the VMEM band. See the section comment above.
+    """Double-buffered band DMA shared by all tiled kernels.
 
-    xoff=0: the image in HBM carries a materialized width reflect-pad and
-    fills the whole band scratch. xoff=r (the no-pad fast path for aligned
-    sizes): the UNPADDED image is DMA'd into the first wo lanes and the
-    reflection lives in a wrap block built in-kernel (_reflect_block), so
-    no padded copy of the image is ever written to HBM.
-    """
+    Issues/waits the 8-aligned HBM->VMEM band copies (own band on the very
+    first grid step, prefetch of the next band otherwise) and, on the no-pad
+    fast path (xoff > 0), builds the REFLECT_101 wrap block in-kernel.
+    Returns the VMEM-resident padded band [band_h, wp]."""
     n = pl.program_id(0)
     t = pl.program_id(1)
-    band_h = tile_h + 2 * _ROW_ALIGN
+    band_h = band.shape[1]
 
     def start_row(tt):
         s = jnp.where(tt == 0, 0, tt * tile_h - _ROW_ALIGN)
@@ -436,8 +449,31 @@ def _g2_maps_tiled_kernel(
         band[slot, :, wo : wo + 128] = _reflect_block(
             band[slot], wo, xoff, band_h
         )
-    padded = band[slot]  # [band_h, wp]
+    return band[slot]  # [band_h, wp]
+
+
+def _g2_maps_tiled_kernel(
+    img_hbm, chi_ref, clo_ref, edges_ref, dark_ref, bright_ref, band, sems,
+    *, xtaps, tile_h, wo, num_tiles, reps, slot_rep, s_last, mode="maps",
+    xoff=0,
+):
+    """Grid (N, T): band DMA of image rows (8-aligned window, REFLECT_101 via
+    the column matrices), double-buffered across grid steps, then the fused
+    front-end math on the VMEM band. See the section comment above.
+
+    xoff=0: the image in HBM carries a materialized width reflect-pad and
+    fills the whole band scratch. xoff=r (the no-pad fast path for aligned
+    sizes): the UNPADDED image is DMA'd into the first wo lanes and the
+    reflection lives in a wrap block built in-kernel (_reflect_block), so
+    no padded copy of the image is ever written to HBM.
+    """
+    padded = _band_prologue(
+        img_hbm, band, sems, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
+        s_last=s_last, xoff=xoff,
+    )
     rows_hi, rows_lo = _row_pass_split(padded, xtaps, wo, reps, slot_rep, xoff)
+    n = pl.program_id(0)
+    t = pl.program_id(1)
 
     cls = jnp.where(t == 0, 0, jnp.where(t == num_tiles - 1, 2, 1))
     chi = chi_ref[cls]  # [K, tile_h, band_h] bf16
@@ -557,6 +593,103 @@ def _g2_maps_tiled_kernel(
     g2sq_over_mag = g2sq * inv_mag
     dark_ref[0] = jnp.where(g2v > 0.0, g2sq_over_mag, 0.0)
     bright_ref[0] = jnp.where(g2v < 0.0, g2sq_over_mag, 0.0)
+
+
+def _lane_shift(a, d: int):
+    """out[:, c] = a[:, c + d]; lane-roll on TPU, wrap-around at edges
+    (edge lanes carry garbage context — callers mask a border)."""
+    if _interpret():
+        return jnp.roll(a, -d, axis=1)
+    W = a.shape[-1]
+    return pltpu.roll(a, (W - d) % W, 1)
+
+
+def _g2_features_full_kernel(
+    img_hbm, chi_ref, clo_ref,
+    raw_ref, masked_ref, ct_ref, st_ref, basis_ref, band, sems,
+    *, xtaps, tile_h, wo, num_tiles, reps, slot_rep, s_last, xoff,
+    ext, h, w, threshold, border,
+):
+    """Whole feature front-end per band: basis + detector maps + fused NMS.
+
+    One pass produces everything ``features.frontend.extract_features``
+    needs per pyramid level: the 7 basis responses (for descriptors), the
+    raw corner score (for subpixel refinement), the NMS/threshold/border
+    -masked score (ready for top-k selection), and the half-angle (cos,
+    sin). The 5x5 NMS runs in-kernel on ``ext``-extended tile rows (the
+    extended column matrices reflect at image boundaries; border masking
+    at >= nms_radius + 1 makes the reflected context unobservable), so the
+    XLA reduce_window + mask chain and the second (basis-only) kernel pass
+    both disappear.
+    """
+    padded = _band_prologue(
+        img_hbm, band, sems, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
+        s_last=s_last, xoff=xoff,
+    )
+    rows_hi, rows_lo = _row_pass_split(padded, xtaps, wo, reps, slot_rep, xoff)
+    t = pl.program_id(1)
+
+    cls = jnp.where(t == 0, 0, jnp.where(t == num_tiles - 1, 2, 1))
+    chi = chi_ref[cls]  # [K, tile_h + 2*ext, band_h] bf16
+    clo = clo_ref[cls]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    basis = dot(chi, rows_hi) + dot(chi, rows_lo) + dot(clo, rows_hi)
+    basis_ref[0] = basis[:, ext : ext + tile_h, :]
+
+    g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[k] for k in range(7)]
+    c1 = (
+        0.5 * (g2b * g2b)
+        + 0.25 * (g2a * g2c)
+        + 0.375 * (g2a * g2a + g2c * g2c)
+        + 0.3125 * (h2a * h2a + h2d * h2d)
+        + 0.5625 * (h2b * h2b + h2c * h2c)
+        + 0.375 * (h2a * h2c + h2b * h2d)
+    )
+    c2 = (
+        0.5 * (g2a * g2a - g2c * g2c)
+        + 0.46875 * (h2a * h2a - h2d * h2d)
+        + 0.28125 * (h2b * h2b - h2c * h2c)
+        + 0.1875 * (h2a * h2c - h2b * h2d)
+    )
+    c3 = (
+        -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
+        - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
+    )
+    rho = jnp.sqrt(c2 * c2 + c3 * c3)
+    score = c1 - rho  # [tile_h + 2*ext, wo]
+
+    inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
+    cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
+    ct = jnp.sqrt(jnp.maximum(0.5 * (1.0 + cos2t), 0.0))
+    st_mag = jnp.sqrt(jnp.maximum(0.5 * (1.0 - cos2t), 0.0))
+    st = jnp.where(c3 >= 0.0, st_mag, -st_mag)
+    ct_ref[0] = ct[ext : ext + tile_h]
+    st_ref[0] = st[ext : ext + tile_h]
+
+    s_t = score[ext : ext + tile_h]
+    raw_ref[0] = s_t
+
+    # 5x5 NMS: lane-rolled x-max on the extended rows, then the row window.
+    m = score
+    for d in range(1, ext + 1):
+        m = jnp.maximum(m, jnp.maximum(_lane_shift(score, d), _lane_shift(score, -d)))
+    win = m[0:tile_h]
+    for d in range(1, 2 * ext + 1):
+        win = jnp.maximum(win, m[d : d + tile_h])
+    is_max = s_t >= win
+
+    b = ext + 1  # border = nms_radius + 1 (enforced by the wrapper)
+    row_g = t * tile_h + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+    col_g = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
+    keep = (
+        is_max & (s_t > threshold)
+        & (row_g >= b) & (row_g < h - b) & (col_g >= b) & (col_g < w - b)
+    )
+    masked_ref[0] = jnp.where(keep, s_t, -jnp.inf)
 
 
 def _g2_maps_reference_xla(image, xtaps, ytaps):
@@ -835,6 +968,130 @@ def g2_maps_tiled_pallas(
     )(img, jnp.asarray(chi), jnp.asarray(clo))
     crop = lambda x: x[:, :h, :w].reshape(tuple(batch) + (h, w))
     return crop(edges), crop(dark), crop(bright)
+
+
+def _g2_features_full_reference_xla(image, xtaps, ytaps, threshold, nms_radius):
+    """XLA fallback for :func:`g2_features_full_pallas` (tiny images/CPU)."""
+    from cvsteer_tpu.ops.sepconv import filter_bank_xla
+
+    basis = filter_bank_xla(image, xtaps, ytaps)
+    score, ct, st = _g2_feature_maps_reference_xla(image, xtaps, ytaps)
+    *b_dims, hh, ww = score.shape
+    k = 2 * nms_radius + 1
+    rr = nms_radius
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max,
+        window_dimensions=(1,) * (score.ndim - 2) + (k, k),
+        window_strides=(1,) * score.ndim,
+        padding=[(0, 0)] * (score.ndim - 2) + [(rr, rr), (rr, rr)],
+    )
+    bo = nms_radius + 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+    in_b = (row >= bo) & (row < hh - bo) & (col >= bo) & (col < ww - bo)
+    keep = (score >= mx) & (score > threshold) & in_b
+    masked = jnp.where(keep, score, -jnp.inf)
+    return score, masked, ct, st, basis
+
+
+def g2_features_full_pallas(
+    image: jax.Array, xtaps, ytaps, *, threshold: float,
+    nms_radius: int = 2, tile_h: int = 64,
+):
+    """Whole detector front-end in ONE kernel pass per pyramid level.
+
+    image [..., H, W] -> (score_raw, score_masked, cos, sin, basis[..., K, H, W]).
+    score_masked has 5x5 NMS + threshold + (nms_radius + 1)-border masking
+    applied in-kernel (-inf elsewhere), ready for top-k selection;
+    score_raw feeds subpixel refinement; basis feeds descriptors — the
+    previous pipeline ran TWO kernel passes (basis bank + detector maps)
+    plus an XLA reduce_window/mask chain per level.
+    """
+    xtaps = np.asarray(xtaps, np.float32)
+    ytaps = np.asarray(ytaps, np.float32)
+    K, T = xtaps.shape
+    r = (T - 1) // 2
+    ext = nms_radius
+    *batch, h, w = image.shape
+
+    wo_est = _round_up(w, 128)
+    live = _FUSED_LIVE_BUFFERS + 3 * max(K - 7, 0) + 2 * K
+    max_tile = _VMEM_BUDGET // (4 * wo_est * live)
+    tile_h = max(8, min(tile_h, (max_tile // 8) * 8))
+    h8 = _round_up(h, _ROW_ALIGN)
+    tile_h = min(tile_h, ((h8 - 2 * _ROW_ALIGN) // 8) * 8 if h8 > 2 * _ROW_ALIGN else 0)
+    if (
+        tile_h < 8 or r + ext > _ROW_ALIGN
+        or h <= 2 * (ext + 1) or w <= 2 * (ext + 1)
+    ):
+        return _g2_features_full_reference_xla(
+            image.astype(jnp.float32), xtaps, ytaps, threshold, nms_radius
+        )
+
+    wo = _round_up(w, 128)
+    num_tiles = -(-h // tile_h)
+    ho = num_tiles * tile_h
+    band_h = tile_h + 2 * _ROW_ALIGN
+
+    fast_reflect = (
+        not _interpret() and w == wo and w >= 128
+        and h % _ROW_ALIGN == 0 and r <= 32
+    )
+    img = image.reshape((-1, h, w)).astype(jnp.float32)
+    if fast_reflect:
+        wp = wo + 128
+        xoff = r
+    else:
+        wp = _round_up(wo + 2 * r, 128)
+        xoff = 0
+        img = jnp.pad(img, [(0, 0), (0, 0), (r, r)], mode="reflect")
+        img = jnp.pad(img, [(0, 0), (0, h8 - h), (0, wp - (w + 2 * r))])
+    n = img.shape[0]
+
+    reps, slot_rep, slot_scale = _dedup_xtaps(xtaps)
+    cmats = _col_mats_reflect(
+        ytaps, slot_scale, tile_h, h, h8, num_tiles, ext=ext
+    )
+    chi = cmats.astype(jnp.bfloat16)
+    clo = (cmats - np.asarray(chi, np.float32)).astype(jnp.bfloat16)
+
+    kernel = functools.partial(
+        _g2_features_full_kernel,
+        xtaps=xtaps, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
+        reps=reps, slot_rep=slot_rep, s_last=h8 - band_h, xoff=xoff,
+        ext=ext, h=h, w=w, threshold=float(threshold), border=ext + 1,
+    )
+    spec = pl.BlockSpec((1, tile_h, wo), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec(
+        (1, K, tile_h, wo), lambda i, t: (i, 0, t, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)
+    bshape = jax.ShapeDtypeStruct((n, K, ho, wo), jnp.float32)
+    raw, masked, ct, st, basis = pl.pallas_call(
+        kernel,
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec, spec, spec, spec, bspec),
+        out_shape=(shape, shape, shape, shape, bshape),
+        scratch_shapes=[
+            pltpu.VMEM((2, band_h, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n * ho * wo * (4 * K * T + 80),
+            bytes_accessed=n * (h * wp + (4 + K) * ho * wo) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(img, jnp.asarray(chi), jnp.asarray(clo))
+    crop = lambda x: x[..., :h, :w].reshape(
+        tuple(batch) + x.shape[1:-2] + (h, w)
+    )
+    return crop(raw), crop(masked), crop(ct), crop(st), crop(basis)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

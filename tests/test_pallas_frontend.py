@@ -184,3 +184,38 @@ def test_g4_fused_maps_match_xla_pipeline(small_fish):
         diff = np.abs(np.asarray(ours) - np.asarray(want))
         scale = np.abs(np.asarray(want)).mean() + 1e-6
         assert diff.max() / scale < 1e-2, f"{name}: {diff.max()} vs scale {scale}"
+
+
+def test_features_full_kernel_matches_xla_reference(small_fish):
+    """One-pass features kernel (basis + score + fused NMS + half-angle)
+    vs the XLA reference path, including the -inf mask set."""
+    from cvsteer_tpu.ops.pallas_frontend import (
+        _g2_features_full_reference_xla,
+        g2_features_full_pallas,
+    )
+
+    bank = g2h2_bank()
+    img = jnp.asarray(small_fish)
+    thr = 0.5
+    out_k = g2_features_full_pallas(img, bank.xtaps, bank.ytaps, threshold=thr)
+    out_r = _g2_features_full_reference_xla(img, bank.xtaps, bank.ytaps, thr, 2)
+    names = ["raw", "masked", "ct", "st", "basis"]
+    survivors = np.isfinite(np.asarray(out_r[1]))
+    for name, a, b in zip(names, out_k, out_r):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "masked":
+            fa, fb = np.isfinite(a), np.isfinite(b)
+            # NMS survivor sets may differ only where scores tie to ~1e-4
+            assert (fa != fb).mean() < 1e-3
+            both = fa & fb
+            scale = np.abs(np.where(fb, b, 0.0)).max() + 1e-6
+            assert np.abs(np.where(both, a - b, 0.0)).max() / scale < 1e-2
+        elif name in ("ct", "st"):
+            # orientation is consumed only at selected keypoints; away from
+            # them (flat/isotropic pixels) cos2t = c2/rho is ill-conditioned
+            # and the two paths legitimately differ
+            d = np.abs(a - b)[survivors]
+            assert d.size == 0 or d.max() < 1e-2, name
+        else:
+            scale = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() / scale < 1e-2, name
