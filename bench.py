@@ -184,7 +184,10 @@ def bench_ba() -> float:
 
     from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust
 
-    C, L, ITERS_PER_CALL, CALLS = 8, 1024, 50, 4
+    # 250 LM iterations per dispatch: at ~35 us device per iteration the
+    # per-dispatch tunnel cost (ms-scale, session-dependent) would otherwise
+    # dominate the measurement.
+    C, L, ITERS_PER_CALL, CALLS = 8, 1024, 250, 4
     rng = np.random.default_rng(3)
     X = rng.uniform([-4, -3, 4], [4, 3, 12], (L, 3)).astype(np.float32)
     Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (C, 3, 3)).copy()

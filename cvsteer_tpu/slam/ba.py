@@ -2,16 +2,21 @@
 
 BASELINE config 4. TPU-shaped design (SURVEY.md section 7): the observation
 structure is a dense masked grid ``[C cameras, L landmarks]`` — no sparse
-indexing anywhere — so every contraction below is a batched matmul/reduction
-XLA maps straight onto the MXU/VPU:
+indexing anywhere. Internally every per-observation quantity lives as a
+plain [C, L] lane array (nested Python lists over the tiny 2/3/6 index
+dims, unrolled at trace time): arrays with 3/6-sized minor dimensions get
+(8, 128)-padded TPU layouts and XLA lowers einsums over them into VPU
+fusions that measured ~520 us per LM iteration; the list form runs the
+same iteration in ~35 us on a v5e (C=8, L=1024):
 
-- analytic Jacobians J_c [C, L, 2, 6], J_l [C, L, 2, 3];
-- landmark blocks H_ll [L, 3, 3] inverted in closed batched form;
-- the reduced camera system S [C, 6, C, 6] assembled by one einsum over
-  landmarks (the contraction that becomes a reduce_scatter/psum over a
-  landmark-sharded mesh in cvsteer_tpu.parallel.ba_sharded);
+- analytic Jacobians as [2][6] / [2][3] lists of [C, L] leaves;
+- landmark blocks H_ll as [3][3] lists of [L], inverted in closed form;
+- the reduced camera system S [C, 6, C, 6] assembled by ONE
+  [C*6, 3L] x [3L, C*6] MXU matmul over stacked leaves (the contraction
+  that becomes a psum over a landmark-sharded mesh in
+  cvsteer_tpu.parallel.ba_sharded);
 - dense Cholesky solve of the (6C x 6C) reduced system (C is the window
-  size, typically <= 16), then batched landmark back-substitution;
+  size, typically <= 16), then lane-parallel landmark back-substitution;
 - Levenberg-Marquardt damping with accept/reject carried through a
   lax.fori_loop — fixed iteration count, no data-dependent control flow.
 
@@ -72,87 +77,120 @@ def _project(R, t, X):
     return p, u, z_safe
 
 
+# ---------------------------------------------------------------------------
+# L-minor ("_T") internal layout.
+#
+# Public arrays carry the textbook layout (X [L, 3], J_c [C, L, 2, 6], ...)
+# whose minor dimensions are 3 or 6 — on TPU every such array is tiled to
+# (8, 128) with 20-40x padding waste, and XLA lowers the normal-equation
+# einsums into crawling VPU fusions (~440 of 520 us per BA iteration
+# measured on v5e). Internally the landmark axis L is therefore kept as the
+# MINOR (lane) dimension: all per-observation math becomes dense [.., L]
+# lane-parallel vector ops, and the Schur contraction becomes one clean
+# [C*6, 3L] x [3L, C*6] MXU matmul.
+# ---------------------------------------------------------------------------
+
+
+def _project_T(R, t, X_T):
+    """p [C, 3, L], u [C, 2, L], z [C, L] from X_T [3, L]."""
+    p = jnp.einsum(
+        "cij,jl->cil", R, X_T, precision=lax.Precision.HIGHEST
+    ) + t[:, :, None]
+    z = p[:, 2, :]
+    z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = p[:, :2, :] / z_safe[:, None, :]
+    return p, u, z_safe
+
+
+def _weights_T(r_T, z, problem):
+    w = problem.mask.astype(r_T.dtype)
+    w = w * (z > 1e-6)
+    delta = jnp.asarray(problem.huber_delta, r_T.dtype)
+    rn = jnp.sqrt(r_T[:, 0, :] ** 2 + r_T[:, 1, :] ** 2)
+    hw = jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-12))
+    return w * jnp.where(delta > 0, hw, 1.0)
+
+
 def residuals(state: BAState, problem: BAProblem) -> Tuple[jax.Array, jax.Array]:
     """(r [C, L, 2], weight [C, L]) with Huber IRLS weights folded in."""
-    _, u, z = _project(state.R, state.t, state.X)
-    r = u - problem.uv
-    w = problem.mask.astype(r.dtype)
-    # points behind a camera contribute nothing (and a huge residual would
-    # destabilize the quadratic model)
-    w = w * (z > 1e-6)
-    w = w * _huber_weight(r, problem.huber_delta)
-    return r, w
+    _, u, z = _project_T(state.R, state.t, state.X.T)
+    r_T = u - _uv_T(problem)
+    w = _weights_T(r_T, z, problem)
+    return jnp.moveaxis(r_T, 1, 2), w
 
 
-def _huber_weight(r: jax.Array, delta) -> jax.Array:
-    """IRLS Huber weight; trace-safe (delta may be a traced scalar, <=0 = off)."""
-    delta = jnp.asarray(delta, r.dtype)
-    rn = jnp.linalg.norm(r, axis=-1)
-    w = jnp.minimum(1.0, delta / jnp.maximum(rn, 1e-12))
-    return jnp.where(delta > 0, w, 1.0)
+def _uv_T(problem: BAProblem):
+    return jnp.moveaxis(problem.uv, 2, 1)  # [C, 2, L]
+
 
 
 def cost(
     state: BAState, problem: BAProblem, axis_name: Optional[str] = None
 ) -> jax.Array:
-    r, w = residuals(state, problem)
-    c = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+    _, u, z = _project_T(state.R, state.t, state.X.T)
+    r_T = u - _uv_T(problem)
+    w = _weights_T(r_T, z, problem)
+    c = 0.5 * jnp.sum(w * (r_T[:, 0, :] ** 2 + r_T[:, 1, :] ** 2))
     return lax.psum(c, axis_name) if axis_name is not None else c
 
 
-def _jacobians(state: BAState, problem: BAProblem):
-    """J_c [C, L, 2, 6] (omega, v blocks), J_l [C, L, 2, 3], r, w."""
-    p, u, z = _project(state.R, state.t, state.X)
-    r = u - problem.uv
-    w = problem.mask.astype(r.dtype) * (z > 1e-6)
-    w = w * _huber_weight(r, problem.huber_delta)
+def _jacobians_lists(state: BAState, problem: BAProblem):
+    """Jacobian blocks as nested LISTS of [C, L] lane arrays.
 
-    inv_z = 1.0 / z
-    x_z, y_z = u[..., 0], u[..., 1]
-    # du/dp [C, L, 2, 3]
-    zeros = jnp.zeros_like(inv_z)
-    dudp = jnp.stack(
-        [
-            jnp.stack([inv_z, zeros, -x_z * inv_z], -1),
-            jnp.stack([zeros, inv_z, -y_z * inv_z], -1),
-        ],
-        -2,
-    )
-    # dp/domega = -hat(R X) = -(hat(p - t)); dp/dv = I.
-    q = p - state.t[:, None, :]
-    dpdw = -se3.hat(q)  # [C, L, 3, 3]
-    Jw = dudp @ dpdw  # [C, L, 2, 3]
-    Jv = dudp  # [C, L, 2, 3] (dp/dv = I)
-    Jc = jnp.concatenate([Jw, Jv], axis=-1)  # [C, L, 2, 6]
-    Jl = jnp.einsum("clij,cjk->clik", dudp, state.R, precision=lax.Precision.HIGHEST)  # dp/dX = R
+    Returns (Jc [2][6], Jl [2][3], r [2], w) where every leaf is a [C, L]
+    array. Stacked [.., 3, 6, ..] forms are deliberately never built: any
+    array whose minor dims are 3/6 gets a (8, 128)-padded TPU layout and
+    XLA re-canonicalizes einsums over it into crawling VPU fusions — with
+    plain [C, L] leaves every product is a perfectly tiled vector op, and
+    only the final Schur contraction stacks operands (for one MXU dot).
+    """
+    p, u, z = _project_T(state.R, state.t, state.X.T)
+    r_T = u - _uv_T(problem)
+    w = _weights_T(r_T, z, problem)
+
+    inv_z = 1.0 / z  # [C, L]
+    x_z, y_z = u[:, 0, :], u[:, 1, :]
+    zero = jnp.zeros_like(inv_z)
+    # du/dp rows: [ [1/z, 0, -x/z^2*z], [0, 1/z, -y/z^2*z] ] (already /z)
+    dudp = [
+        [inv_z, zero, -x_z * inv_z],
+        [zero, inv_z, -y_z * inv_z],
+    ]
+    # dp/domega = -hat(p - t); dp/dv = I.
+    qx = p[:, 0, :] - state.t[:, 0, None]
+    qy = p[:, 1, :] - state.t[:, 1, None]
+    qz = p[:, 2, :] - state.t[:, 2, None]
+    dpdw = [
+        [zero, qz, -qy],
+        [-qz, zero, qx],
+        [qy, -qx, zero],
+    ]  # [m][k] = -hat(q)[m][k]
+    Jc = [[None] * 6 for _ in range(2)]
+    Jl = [[None] * 3 for _ in range(2)]
+    for a in range(2):
+        for k in range(3):
+            acc = None
+            for m in range(3):
+                d = dudp[a][m]
+                h = dpdw[m][k]
+                if d is zero or h is zero:
+                    continue
+                term = d * h
+                acc = term if acc is None else acc + term
+            Jc[a][k] = acc if acc is not None else zero
+            Jc[a][3 + k] = dudp[a][k]  # dp/dv = I
+            # dp/dX = R: Jl[a][k] = sum_m dudp[a][m] * R[:, m, k]
+            accl = None
+            for m in range(3):
+                d = dudp[a][m]
+                if d is zero:
+                    continue
+                term = d * state.R[:, m, k][:, None]
+                accl = term if accl is None else accl + term
+            Jl[a][k] = accl if accl is not None else zero
+    r = [r_T[:, 0, :], r_T[:, 1, :]]
     return Jc, Jl, r, w
 
-
-def _inv3(M: jax.Array) -> jax.Array:
-    """Batched closed-form 3x3 inverse (adjugate / det)."""
-    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
-    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
-    A = e * i - f * h
-    B = c * h - b * i
-    C = b * f - c * e
-    D = f * g - d * i
-    E = a * i - c * g
-    F = c * d - a * f
-    G = d * h - e * g
-    H = b * g - a * h
-    I = a * e - b * d
-    det = a * A + b * D + c * G
-    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
-    adj = jnp.stack(
-        [
-            jnp.stack([A, B, C], -1),
-            jnp.stack([D, E, F], -1),
-            jnp.stack([G, H, I], -1),
-        ],
-        -2,
-    )
-    return adj / det[..., None, None]
 
 
 class NormalEquations(NamedTuple):
@@ -165,14 +203,151 @@ class NormalEquations(NamedTuple):
     b_l: jax.Array  # [L, 3]
 
 
+
+def _normal_eq_lists(state: BAState, problem: BAProblem):
+    """Normal-equation blocks over [C, L] lane arrays.
+
+    Returns (H_cc [C, 6, 6], Hll [3][3] of [L], W [6][3] of [C, L],
+    b_c [C, 6], b_l [3] of [L]). The Huber weight is split as sqrt(w) onto
+    both operands; camera-side Gram entries are lane reductions of [C, L]
+    products (36 + 6 reduces), landmark-side ones additionally sum over
+    the C sublanes.
+    """
+    Jc, Jl, r, w = _jacobians_lists(state, problem)
+    sw = jnp.sqrt(w)
+    Jcw = [[Jc[a][i] * sw for i in range(6)] for a in range(2)]
+    Jlw = [[Jl[a][k] * sw for k in range(3)] for a in range(2)]
+    rw = [r[0] * sw, r[1] * sw]
+
+    # H_cc [C, 6, 6]: symmetric; 21 unique entries, lane-reduced.
+    ent = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i, 6):
+            s = sum((Jcw[a][i] * Jcw[a][j]).sum(-1) for a in range(2))
+            ent[i][j] = s
+            ent[j][i] = s
+    H_cc = jnp.stack([jnp.stack(row, -1) for row in ent], -2)  # [C, 6, 6]
+
+    # b_c [C, 6]
+    b_c = -jnp.stack(
+        [sum((Jcw[a][i] * rw[a]).sum(-1) for a in range(2)) for i in range(6)],
+        -1,
+    )
+
+    # H_ll [3][3] of [L] (sum over cameras and both residual rows)
+    Hll = [[None] * 3 for _ in range(3)]
+    for k in range(3):
+        for m in range(k, 3):
+            s = sum((Jlw[a][k] * Jlw[a][m]).sum(0) for a in range(2))
+            Hll[k][m] = s
+            Hll[m][k] = s
+
+    # W [6][3] of [C, L]
+    W = [
+        [sum(Jcw[a][i] * Jlw[a][k] for a in range(2)) for k in range(3)]
+        for i in range(6)
+    ]
+
+    # b_l [3] of [L]
+    b_l = [
+        -sum((Jlw[a][k] * rw[a]).sum(0) for a in range(2)) for k in range(3)
+    ]
+    return H_cc, Hll, W, b_c, b_l
+
+
 def build_normal_equations(state: BAState, problem: BAProblem) -> NormalEquations:
-    Jc, Jl, r, w = _jacobians(state, problem)
-    H_cc = jnp.einsum("clai,claj,cl->cij", Jc, Jc, w, precision=lax.Precision.HIGHEST)
-    H_ll = jnp.einsum("clai,claj,cl->lij", Jl, Jl, w, precision=lax.Precision.HIGHEST)
-    W = jnp.einsum("clai,claj,cl->clij", Jc, Jl, w, precision=lax.Precision.HIGHEST)
-    b_c = -jnp.einsum("clai,cla,cl->ci", Jc, r, w, precision=lax.Precision.HIGHEST)
-    b_l = -jnp.einsum("clai,cla,cl->li", Jl, r, w, precision=lax.Precision.HIGHEST)
-    return NormalEquations(H_cc, H_ll, W, b_c, b_l)
+    """Public textbook-layout view of :func:`_normal_eq_lists`."""
+    H_cc, Hll, W, b_c, b_l = _normal_eq_lists(state, problem)
+    # stack order: leaves are [L] -> rows [L, 3(m)] -> [L, 3(k), 3(m)]
+    H_ll = jnp.stack([jnp.stack(row, -1) for row in Hll], -2)
+    W_arr = jnp.stack(
+        [jnp.stack(row, -1) for row in W], -2
+    )  # [C, L, 6, 3]
+    b_l_arr = jnp.stack(b_l, -1)  # [L, 3]
+    return NormalEquations(H_cc, H_ll, W_arr, b_c, b_l_arr)
+
+
+def _inv3_lists(M, lam):
+    """Closed-form inverse of the damped 3x3 blocks; M = [3][3] of [L]."""
+    a, b, c = M[0][0] + lam, M[0][1], M[0][2]
+    d, e, f = M[1][0], M[1][1] + lam, M[1][2]
+    g, h, i = M[2][0], M[2][1], M[2][2] + lam
+    A = e * i - f * h
+    B = c * h - b * i
+    Cc = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    inv = 1.0 / det
+    return [
+        [A * inv, B * inv, Cc * inv],
+        [D * inv, E * inv, F * inv],
+        [G * inv, H * inv, I * inv],
+    ]
+
+
+def _schur_lists(
+    H_cc, Hll, W, b_c, b_l, lam, fixed, axis_name=None
+):
+    """Schur complement over list blocks.
+
+    Returns (S [C, 6, C, 6], b_s [C, 6], Hll_inv [3][3] of [L]). The only
+    stacked tensors are the two [C*6, 3L] operands of the single MXU
+    matmul that performs the L-contraction; everything else is [C, L] /
+    [L] lane math. With ``axis_name`` (landmark-sharded shard_map) the
+    camera-side pieces are psum'd — the reduce of the reduced-camera-system
+    assembly, compiled to ICI collectives.
+    """
+    C = H_cc.shape[0]
+    hp = lax.Precision.HIGHEST
+    eye6 = jnp.eye(6, dtype=H_cc.dtype)
+    Hinv = _inv3_lists(Hll, lam)
+
+    # WHinv[i][k] = sum_j W[i][j] * Hinv[j][k]  ([C, L] leaves)
+    WHinv = [
+        [
+            sum(W[i][j] * Hinv[j][k][None, :] for j in range(3))
+            for k in range(3)
+        ]
+        for i in range(6)
+    ]
+    # S_off = -sum_l WHinv W^T as ONE [C*6, 3L] x [3L, C*6] MXU matmul.
+    L = Hll[0][0].shape[-1]
+    A = jnp.stack(
+        [jnp.stack([WHinv[i][k] for k in range(3)], 1) for i in range(6)], 1
+    )  # [C, 6, 3, L]
+    B = jnp.stack(
+        [jnp.stack([W[i][k] for k in range(3)], 1) for i in range(6)], 1
+    )
+    A2 = A.reshape(C * 6, 3 * L)
+    B2 = B.reshape(C * 6, 3 * L)
+    S_off = -lax.dot_general(
+        A2, B2, (((1,), (1,)), ((), ())), precision=hp
+    ).reshape(C, 6, C, 6)
+    blv = jnp.concatenate([b_l[0], b_l[1], b_l[2]])  # hstack? see ordering
+    # A2 rows are (c, i); its columns are ordered (k, l): build b_l in the
+    # same (k, l) order.
+    bs_lm = jnp.matmul(A2, blv, precision=hp).reshape(C, 6)
+    if axis_name is not None:
+        S_off = lax.psum(S_off, axis_name)
+        bs_lm = lax.psum(bs_lm, axis_name)
+        H_cc = lax.psum(H_cc, axis_name)
+        b_c = lax.psum(b_c, axis_name)
+    idx = jnp.arange(C)
+    S = S_off.at[idx, :, idx, :].add(H_cc + lam * eye6)
+    b_s = b_c - bs_lm
+
+    # Gauge: fixed cameras get identity rows/cols and zero rhs.
+    free = (~fixed).astype(S.dtype)
+    S = S * free[:, None, None, None] * free[None, None, :, None]
+    S = S.at[idx, :, idx, :].add(eye6 * (1.0 - free)[:, None, None])
+    b_s = b_s * free[:, None]
+    return S, b_s, Hinv
 
 
 def reduced_system(
@@ -181,39 +356,16 @@ def reduced_system(
     fixed: jax.Array,
     axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Schur complement: (S [C, 6, C, 6], b_s [C, 6], Hll_inv [L, 3, 3]).
-
-    With ``axis_name`` set (inside shard_map with landmarks sharded over that
-    mesh axis), the camera-side contractions are psum'd across shards — this
-    is the reduce of the reduced-camera-system assembly, compiled to ICI
-    collectives. The returned S/b_s are replicated; Hll_inv stays per-shard.
-    """
-    C = eqs.H_cc.shape[0]
-    eye3 = jnp.eye(3, dtype=eqs.H_ll.dtype)
-    eye6 = jnp.eye(6, dtype=eqs.H_cc.dtype)
-    Hll = eqs.H_ll + lam * eye3  # LM damping on landmark blocks
-    Hll_inv = _inv3(Hll)
-
-    # S = blockdiag(H_cc + lam I) - sum_l W[:, l] Hll_inv[l] W[:, l]^T
-    WHinv = jnp.einsum("clij,ljk->clik", eqs.W, Hll_inv, precision=lax.Precision.HIGHEST)  # [C, L, 6, 3]
-    S_off = -jnp.einsum("alik,bljk->aibj", WHinv, eqs.W, precision=lax.Precision.HIGHEST)  # [C, 6, C, 6]
-    bs_lm = jnp.einsum("clik,lk->ci", WHinv, eqs.b_l, precision=lax.Precision.HIGHEST)
-    H_cc, b_c = eqs.H_cc, eqs.b_c
-    if axis_name is not None:
-        S_off = lax.psum(S_off, axis_name)
-        bs_lm = lax.psum(bs_lm, axis_name)
-        H_cc = lax.psum(H_cc, axis_name)
-        b_c = lax.psum(b_c, axis_name)
-    S = S_off + jnp.einsum(
-        "ab,aij->aibj", jnp.eye(C, dtype=eqs.H_cc.dtype), H_cc + lam * eye6
-    , precision=lax.Precision.HIGHEST)
-    b_s = b_c - bs_lm
-
-    # Gauge: fixed cameras get identity rows/cols and zero rhs.
-    free = (~fixed).astype(S.dtype)
-    S = S * free[:, None, None, None] * free[None, None, :, None]
-    S = S + jnp.einsum("ab,ij,a->aibj", jnp.eye(C, dtype=S.dtype), eye6, 1.0 - free, precision=lax.Precision.HIGHEST)
-    b_s = b_s * free[:, None]
+    """Textbook-layout wrapper of :func:`_schur_lists`."""
+    Hll = [[eqs.H_ll[:, k, m] for m in range(3)] for k in range(3)]
+    W = [[eqs.W[:, :, i, k] for k in range(3)] for i in range(6)]
+    b_l = [eqs.b_l[:, k] for k in range(3)]
+    S, b_s, Hinv = _schur_lists(
+        eqs.H_cc, Hll, W, eqs.b_c, b_l, lam, fixed, axis_name
+    )
+    Hll_inv = jnp.stack(
+        [jnp.stack(row, -1) for row in Hinv], -2
+    )  # [L, 3, 3]
     return S, b_s, Hll_inv
 
 
@@ -230,12 +382,28 @@ def solve_reduced_dense(S: jax.Array, b_s: jax.Array) -> jax.Array:
     return x.reshape(C, 6)
 
 
+def _backsub_lists(W, Hinv, b_l, dx_c):
+    """Landmark updates dX [L, 3] from list blocks and camera updates."""
+    rhs = []
+    for k in range(3):
+        wt = sum(
+            (W[i][k] * dx_c[:, i, None]).sum(0) for i in range(6)
+        )  # [L]
+        rhs.append(b_l[k] - wt)
+    dX = [
+        sum(Hinv[k][j] * rhs[j] for j in range(3)) for k in range(3)
+    ]
+    return jnp.stack(dX, -1)  # [L, 3]
+
+
 def back_substitute(
     eqs: NormalEquations, Hll_inv: jax.Array, dx_c: jax.Array
 ) -> jax.Array:
-    """Landmark updates dX [L, 3] given camera updates."""
-    Wt_dx = jnp.einsum("clij,ci->lj", eqs.W, dx_c, precision=lax.Precision.HIGHEST)
-    return jnp.einsum("lij,lj->li", Hll_inv, eqs.b_l - Wt_dx, precision=lax.Precision.HIGHEST)
+    """Landmark updates dX [L, 3] given camera updates (textbook layout)."""
+    W = [[eqs.W[:, :, i, k] for k in range(3)] for i in range(6)]
+    b_l = [eqs.b_l[:, k] for k in range(3)]
+    Hinv = [[Hll_inv[:, k, m] for m in range(3)] for k in range(3)]
+    return _backsub_lists(W, Hinv, b_l, dx_c)
 
 
 def apply_updates(
@@ -261,10 +429,12 @@ def ba_step(
     the reduced system is psum-assembled and solved replicated; landmark
     back-substitution stays local to each shard.
     """
-    eqs = build_normal_equations(state, problem)
-    S, b_s, Hll_inv = reduced_system(eqs, lam, problem.fixed_cameras, axis_name)
+    H_cc, Hll, W, b_c, b_l = _normal_eq_lists(state, problem)
+    S, b_s, Hinv = _schur_lists(
+        H_cc, Hll, W, b_c, b_l, lam, problem.fixed_cameras, axis_name
+    )
     dx_c = solve_reduced_dense(S, b_s)
-    dX = back_substitute(eqs, Hll_inv, dx_c)
+    dX = _backsub_lists(W, Hinv, b_l, dx_c)
     new_state = apply_updates(state, dx_c, dX, problem.fixed_cameras)
     return new_state, cost(new_state, problem, axis_name)
 
@@ -297,9 +467,22 @@ def refine_pose(
     def body(_, carry):
         R, t, cur, lam = carry
         st = BAState(R=R[None], t=t[None], X=X)
-        Jc, _, r, w = _jacobians(st, problem)
-        H = jnp.einsum("clai,claj,cl->ij", Jc, Jc, w, precision=lax.Precision.HIGHEST) + lam * jnp.eye(6)
-        b = -jnp.einsum("clai,cla,cl->i", Jc, r, w, precision=lax.Precision.HIGHEST)
+        Jc, _, r, w = _jacobians_lists(st, problem)  # leaves [1, L]
+        sw = jnp.sqrt(w)
+        Jcw = [[Jc[a][i] * sw for i in range(6)] for a in range(2)]
+        rw = [r[0] * sw, r[1] * sw]
+        ent = [[None] * 6 for _ in range(6)]
+        for i in range(6):
+            for j in range(i, 6):
+                s = sum((Jcw[a][i] * Jcw[a][j]).sum() for a in range(2))
+                ent[i][j] = s
+                ent[j][i] = s
+        H = jnp.stack(
+            [jnp.stack(row) for row in ent]
+        ) + lam * jnp.eye(6)
+        b = -jnp.stack(
+            [sum((Jcw[a][i] * rw[a]).sum() for a in range(2)) for i in range(6)]
+        )
         dx = jnp.linalg.solve(H, b)
         R_new = se3.exp_so3(dx[:3]) @ R
         t_new = t + dx[3:]
