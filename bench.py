@@ -285,6 +285,78 @@ def bench_vo():
     return (N_FRAMES - WARM) / dt, ate
 
 
+def bench_vo_server(n_streams: int = 8):
+    """Aggregate VO frames/s serving ``n_streams`` independent synthetic
+    streams (slam.vo_server.VOServer): every step issues all streams'
+    fused tracking dispatches, then pays ONE fetch round-trip — the
+    per-stream RTT cost that bounds bench_vo amortizes across the fleet."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvsteer_tpu.features.frontend import Features
+    from cvsteer_tpu.geometry.camera import Intrinsics
+    from cvsteer_tpu.slam import se3
+    from cvsteer_tpu.slam.vo import VOConfig
+    from cvsteer_tpu.slam.vo_server import VOServer
+
+    K = Intrinsics(500.0, 500.0, 320.0, 240.0)
+    N_CAP, DESC_DIM, N_FRAMES, WARM = 256, 32, 60, 20
+
+    def gt_pose(k):
+        s = k / (N_FRAMES - 1)
+        Rwc = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.25 * s, 0.0])))
+        c = np.array([3.0 * s, 0.5 * np.sin(np.pi * s), 2.0 * s], np.float32)
+        R = Rwc.T.astype(np.float32)
+        return R, (-R @ c).astype(np.float32)
+
+    def make_stream(seed):
+        rng = np.random.default_rng(seed)
+        X = rng.uniform([-4, -3, 4], [4, 3, 12], (400, 3)).astype(np.float32)
+        desc = rng.normal(size=(400, DESC_DIM)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        return X, desc, rng
+
+    streams = [make_stream(100 + s) for s in range(n_streams)]
+
+    def render(X, desc, rng, R, t):
+        p = X @ R.T + t
+        uv = p[:, :2] / p[:, 2:3]
+        pix = np.stack([uv[:, 1] * K.fy + K.cy, uv[:, 0] * K.fx + K.cx], -1)
+        vis = (p[:, 2] > 0.5) & (pix[:, 0] > 5) & (pix[:, 0] < 475) \
+            & (pix[:, 1] > 5) & (pix[:, 1] < 635)
+        ids = np.nonzero(vis)[0][:N_CAP]
+        n = len(ids)
+        yx = np.zeros((N_CAP, 2), np.float32)
+        dsc = np.zeros((N_CAP, DESC_DIM), np.float32)
+        valid = np.zeros(N_CAP, bool)
+        yx[:n] = pix[ids] + rng.normal(0, 0.2, (n, 2))
+        d = desc[ids] + rng.normal(0, 0.05, (n, DESC_DIM)).astype(np.float32)
+        dsc[:n] = d / np.linalg.norm(d, axis=1, keepdims=True)
+        valid[:n] = True
+        return Features(
+            yx=jnp.asarray(yx), score=jnp.asarray(valid, jnp.float32),
+            theta=jnp.zeros(N_CAP), level=jnp.zeros(N_CAP, jnp.int32),
+            desc=jnp.asarray(dsc), valid=jnp.asarray(valid),
+        )
+
+    all_frames = [
+        [render(X, desc, rng, *gt_pose(k)) for (X, desc, rng) in streams]
+        for k in range(N_FRAMES)
+    ]
+    srv = VOServer(
+        VOConfig(intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30),
+        n_streams=n_streams,
+    )
+    for k in range(WARM):
+        srv.step(all_frames[k])
+    t0 = time.perf_counter()
+    for k in range(WARM, N_FRAMES):
+        srv.step(all_frames[k])
+    dt = time.perf_counter() - t0
+    return n_streams * (N_FRAMES - WARM) / dt
+
+
 def bench_sim3():
     """Sim(3) loop-closure metric (VERDICT r1 item 4 bench line): full VO
     around a revisiting loop, 1.9x accumulated scale drift injected into
@@ -358,6 +430,15 @@ def main() -> int:
             print(f"vo bench failed: {e}", file=sys.stderr)
     else:
         print("vo bench skipped (soft deadline)", file=sys.stderr)
+    if time.perf_counter() - _T_START < 360.0:
+        try:
+            # server-style batched VO: the per-step fetch RTT amortizes
+            # across streams (reuses the warm per-frame jits from bench_vo)
+            extra["vo_server_frames_per_s_8_streams"] = round(
+                bench_vo_server(8), 2
+            )
+        except Exception as e:
+            print(f"vo server bench failed: {e}", file=sys.stderr)
     if time.perf_counter() - _T_START < 400.0:
         try:
             b, a = bench_sim3()

@@ -321,11 +321,12 @@ def _predict_pose(state: VOState):
     return (R_rel @ R1).astype(np.float32), (R_rel @ t1 + t_rel).astype(np.float32)
 
 
-def _track(state: VOState, feats: Features):
-    """Match to the last keyframe's landmark-bearing features; PnP refine.
+def _track_issue(state: VOState, feats: Features):
+    """Dispatch the fused tracking step WITHOUT fetching.
 
-    One fused device dispatch and one blocking fetch (_track_fused_jit).
-    Returns (R, t, n_tracked, idx, valid, n_valid_features)."""
+    Returns the un-fetched device tuple; pair with :func:`_track_complete`.
+    The split lets a server batch many streams' dispatches before paying a
+    single fetch round-trip (slam.vo_server)."""
     kf = state.keyframes[-1]
     X_dev, sel_dev = _kf_track_cache(state, kf)
 
@@ -334,25 +335,37 @@ def _track(state: VOState, feats: Features):
         np.array_equal(Rp, kf.R) and np.array_equal(tp, kf.t)
     )
     K = state.config.intrinsics
-    R, t, n, idx, n_valid = jax.device_get(
-        _track_fused_jit(
-            kf.features.desc, kf.features.valid, X_dev, sel_dev,
-            feats.yx, feats.desc, feats.valid,
-            jnp.asarray(Rp), jnp.asarray(tp),
-            jnp.asarray(kf.R), jnp.asarray(kf.t),
-            jnp.asarray([K.fx, K.fy, K.cx, K.cy], jnp.float32),
-            ratio=state.config.match_ratio,
-            iterations=10,
-            huber_delta=state.config.huber_delta,
-            min_track=state.config.track_min_landmarks,
-            dual_init=dual,
-        )
+    return _track_fused_jit(
+        kf.features.desc, kf.features.valid, X_dev, sel_dev,
+        feats.yx, feats.desc, feats.valid,
+        jnp.asarray(Rp), jnp.asarray(tp),
+        jnp.asarray(kf.R), jnp.asarray(kf.t),
+        jnp.asarray([K.fx, K.fy, K.cx, K.cy], jnp.float32),
+        ratio=state.config.match_ratio,
+        iterations=10,
+        huber_delta=state.config.huber_delta,
+        min_track=state.config.track_min_landmarks,
+        dual_init=dual,
     )
+
+
+def _track_complete(state: VOState, fetched):
+    """Host-side tail of the tracking step from a FETCHED result tuple."""
+    kf = state.keyframes[-1]
+    R, t, n, idx, n_valid = fetched
     n_tracked = int(n)
     idx = np.asarray(idx)
     if not (np.isfinite(R).all() and np.isfinite(t).all()):
         R, t, n_tracked = kf.R.copy(), kf.t.copy(), 0
     return np.asarray(R), np.asarray(t), n_tracked, idx, idx >= 0, int(n_valid)
+
+
+def _track(state: VOState, feats: Features):
+    """Match to the last keyframe's landmark-bearing features; PnP refine.
+
+    One fused device dispatch and one blocking fetch (_track_fused_jit).
+    Returns (R, t, n_tracked, idx, valid, n_valid_features)."""
+    return _track_complete(state, jax.device_get(_track_issue(state, feats)))
 
 
 def _track_against(state: VOState, feats: Features, kf: Keyframe):
@@ -409,53 +422,81 @@ def _relocalize(state: VOState, feats: Features, *, max_candidates: int = 3):
     return None
 
 
-def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid, ref_kf=None):
-    """Promote the current frame: inherit landmark ids from matches to the
-    reference keyframe (default: the latest), triangulate new landmarks,
-    run windowed BA."""
+def _kf_inherit(state: VOState, feats: Features, idx, valid, ref_kf):
+    """Host phase: landmark-id inheritance from the reference keyframe.
+
+    Returns (kf_prev, lm_ids, fresh) — no device interaction."""
     kf_prev = state.keyframes[-1] if ref_kf is None else state.keyframes[ref_kf]
     n = feats.yx.shape[0]
     lm_ids = np.full(n, -1, np.int64)
-
-    # inherit existing landmarks
     prev_has = kf_prev.landmark_ids >= 0
     inherit = valid & prev_has
     lm_ids[np.maximum(idx, 0)[inherit]] = kf_prev.landmark_ids[inherit]
-
-    # triangulate brand-new correspondences (static [N] shape: all feature
-    # slots go to the device, the fresh subset is selected host-side after)
-    x_new = _norm_pts(state, feats)  # one fetch; seeds the new kf's cache
     fresh = valid & ~prev_has
-    if fresh.sum() >= 8 and state.num_landmarks < state.config.max_landmarks:
-        x_prev_all = _kf_host_cache(state, kf_prev)[0]
-        x_new_all = x_new[np.maximum(idx, 0)]
-        P1 = jnp.asarray(
-            np.concatenate([kf_prev.R, kf_prev.t[:, None]], 1), jnp.float32
-        )
-        P2 = jnp.asarray(np.concatenate([R, t[:, None]], 1), jnp.float32)
-        Xw_all = np.asarray(
-            _triangulate_jit(P1, P2, jnp.asarray(x_prev_all), jnp.asarray(x_new_all))
-        )
-        fresh_idx = np.nonzero(fresh)[0]
-        Xw = Xw_all[fresh_idx]
-        # cheirality + depth sanity in both views
-        z1 = (Xw @ kf_prev.R.T + kf_prev.t)[:, 2]
-        z2 = (Xw @ np.asarray(R).T + np.asarray(t))[:, 2]
-        ok = (z1 > 1e-3) & (z2 > 1e-3) & (np.abs(Xw) < 1e4).all(axis=1)
-        n_room = state.config.max_landmarks - state.num_landmarks
-        keep = np.nonzero(ok)[0][:n_room]
-        if keep.size:
-            new_ids = np.arange(state.num_landmarks, state.num_landmarks + keep.size)
-            state.landmarks[new_ids] = Xw[keep]
-            state.landmark_valid[new_ids] = True
-            state.num_landmarks += keep.size
-            prev_feat_idx = np.nonzero(fresh)[0][keep]
-            kf_prev.landmark_ids[prev_feat_idx] = new_ids
-            lm_ids[np.maximum(idx, 0)[prev_feat_idx]] = new_ids
+    return kf_prev, lm_ids, fresh
 
+
+def _kf_tri_issue(state: VOState, kf_prev: Keyframe, R, t, idx, fresh, x_new):
+    """Dispatch triangulation of fresh correspondences (un-fetched) or None.
+
+    Static [N] shape: all feature slots go to the device; the fresh subset
+    is selected host-side after the fetch."""
+    if fresh.sum() < 8 or state.num_landmarks >= state.config.max_landmarks:
+        return None
+    x_prev_all = _kf_host_cache(state, kf_prev)[0]
+    x_new_all = x_new[np.maximum(idx, 0)]
+    P1 = jnp.asarray(
+        np.concatenate([kf_prev.R, kf_prev.t[:, None]], 1), jnp.float32
+    )
+    P2 = jnp.asarray(np.concatenate([R, t[:, None]], 1), jnp.float32)
+    return _triangulate_jit(
+        P1, P2, jnp.asarray(x_prev_all), jnp.asarray(x_new_all)
+    )
+
+
+def _kf_tri_register(state: VOState, kf_prev, lm_ids, idx, fresh, R, t, Xw_all):
+    """Host phase: cheirality-check and register FETCHED triangulations."""
+    if Xw_all is None:
+        return
+    fresh_idx = np.nonzero(fresh)[0]
+    Xw = Xw_all[fresh_idx]
+    # cheirality + depth sanity in both views
+    z1 = (Xw @ kf_prev.R.T + kf_prev.t)[:, 2]
+    z2 = (Xw @ np.asarray(R).T + np.asarray(t))[:, 2]
+    ok = (z1 > 1e-3) & (z2 > 1e-3) & (np.abs(Xw) < 1e4).all(axis=1)
+    n_room = state.config.max_landmarks - state.num_landmarks
+    keep = np.nonzero(ok)[0][:n_room]
+    if keep.size:
+        new_ids = np.arange(state.num_landmarks, state.num_landmarks + keep.size)
+        state.landmarks[new_ids] = Xw[keep]
+        state.landmark_valid[new_ids] = True
+        state.num_landmarks += keep.size
+        prev_feat_idx = np.nonzero(fresh)[0][keep]
+        kf_prev.landmark_ids[prev_feat_idx] = new_ids
+        lm_ids[np.maximum(idx, 0)[prev_feat_idx]] = new_ids
+
+
+def _kf_append(state: VOState, feats: Features, R, t, lm_ids, x_new):
     kf_new = Keyframe(state.frame_count, feats, R, t, lm_ids)
     kf_new.host_cache = (x_new, np.asarray(feats.valid))
     state.keyframes.append(kf_new)
+
+
+def _add_keyframe(
+    state: VOState, feats: Features, R, t, idx, valid, ref_kf=None, x_new=None
+):
+    """Promote the current frame: inherit landmark ids from matches to the
+    reference keyframe (default: the latest), triangulate new landmarks,
+    run windowed BA. Sequential composition of the phase helpers; the
+    batched server (slam.vo_server) runs the same phases with the device
+    fetches grouped across streams."""
+    if x_new is None:
+        x_new = _norm_pts(state, feats)  # one fetch; seeds the new kf cache
+    kf_prev, lm_ids, fresh = _kf_inherit(state, feats, idx, valid, ref_kf)
+    h = _kf_tri_issue(state, kf_prev, R, t, idx, fresh, x_new)
+    Xw_all = np.asarray(jax.device_get(h)) if h is not None else None
+    _kf_tri_register(state, kf_prev, lm_ids, idx, fresh, R, t, Xw_all)
+    _kf_append(state, feats, R, t, lm_ids, x_new)
     _windowed_ba(state)
 
 
@@ -465,10 +506,12 @@ def _add_keyframe(state: VOState, feats: Features, R, t, idx, valid, ref_kf=None
 _BA_L_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 
 
-def _windowed_ba(state: VOState):
-    """Dense masked BA over the last ``window`` keyframes, static shapes.
+def _windowed_ba_issue(state: VOState):
+    """Host assembly + dispatch of the windowed BA (un-fetched).
 
-    Cameras are padded to exactly ``cfg.window`` (padding cameras are fixed
+    Returns (handles, ctx) or None; pair with _windowed_ba_complete.
+    Dense masked BA over the last ``window`` keyframes, static shapes:
+    cameras are padded to exactly ``cfg.window`` (padding cameras are fixed
     with no observations); landmarks are padded to a size bucket. The grid
     assembly is vectorized (searchsorted scatter), no Python-per-observation
     loop.
@@ -477,14 +520,14 @@ def _windowed_ba(state: VOState):
     window = state.keyframes[-cfg.window :]
     C = len(window)
     if C < 2:
-        return
+        return None
 
     # local landmark set = union of landmarks observed in the window
     lm_set = np.unique(
         np.concatenate([kf.landmark_ids[kf.landmark_ids >= 0] for kf in window])
     )
     if lm_set.size < 8:
-        return
+        return None
 
     max_bucket = _BA_L_BUCKETS[-1]
     if lm_set.size > max_bucket:
@@ -530,9 +573,15 @@ def _windowed_ba(state: VOState):
     ba_state = BAState(
         R=jnp.asarray(R_pad), t=jnp.asarray(t_pad), X=jnp.asarray(X_pad)
     )
-    Rs, ts, X, mean_err = jax.device_get(
-        _windowed_ba_jit(ba_state, problem, cfg.ba_iterations)
-    )
+    handles = _windowed_ba_jit(ba_state, problem, cfg.ba_iterations)
+    return handles, (window, lm_set, L)
+
+
+def _windowed_ba_complete(state: VOState, fetched, ctx):
+    """Write back FETCHED BA results; cull irreconcilable landmarks."""
+    cfg = state.config
+    window, lm_set, L = ctx
+    Rs, ts, X, mean_err = fetched
     for c, kf in enumerate(window):
         kf.R, kf.t = Rs[c], ts[c]
     state.landmarks[lm_set] = X[:L]
@@ -548,6 +597,15 @@ def _windowed_ba(state: VOState):
             drop = np.isin(kf.landmark_ids, list(bad_global))
             kf.landmark_ids[drop] = -1
     state.track_version += 1  # poses, landmark positions, and culls moved
+
+
+def _windowed_ba(state: VOState):
+    """Sequential windowed BA: issue, one fetch, write back."""
+    r = _windowed_ba_issue(state)
+    if r is None:
+        return
+    handles, ctx = r
+    _windowed_ba_complete(state, jax.device_get(handles), ctx)
 
 
 def process_frame(state: VOState, feats: Features) -> VOState:
@@ -578,6 +636,16 @@ def process_frame(state: VOState, feats: Features) -> VOState:
         return state
 
     R, t, n_tracked, idx, valid, n_valid = _track(state, feats)
+    return _post_track(state, feats, R, t, n_tracked, idx, valid, n_valid)
+
+
+def _decide_keyframe(
+    state: VOState, feats: Features, R, t, n_tracked, idx, valid, n_valid
+):
+    """Relocalization fallback + trajectory append + keyframe decision.
+
+    Returns (R, t, idx, valid, ref_kf) when the frame should become a
+    keyframe, else None. Does NOT advance frame_count."""
     ref_kf = None
     if n_tracked < 8:
         # tracking lost against the current keyframe: relocalize globally
@@ -596,23 +664,40 @@ def process_frame(state: VOState, feats: Features) -> VOState:
     # (n_valid came back in the fused track fetch — no extra RTT)
     has_content = n_valid >= 16
     if needs_kf and has_content:
-        _add_keyframe(state, feats, R, t, idx, valid, ref_kf=ref_kf)
-        if state.config.loop_closure:
-            from cvsteer_tpu.slam.loopclosure import close_loops, close_loops_sim3
+        return R, t, idx, valid, ref_kf
+    return None
 
-            closer = (
-                close_loops_sim3 if state.config.loop_closure_sim3 else close_loops
-            )
-            closer(
-                state,
-                min_gap=state.config.loop_min_gap,
-                min_inliers=state.config.loop_min_inliers,
-            )
-            state.track_version += 1  # closure may rewrite poses + landmarks
-        kf = state.keyframes[-1]
-        # the windowed BA just refined this pose — reflect it in the trajectory
-        state.trajectory[-1] = (state.frame_count, kf.R.copy(), kf.t.copy())
 
+def _keyframe_epilogue(state: VOState) -> None:
+    """Loop closure + trajectory sync after a keyframe's windowed BA."""
+    if state.config.loop_closure:
+        from cvsteer_tpu.slam.loopclosure import close_loops, close_loops_sim3
+
+        closer = (
+            close_loops_sim3 if state.config.loop_closure_sim3 else close_loops
+        )
+        closer(
+            state,
+            min_gap=state.config.loop_min_gap,
+            min_inliers=state.config.loop_min_inliers,
+        )
+        state.track_version += 1  # closure may rewrite poses + landmarks
+    kf = state.keyframes[-1]
+    # the windowed BA just refined this pose — reflect it in the trajectory
+    state.trajectory[-1] = (state.frame_count, kf.R.copy(), kf.t.copy())
+
+
+def _post_track(
+    state: VOState, feats: Features, R, t, n_tracked, idx, valid, n_valid
+) -> VOState:
+    """Everything after the fused tracking fetch: relocalization fallback,
+    trajectory append, keyframe promotion, loop closure. Shared by the
+    sequential loop (process_frame) and the batched server (vo_server)."""
+    req = _decide_keyframe(state, feats, R, t, n_tracked, idx, valid, n_valid)
+    if req is not None:
+        R2, t2, idx2, valid2, ref_kf = req
+        _add_keyframe(state, feats, R2, t2, idx2, valid2, ref_kf=ref_kf)
+        _keyframe_epilogue(state)
     state.frame_count += 1
     return state
 

@@ -1,0 +1,128 @@
+"""Batched VO serving: many independent streams, one fetch per step.
+
+Production deployments track many camera streams against one accelerator.
+The per-stream steady-state step (slam.vo._track_fused_jit) is a single
+device dispatch whose result is one small tuple — on a remote/tunneled
+TPU the blocking fetch round-trip, not device compute, dominates a
+sequential loop (BENCH_NOTES.md). The server exploits the issue/complete
+split of the tracking step: each ``step`` dispatches the fused tracker
+for EVERY ready stream first (dispatches are asynchronous and queue on
+device), then fetches all results in one ``jax.device_get`` — a single
+round-trip serves the whole fleet. Host-side logic (initialization,
+keyframe promotion, windowed BA, loop closure) runs per stream afterwards,
+exactly as in the sequential loop: a 1-stream server is step-for-step
+identical to ``vo.process_frame`` (regression-tested).
+
+This is the VO analog of the reference CLI's batch worker (C22,
+example/steer.cpp:169 parallel_for over images): throughput scales with
+stream count until device compute saturates.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+
+import numpy as np
+
+from cvsteer_tpu.features.frontend import Features
+from cvsteer_tpu.slam.vo import (
+    VOConfig,
+    VOState,
+    _decide_keyframe,
+    _kf_append,
+    _kf_inherit,
+    _kf_tri_issue,
+    _kf_tri_register,
+    _keyframe_epilogue,
+    _track_complete,
+    _track_issue,
+    _windowed_ba_complete,
+    _windowed_ba_issue,
+    init_vo,
+    process_frame,
+)
+
+
+class VOServer:
+    """``n_streams`` independent monocular VO state machines, stepped in
+    lockstep with a BOUNDED number of fetch round-trips per step."""
+
+    def __init__(self, config: VOConfig = VOConfig(), n_streams: int = 8):
+        self.states: List[VOState] = [init_vo(config) for _ in range(n_streams)]
+
+    def step(self, frames: Sequence[Optional[Features]]) -> None:
+        """Advance every stream by one frame.
+
+        ``frames[i]`` is stream i's next feature set (None = no frame this
+        tick). Streams not yet initialized take the sequential two-view
+        bootstrap path (host logic; a handful of frames per stream
+        lifetime). Initialized streams run in four batched stages — track,
+        new-frame pixel fetch, triangulation, windowed BA — each paying ONE
+        fetch round-trip for the whole fleet regardless of how many streams
+        promote a keyframe this step.
+        """
+        assert len(frames) == len(self.states)
+        pending = {}
+        for i, (st, feats) in enumerate(zip(self.states, frames)):
+            if feats is None:
+                continue
+            if not st.keyframes or not st.initialized:
+                # bootstrap path: sequential (rare per stream)
+                self.states[i] = process_frame(st, feats)
+                continue
+            pending[i] = _track_issue(st, feats)
+
+        if not pending:
+            return
+        fetched = jax.device_get(pending)  # round-trip 1: the fleet's tracks
+
+        # host decisions; collect keyframe requests
+        kf_req = {}
+        for i, res in fetched.items():
+            st = self.states[i]
+            req = _decide_keyframe(st, frames[i], *_track_complete(st, res))
+            if req is not None:
+                kf_req[i] = req
+
+        if kf_req:
+            # round-trip 2: the promoted frames' feature pixels
+            yx = jax.device_get({i: frames[i].yx for i in kf_req})
+            x_new, ctx1, tri = {}, {}, {}
+            for i, (R, t, idx, valid, ref_kf) in kf_req.items():
+                st = self.states[i]
+                K = st.config.intrinsics
+                y = np.asarray(yx[i], np.float32)
+                x_new[i] = np.stack(
+                    [(y[..., 1] - K.cx) / K.fx, (y[..., 0] - K.cy) / K.fy], -1
+                )
+                kf_prev, lm_ids, fresh = _kf_inherit(
+                    st, frames[i], idx, valid, ref_kf
+                )
+                ctx1[i] = (kf_prev, lm_ids, fresh)
+                h = _kf_tri_issue(st, kf_prev, R, t, idx, fresh, x_new[i])
+                if h is not None:
+                    tri[i] = h
+            # round-trip 3: the fleet's triangulations
+            tri_f = jax.device_get(tri) if tri else {}
+
+            ba = {}
+            for i, (R, t, idx, valid, ref_kf) in kf_req.items():
+                st = self.states[i]
+                kf_prev, lm_ids, fresh = ctx1[i]
+                Xw = np.asarray(tri_f[i]) if i in tri_f else None
+                _kf_tri_register(st, kf_prev, lm_ids, idx, fresh, R, t, Xw)
+                _kf_append(st, frames[i], R, t, lm_ids, x_new[i])
+                r = _windowed_ba_issue(st)
+                if r is not None:
+                    ba[i] = r
+            # round-trip 4: the fleet's windowed BAs
+            ba_f = jax.device_get({i: h for i, (h, _) in ba.items()}) if ba else {}
+            for i, (_, ctx) in ba.items():
+                _windowed_ba_complete(self.states[i], ba_f[i], ctx)
+            for i in kf_req:
+                _keyframe_epilogue(self.states[i])
+
+        for i in fetched:
+            self.states[i].frame_count += 1

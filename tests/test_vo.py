@@ -243,3 +243,62 @@ def test_vo_zero_recompiles_after_warmup():
         logger.removeHandler(handler)
     assert state.initialized and len(state.keyframes) >= 4
     assert not compiles, f"recompiles after warmup: {compiles}"
+
+
+def test_vo_server_single_stream_matches_sequential():
+    """A 1-stream VOServer must be step-for-step identical to process_frame."""
+    from cvsteer_tpu.slam.vo_server import VOServer
+
+    X, desc = _make_world(seed=3)
+    cfg = VOConfig(intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30)
+    n_frames = 20
+    frames = []
+    rng = np.random.default_rng(7)
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        frames.append(_render_features(X, desc, R, t, rng))
+
+    seq = init_vo(cfg)
+    for f in frames:
+        seq = process_frame(seq, f)
+
+    srv = VOServer(cfg, n_streams=1)
+    for f in frames:
+        srv.step([f])
+    st = srv.states[0]
+
+    assert len(st.trajectory) == len(seq.trajectory)
+    for (fa, Ra, ta), (fb, Rb, tb) in zip(st.trajectory, seq.trajectory):
+        assert fa == fb
+        np.testing.assert_array_equal(Ra, Rb)
+        np.testing.assert_array_equal(ta, tb)
+
+
+def test_vo_server_parallel_streams_track():
+    """4 independent streams (different worlds) all track within tolerance."""
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+    from cvsteer_tpu.slam.vo_server import VOServer
+
+    cfg = VOConfig(intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30)
+    S, n_frames = 4, 20
+    worlds = [_make_world(seed=10 + s) for s in range(S)]
+    rngs = [np.random.default_rng(100 + s) for s in range(S)]
+    gts = []
+    srv = VOServer(cfg, n_streams=S)
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        gts.append((R, t))
+        frames = [
+            _render_features(worlds[s][0], worlds[s][1], R, t, rngs[s])
+            for s in range(S)
+        ]
+        srv.step(frames)
+
+    gt_R = np.stack([g[0] for g in gts])
+    gt_t = np.stack([g[1] for g in gts])
+    for s in range(S):
+        st = finalize(srv.states[s])
+        assert st.initialized, f"stream {s} failed to initialize"
+        Rs, ts = st.poses()
+        ate = float(ate_rmse(Rs, ts, gt_R[: len(ts)], gt_t[: len(ts)]))
+        assert ate < 0.15, f"stream {s}: ATE {ate}"
