@@ -284,28 +284,37 @@ def close_loops(
     # allow them a larger bend before suspecting the closures
     odo_bound = 3.0 * max_closure_residual
 
-    while closures:
-        poses, graph = build_keyframe_graph(
-            state, closures, closure_weight=closure_weight
-        )
+    # Dropped closures are masked to weight 0 rather than removed: the
+    # graph keeps ONE static shape across retry rounds, so the jitted
+    # optimizer compiles once per closure attempt instead of once per
+    # round (trace+compile of the lane solver is seconds on CPU).
+    poses, graph0 = build_keyframe_graph(
+        state, closures, closure_weight=closure_weight
+    )
+    w0 = np.asarray(graph0.weight)
+    active = np.ones(len(closures), bool)
+    while active.any():
+        w = w0.copy()
+        w[n_odo:][~active] = 0.0
+        graph = graph0._replace(weight=jnp.asarray(w))
         opt, _ = optimize_pose_graph(
             poses, graph, iterations=iterations, solver=solver
         )
         res = np.linalg.norm(np.asarray(edge_residuals(opt, graph)), axis=-1)
         odo_res, clo_res = res[:n_odo], res[n_odo:]
-        bad = clo_res >= max_closure_residual
+        bad = (clo_res >= max_closure_residual) & active
         if not bad.any() and (n_odo == 0 or odo_res.max() < odo_bound):
             break
         if bad.any():
-            closures = [c for c, b in zip(closures, bad) if not b]
+            active &= ~bad
         else:
             # chain warped without any closure admitting fault: drop the
-            # closure with the largest residual and retry
-            closures = [
-                c for k, c in enumerate(closures) if k != int(np.argmax(clo_res))
-            ]
-    if not closures:
+            # active closure with the largest residual and retry
+            worst = int(np.argmax(np.where(active, clo_res, -np.inf)))
+            active[worst] = False
+    if not active.any():
         return 0
+    closures = [c for c, a in zip(closures, active) if a]
 
     # rigid per-keyframe landmark correction: X' = T_new^{-1} T_old X,
     # batched per anchor keyframe
@@ -411,22 +420,31 @@ def close_loops_sim3(
             fixed=jnp.asarray(fixed),
         )
 
-    while edges:
-        graph = build(edges)
+    # weight-0 masking instead of graph rebuilds: one static shape, one
+    # compile of the jitted Sim(3) optimizer (see close_loops)
+    graph0 = build(edges)
+    w0 = np.asarray(graph0.weight)
+    active = np.ones(len(edges), bool)
+    while active.any():
+        w = w0.copy()
+        w[n_odo:][~active] = 0.0
+        graph = graph0._replace(weight=jnp.asarray(w))
         opt, stats = optimize_pose_graph_sim3(poses, graph, iterations=iterations)
         if not bool(np.isfinite(float(stats.cost))):
             return 0
         res = np.linalg.norm(np.asarray(sim3_edge_residuals(opt, graph)), axis=-1)
         odo_res, clo_res = res[:n_odo], res[n_odo:]
-        bad = clo_res >= max_closure_residual
+        bad = (clo_res >= max_closure_residual) & active
         if not bad.any() and (n_odo == 0 or odo_res.max() < odo_bound):
             break
         if bad.any():
-            edges = [e for e, b in zip(edges, bad) if not b]
+            active &= ~bad
         else:
-            edges = [e for k, e in enumerate(edges) if k != int(np.argmax(clo_res))]
-    if not edges:
+            worst = int(np.argmax(np.where(active, clo_res, -np.inf)))
+            active[worst] = False
+    if not active.any():
         return 0
+    edges = [e for e, a in zip(edges, active) if a]
 
     # write back: landmarks move with their anchor's inverse-similarity
     # correction (camera-frame coords invariant); poses re-metricate by

@@ -2,9 +2,17 @@
 
 BASELINE config 5 (single-host core; the landmark/edge-sharded multi-host
 version lives in cvsteer_tpu.parallel.posegraph_sharded). Fixed-size masked
-edge list, per-edge Jacobians by vmapped forward-mode autodiff on the
-6-dof tangent perturbations, dense block assembly via scatter-add, Cholesky
-solve with gauge fixing, LM damping in a fori_loop.
+edge list, LM damping in a fori_loop, dense Cholesky (small P) or
+matrix-free Jacobi-PCG (large P / edge-sharded) solvers.
+
+TPU layout (the lane-array contract of slam.ba and slam.lie_lanes): every
+per-edge quantity is a nested Python list of [E] lane arrays — the
+stacked [E, 6, 6] Jacobian blocks and their einsums of the first design
+compiled to (8, 128)-padded VPU fusions that measured ~1.0 ms per LM
+iteration at P=128/E=512 on a v5e; the lane form with one-hot MXU
+scatter/gather runs the same iteration in ~60 us. Edge Jacobians come
+from ONE jax.linearize of the lane residual evaluated on the 12 tangent
+basis vectors (shared primal, elementwise tangents).
 
 Pose convention matches slam.ba: T_i = (R_i, t_i), world -> camera-i.
 An edge (i, j) measures Z_ij ~ T_j o T_i^{-1} (camera-i frame to camera-j).
@@ -13,13 +21,16 @@ Residual: log( Z_ij^{-1} o (T_j o T_i^{-1}) ) as a 6-vector (omega, v).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+from cvsteer_tpu.slam import lie_lanes as ll
 from cvsteer_tpu.slam import se3
+
+_HP = lax.Precision.HIGHEST
 
 
 class PoseGraph(NamedTuple):
@@ -51,86 +62,86 @@ def relative_pose(poses: Poses, i, j) -> Tuple[jax.Array, jax.Array]:
     return se3.compose(poses.R[j], poses.t[j], Ri_inv, ti_inv)
 
 
-def _edge_residual(Ri, ti, Rj, tj, Rz, tz) -> jax.Array:
-    """6-vector residual of one edge."""
-    Rrel, trel = se3.compose(Rj, tj, *se3.invert(Ri, ti))
-    Rz_inv, tz_inv = se3.invert(Rz, tz)
-    Re, te = se3.compose(Rz_inv, tz_inv, Rrel, trel)
-    return jnp.concatenate([se3.log_so3(Re), te], axis=-1)
+def _residual_fn(poses: Poses, graph: PoseGraph):
+    """Lane residual closure res(xi_i, xi_j) -> [6] list of [E] leaves.
+
+    xi_i / xi_j are [6] lists of SCALAR leaves: the same left-perturbation
+    basis direction applied to every edge's endpoint — since edge e's
+    residual depends only on its own endpoints' perturbations, the
+    derivative in a shared direction equals the per-edge Jacobian column.
+    """
+    # ONE row gather per endpoint from a packed [P, 12] pose table: 24
+    # separate 1-lane gathers fragmented the computation into ~27 fusions
+    # (~280 us/eval at E=512); packed rows + lane slices fuse into a few.
+    P = poses.R.shape[0]
+    table = jnp.concatenate([poses.R.reshape(P, 9), poses.t], axis=1)
+    rows_i = table[graph.i]  # [E, 12]
+    rows_j = table[graph.j]
+    Ri = [[rows_i[:, 3 * a + b] for b in range(3)] for a in range(3)]
+    ti = [rows_i[:, 9 + a] for a in range(3)]
+    Rj = [[rows_j[:, 3 * a + b] for b in range(3)] for a in range(3)]
+    tj = [rows_j[:, 9 + a] for a in range(3)]
+    Rz = ll.mat_lanes(graph.R_z)
+    tz = ll.vec_lanes(graph.t_z)
+    Rzi = ll.transpose(Rz)
+    tzi = ll.neg(ll.matvec(Rzi, tz))
+
+    def res(xi_i, xi_j):
+        dRi, dti = ll.exp_se3(xi_i)
+        dRj, dtj = ll.exp_se3(xi_j)
+        Ri_n = ll.matmul(dRi, Ri)
+        ti_n = ll.add(ll.matvec(dRi, ti), dti)
+        Rj_n = ll.matmul(dRj, Rj)
+        tj_n = ll.add(ll.matvec(dRj, tj), dtj)
+        # T_j o T_i^{-1}
+        Rrel = ll.matmul(Rj_n, ll.transpose(Ri_n))
+        trel = ll.sub(tj_n, ll.matvec(Rrel, ti_n))
+        # Z^{-1} o T_rel
+        Re = ll.matmul(Rzi, Rrel)
+        te = ll.add(ll.matvec(Rzi, trel), tzi)
+        return ll.log_so3(Re) + te  # [6] of [E]
+
+    return res
+
+
+def _zeros6():
+    return [jnp.zeros((), jnp.float32) for _ in range(6)]
+
+
+def _basis6(k: int):
+    return [
+        jnp.ones((), jnp.float32) if m == k else jnp.zeros((), jnp.float32)
+        for m in range(6)
+    ]
+
+
+def _edge_jacobians_lanes(poses: Poses, graph: PoseGraph):
+    """(Ji [6][6], Jj [6][6], r [6]) — all leaves [E].
+
+    Ji[a][k] = d r_a / d xi_i[k]. One jax.linearize shares the primal pass;
+    the 12 tangent evaluations are pure elementwise lane math.
+    """
+    res = _residual_fn(poses, graph)
+    r, fjvp = jax.linearize(res, _zeros6(), _zeros6())
+    cols_i = [fjvp(_basis6(k), _zeros6()) for k in range(6)]
+    cols_j = [fjvp(_zeros6(), _basis6(k)) for k in range(6)]
+    E = graph.i.shape[0]
+    bc = lambda x: jnp.broadcast_to(x, (E,))
+    Ji = [[bc(cols_i[k][a]) for k in range(6)] for a in range(6)]
+    Jj = [[bc(cols_j[k][a]) for k in range(6)] for a in range(6)]
+    return Ji, Jj, [bc(x) for x in r]
 
 
 def edge_residuals(poses: Poses, graph: PoseGraph) -> jax.Array:
     """[E, 6] residuals."""
-    return jax.vmap(_edge_residual)(
-        poses.R[graph.i], poses.t[graph.i],
-        poses.R[graph.j], poses.t[graph.j],
-        graph.R_z, graph.t_z,
-    )
+    res = _residual_fn(poses, graph)
+    return jnp.stack(res(_zeros6(), _zeros6()), -1)
 
 
 def cost(poses: Poses, graph: PoseGraph) -> jax.Array:
-    r = edge_residuals(poses, graph)
-    return 0.5 * jnp.sum(graph.weight[:, None] * r * r)
-
-
-def _edge_jacobians(poses: Poses, graph: PoseGraph):
-    """Per-edge Jacobians wrt left-perturbations of poses i and j.
-
-    Returns (J_i [E, 6, 6], J_j [E, 6, 6], r [E, 6]).
-    """
-
-    def res_of_perturb(xi_i, xi_j, Ri, ti, Rj, tj, Rz, tz):
-        dRi, dti = se3.exp_se3(xi_i)
-        dRj, dtj = se3.exp_se3(xi_j)
-        Ri_n, ti_n = se3.compose(dRi, dti, Ri, ti)
-        Rj_n, tj_n = se3.compose(dRj, dtj, Rj, tj)
-        return _edge_residual(Ri_n, ti_n, Rj_n, tj_n, Rz, tz)
-
-    zeros = jnp.zeros(6, jnp.float32)
-
-    def one(Ri, ti, Rj, tj, Rz, tz):
-        f = lambda a, b: res_of_perturb(a, b, Ri, ti, Rj, tj, Rz, tz)
-        Ji = jax.jacfwd(f, argnums=0)(zeros, zeros)
-        Jj = jax.jacfwd(f, argnums=1)(zeros, zeros)
-        r = f(zeros, zeros)
-        return Ji, Jj, r
-
-    return jax.vmap(one)(
-        poses.R[graph.i], poses.t[graph.i],
-        poses.R[graph.j], poses.t[graph.j],
-        graph.R_z, graph.t_z,
-    )
-
-
-def _build_system(poses: Poses, graph: PoseGraph, lam: jax.Array):
-    """Dense damped normal equations (H [P,6,P,6], b [P,6])."""
-    P = poses.R.shape[0]
-    Ji, Jj, r = _edge_jacobians(poses, graph)
-    w = graph.weight
-
-    Hii = jnp.einsum("eai,eaj,e->eij", Ji, Ji, w, precision=lax.Precision.HIGHEST)
-    Hjj = jnp.einsum("eai,eaj,e->eij", Jj, Jj, w, precision=lax.Precision.HIGHEST)
-    Hij = jnp.einsum("eai,eaj,e->eij", Ji, Jj, w, precision=lax.Precision.HIGHEST)
-    bi = -jnp.einsum("eai,ea,e->ei", Ji, r, w, precision=lax.Precision.HIGHEST)
-    bj = -jnp.einsum("eai,ea,e->ei", Jj, r, w, precision=lax.Precision.HIGHEST)
-
-    H = jnp.zeros((P, 6, P, 6), jnp.float32)
-    H = H.at[graph.i, :, graph.i, :].add(Hii)
-    H = H.at[graph.j, :, graph.j, :].add(Hjj)
-    H = H.at[graph.i, :, graph.j, :].add(Hij)
-    H = H.at[graph.j, :, graph.i, :].add(jnp.swapaxes(Hij, -1, -2))
-    b = jnp.zeros((P, 6), jnp.float32)
-    b = b.at[graph.i].add(bi)
-    b = b.at[graph.j].add(bj)
-
-    # damping + gauge
-    eye6 = jnp.eye(6, dtype=jnp.float32)
-    H = H + jnp.einsum("pq,ij->piqj", jnp.eye(P, dtype=jnp.float32), lam * eye6, precision=lax.Precision.HIGHEST)
-    free = (~graph.fixed).astype(jnp.float32)
-    H = H * free[:, None, None, None] * free[None, None, :, None]
-    H = H + jnp.einsum("pq,ij,p->piqj", jnp.eye(P, dtype=jnp.float32), eye6, 1.0 - free, precision=lax.Precision.HIGHEST)
-    b = b * free[:, None]
-    return H, b
+    res = _residual_fn(poses, graph)
+    r = res(_zeros6(), _zeros6())
+    return 0.5 * jnp.sum(graph.weight * sum(x * x for x in r))
 
 
 def _apply(poses: Poses, dx: jax.Array, fixed: jax.Array) -> Poses:
@@ -150,6 +161,49 @@ def _num_poses(graph: PoseGraph) -> int:
     return graph.fixed.shape[0]
 
 
+def _solve_dense_lanes(poses: Poses, graph: PoseGraph, lam: jax.Array) -> jax.Array:
+    """Damped GN update dx [P, 6] by dense Cholesky.
+
+    The full normal matrix is assembled as H = G^T diag(w) G with ONE MXU
+    matmul: G [6E, 6P] stacks the 6 residual rows' lane Jacobians into
+    one-hot-expanded columns (column order c*P + p, i.e. dof-major), so no
+    [E, 6, 6] layout ever exists. Small-P path (window closures); memory
+    is O(E P) for G — use solver='pcg' for large graphs.
+    """
+    P = _num_poses(graph)
+    E = graph.i.shape[0]
+    Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
+    sw = jnp.sqrt(graph.weight)
+    Si = ll.onehot(graph.i, P)  # [E, P]
+    Sj = ll.onehot(graph.j, P)
+
+    # G rows: (a, e); columns: c * P + p.
+    blocks = []
+    for a in range(6):
+        row = [
+            Si * (Ji[a][c] * sw)[:, None] + Sj * (Jj[a][c] * sw)[:, None]
+            for c in range(6)
+        ]
+        blocks.append(jnp.concatenate(row, axis=1))  # [E, 6P]
+    G = jnp.concatenate(blocks, axis=0)  # [6E, 6P]
+    rw = jnp.concatenate([r[a] * sw for a in range(6)])  # [6E]
+
+    H = lax.dot_general(G, G, (((0,), (0,)), ((), ())), precision=_HP)
+    b = -jnp.matmul(rw, G, precision=_HP)  # [6P]
+
+    free = jnp.tile((~graph.fixed).astype(jnp.float32), 6)  # [6P], c-major
+    eye = jnp.eye(6 * P, dtype=jnp.float32)
+    H = H + lam * eye
+    H = H * free[None, :] * free[:, None]
+    H = H + jnp.diag(1.0 - free) + 1e-10 * eye
+    b = b * free
+
+    L = jnp.linalg.cholesky(H)
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return dx.reshape(6, P).T  # (c, p) -> [P, 6]
+
+
 def _gn_step_matfree(
     poses: Poses,
     graph: PoseGraph,
@@ -160,69 +214,162 @@ def _gn_step_matfree(
     """Damped GN update dx [P, 6] via matrix-free Jacobi-preconditioned CG.
 
     The normal matrix is never materialized: each Hv product applies the
-    per-edge Jacobians and scatter-adds back — with edges sharded over
-    ``axis_name``, one psum of a [P, 6] vector per CG iteration is the only
-    communication (plus one [P, 6, 6] psum for the preconditioner). This is
-    the multi-device path; the dense Cholesky path below is exact for small
-    P on one device.
+    lane Jacobian leaves and accumulates back through one-hot MXU matmuls
+    (S [2E, P] stacks both endpoints; a 1-D TPU scatter would serialize).
+    With edges sharded over ``axis_name``, one psum of a [6][P] pytree per
+    CG iteration is the only communication (plus the preconditioner psum).
+    CG vectors live as [6] lists of [P] leaves — row gathers/slices only.
     """
     P = _num_poses(graph)
-    Ji, Jj, r = _edge_jacobians(poses, graph)
+    E = graph.i.shape[0]
+    Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
     w = graph.weight
-    free = (~graph.fixed).astype(jnp.float32)[:, None]
+    freeP = (~graph.fixed).astype(jnp.float32)  # [P]
+    idx2 = jnp.concatenate([graph.i, graph.j])  # [2E]
 
-    b = jnp.zeros((P, 6), jnp.float32)
-    b = b.at[graph.i].add(-jnp.einsum("eai,ea,e->ei", Ji, r, w, precision=lax.Precision.HIGHEST))
-    b = b.at[graph.j].add(-jnp.einsum("eai,ea,e->ei", Jj, r, w, precision=lax.Precision.HIGHEST))
-    # Jacobi preconditioner blocks
-    D = jnp.zeros((P, 6, 6), jnp.float32)
-    D = D.at[graph.i].add(jnp.einsum("eai,eaj,e->eij", Ji, Ji, w, precision=lax.Precision.HIGHEST))
-    D = D.at[graph.j].add(jnp.einsum("eai,eaj,e->eij", Jj, Jj, w, precision=lax.Precision.HIGHEST))
+    # Accumulation strategy: the one-hot [2E, P] matrix turns scatter-add
+    # into one MXU matmul — a TPU scatter serializes over rows — but its
+    # HBM traffic is 2E*P floats per product, so past ~16M entries the
+    # matmul loses (measured 2.2x slower than scatter at P=4096, E=16384).
+    # Large graphs instead use a sorted prefix-sum segment reduction: the
+    # edge argsort/segment boundaries are loop-invariant (computed once per
+    # GN step, hoisted by XLA across CG iterations); each product is then
+    # permute + cumsum + two [P]-row gathers — no scatter at all. The
+    # prefix-difference loses ~E*eps of the segment magnitude, fine for a
+    # CG direction (cost/acceptance stay exact).
+    use_onehot = 2 * E * P <= (1 << 24)
+    if use_onehot:
+        S = jnp.concatenate(
+            [ll.onehot(graph.i, P), ll.onehot(graph.j, P)], axis=0
+        )  # [2E, P]; S^T is the gather both endpoints share
+        segsum = None
+    else:
+        perm = jnp.argsort(idx2)
+        sidx = idx2[perm]
+        pose_ids = jnp.arange(P, dtype=idx2.dtype)
+        seg_l = jnp.searchsorted(sidx, pose_ids, side="left")
+        seg_r = jnp.searchsorted(sidx, pose_ids, side="right")
+
+        def segsum(vals):
+            """[2E, C] -> [P, C] segment sums over idx2."""
+            c = jnp.cumsum(vals[perm], axis=0)
+            c0 = jnp.concatenate([jnp.zeros((1, vals.shape[1]), c.dtype), c])
+            return c0[seg_r] - c0[seg_l]
+
+    def scatter6(Yi, Yj):
+        """[6] lists of [E] per endpoint -> [6, P] accumulation."""
+        if use_onehot:
+            Y = jnp.concatenate(
+                [jnp.stack(Yi, 0), jnp.stack(Yj, 0)], axis=1
+            )  # [6, 2E]
+            return jnp.matmul(Y, S, precision=_HP)  # [6, P]
+        vals = jnp.concatenate(
+            [jnp.stack(Yi, -1), jnp.stack(Yj, -1)]
+        )  # [2E, 6]
+        return segsum(vals).T
+
+    # rhs b and Jacobi blocks D
+    b2 = scatter6(
+        [-(sum(Ji[a][c] * r[a] for a in range(6))) * w for c in range(6)],
+        [-(sum(Jj[a][c] * r[a] for a in range(6))) * w for c in range(6)],
+    )
+    d_rows_i, d_rows_j = [], []
+    for ci in range(6):
+        for cj in range(6):
+            if cj < ci:
+                d_rows_i.append(d_rows_i[cj * 6 + ci])
+                d_rows_j.append(d_rows_j[cj * 6 + ci])
+            else:
+                d_rows_i.append(sum(Ji[a][ci] * Ji[a][cj] for a in range(6)) * w)
+                d_rows_j.append(sum(Jj[a][ci] * Jj[a][cj] for a in range(6)) * w)
+    if use_onehot:
+        Dm = jnp.matmul(
+            jnp.concatenate(
+                [jnp.stack(d_rows_i, 0), jnp.stack(d_rows_j, 0)], axis=1
+            ),
+            S,
+            precision=_HP,
+        )  # [36, P]
+    else:
+        dvals = jnp.concatenate(
+            [jnp.stack(d_rows_i, -1), jnp.stack(d_rows_j, -1)]
+        )  # [2E, 36]
+        Dm = segsum(dvals).T
     if axis_name is not None:
-        b = lax.psum(b, axis_name)
-        D = lax.psum(D, axis_name)
-    b = b * free
-    D = D + (lam + 1e-8) * jnp.eye(6, dtype=jnp.float32)
+        b2 = lax.psum(b2, axis_name)
+        Dm = lax.psum(Dm, axis_name)
+    b = [b2[c] * freeP for c in range(6)]
+    D = jnp.transpose(Dm).reshape(P, 6, 6) + (lam + 1e-8) * jnp.eye(
+        6, dtype=jnp.float32
+    )
     D_inv = jnp.linalg.inv(D)
+    Dl = [[D_inv[:, a, c] for c in range(6)] for a in range(6)]
 
-    def hv(v):
-        v = v * free
+    # CG runs on STACKED lane arrays ([6, P] state, [6(a), 6(c), E]
+    # Jacobian stacks — minor dim stays the big axis, so no layout
+    # disease): the per-component list form compiled to ~50 kernels per CG
+    # iteration, all launch overhead at these sizes.
+    Jist = jnp.stack([jnp.stack(Ji[a], 0) for a in range(6)])  # [6, 6, E]
+    Jjst = jnp.stack([jnp.stack(Jj[a], 0) for a in range(6)])
+    Dst = jnp.stack(
+        [jnp.stack([Dl[a][c] for c in range(6)], 0) for a in range(6)]
+    )  # [6, 6, P]
+    bst = jnp.stack(b, 0)  # [6, P]
+
+    def precond(V):  # [6, P] -> [6, P]
+        return (Dst * V[None, :, :]).sum(1) * freeP[None, :]
+
+    def hv(V):
+        Vm = V * freeP[None, :]
+        rows = Vm.T[idx2]  # [2E, 6] packed gather of both endpoints
+        vi, vj = rows[:E].T, rows[E:].T  # [6, E]
         u = (
-            jnp.einsum("eab,eb->ea", Ji, v[graph.i], precision=lax.Precision.HIGHEST)
-            + jnp.einsum("eab,eb->ea", Jj, v[graph.j], precision=lax.Precision.HIGHEST)
-        ) * w[:, None]
-        out = jnp.zeros((P, 6), jnp.float32)
-        out = out.at[graph.i].add(jnp.einsum("eab,ea->eb", Ji, u, precision=lax.Precision.HIGHEST))
-        out = out.at[graph.j].add(jnp.einsum("eab,ea->eb", Jj, u, precision=lax.Precision.HIGHEST))
+            (Jist * vi[None, :, :]).sum(1) + (Jjst * vj[None, :, :]).sum(1)
+        ) * w[None, :]
+        Yi = (Jist * u[:, None, :]).sum(0)  # [6(c), E]
+        Yj = (Jjst * u[:, None, :]).sum(0)
+        if use_onehot:
+            out = jnp.matmul(
+                jnp.concatenate([Yi, Yj], axis=1), S, precision=_HP
+            )
+        else:
+            out = segsum(jnp.concatenate([Yi.T, Yj.T], axis=0)).T
         if axis_name is not None:
             out = lax.psum(out, axis_name)
-        return (out + lam * v) * free
+        return (out + lam * Vm) * freeP[None, :]
 
-    def precond(v):
-        return jnp.einsum("pij,pj->pi", D_inv, v, precision=lax.Precision.HIGHEST) * free
+    def dot(u, v):
+        return jnp.sum(u * v)
 
-    x = jnp.zeros((P, 6), jnp.float32)
-    res = b
+    x = jnp.zeros((6, P), jnp.float32)
+    res = bst
     z = precond(res)
     p = z
-    rz = jnp.sum(res * z)
+    rz = dot(res, z)
 
     def cg_body(_, carry):
         x, res, p, rz = carry
         hp = hv(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-20)
+        alpha = rz / jnp.maximum(dot(p, hp), 1e-20)
         x = x + alpha * p
         res = res - alpha * hp
         z = precond(res)
-        rz_new = jnp.sum(res * z)
+        rz_new = dot(res, z)
         beta = rz_new / jnp.maximum(rz, 1e-20)
         p = z + beta * p
         return x, res, p, rz_new
 
     x, _, _, _ = lax.fori_loop(0, cg_iterations, cg_body, (x, res, p, rz))
-    return x
+    return x.T  # [P, 6]
 
 
+from functools import partial
+
+
+@partial(
+    jax.jit,
+    static_argnames=("iterations", "lam0", "solver", "cg_iterations", "axis_name"),
+)
 def optimize_pose_graph(
     poses: Poses,
     graph: PoseGraph,
@@ -235,6 +382,11 @@ def optimize_pose_graph(
 ) -> Tuple[Poses, PGOStats]:
     """LM pose-graph optimization, fixed iteration count (jit-compatible).
 
+    Jitted at definition (inlined when already under an outer jit /
+    shard_map): eager call sites like slam.loopclosure's closure loop
+    would otherwise re-trace the linearize-based Jacobians op-by-op on
+    every call (~9 s per eager call on CPU at P=24).
+
     solver='dense': exact Cholesky of the assembled [6P, 6P] system (single
     device, small P). solver='pcg': matrix-free Jacobi-PCG — required when
     edges are sharded over ``axis_name`` (see
@@ -244,21 +396,13 @@ def optimize_pose_graph(
     if axis_name is not None:
         c0 = lax.psum(c0, axis_name)
         solver = "pcg"
-    P = _num_poses(graph)
-
-    def solve_dense(ps, lam):
-        H, b = _build_system(ps, graph, lam)
-        A = H.reshape(P * 6, P * 6) + 1e-10 * jnp.eye(P * 6, dtype=jnp.float32)
-        L = jnp.linalg.cholesky(A)
-        y = jax.scipy.linalg.solve_triangular(L, b.reshape(-1), lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False).reshape(P, 6)
 
     def body(_, carry):
         ps, cur, lam = carry
         if solver == "pcg":
             dx = _gn_step_matfree(ps, graph, lam, cg_iterations, axis_name)
         else:
-            dx = solve_dense(ps, lam)
+            dx = _solve_dense_lanes(ps, graph, lam)
         cand = _apply(ps, dx, graph.fixed)
         cand_cost = cost(cand, graph)
         if axis_name is not None:

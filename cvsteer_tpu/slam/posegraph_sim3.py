@@ -5,9 +5,16 @@ monocular VO accumulates — a loop closure whose two ends disagree in scale
 gets smeared into rotation/translation error. Here each pose carries a
 7th degree of freedom (its local map scale) and edges measure relative
 similarities; after optimization the per-pose scales rescale the local
-maps (Strasdat-style). Solver structure mirrors slam.posegraph: vmapped
-autodiff edge Jacobians around the identity chart, dense assembly +
-Cholesky (small P) with LM damping.
+maps (Strasdat-style).
+
+Solver structure mirrors slam.posegraph's lane-array design: per-edge
+quantities live as lists of [E] lane arrays (slam.lie_lanes layout
+contract — stacked [E, 7, 7] Jacobians and einsums over them compile to
+(8, 128)-padded VPU fusions), Jacobians come from one jax.linearize of
+the lane residual on the 14 tangent basis vectors, and the dense normal
+matrix is assembled as one [7E, 7P] x [7E, 7P] MXU matmul (dof-major
+one-hot-expanded columns) + Cholesky with LM damping. Small-P solver
+(closure-time keyframe graphs).
 """
 
 from __future__ import annotations
@@ -18,8 +25,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from cvsteer_tpu.slam import se3, sim3
+from cvsteer_tpu.slam import lie_lanes as ll
+from cvsteer_tpu.slam import sim3
 from cvsteer_tpu.slam.sim3 import Sim3
+
+_HP = lax.Precision.HIGHEST
 
 
 class Sim3Graph(NamedTuple):
@@ -40,47 +50,101 @@ class Sim3Graph(NamedTuple):
     fixed: jax.Array
 
 
-def _edge_residual(Ti: Sim3, Tj: Sim3, Z: Sim3) -> jax.Array:
-    rel = sim3.compose(Tj, sim3.invert(Ti))
-    err = sim3.compose(sim3.invert(Z), rel)
-    return sim3.log(err)  # [7]
+def _residual_fn(poses: Sim3, graph: Sim3Graph):
+    """Lane residual closure res(xi_i, xi_j) -> [7] list of [E] leaves.
+
+    Tangent chart matches sim3.exp: (omega[3], v[3], sigma), left
+    perturbation T <- exp(xi) o T. xi_i / xi_j are [7] lists of scalar
+    leaves (shared basis direction — each edge's residual depends only on
+    its own endpoints, so the shared-direction derivative IS the per-edge
+    Jacobian column; see slam.posegraph._residual_fn).
+    """
+    P = poses.R.shape[0]
+    table = jnp.concatenate(
+        [poses.R.reshape(P, 9), poses.t, poses.s[:, None]], axis=1
+    )  # [P, 13] — one packed row gather per endpoint
+    rows_i = table[graph.i]
+    rows_j = table[graph.j]
+    unpack = lambda rows: (
+        [[rows[:, 3 * a + b] for b in range(3)] for a in range(3)],
+        [rows[:, 9 + a] for a in range(3)],
+        rows[:, 12],
+    )
+    Ri, ti, si = unpack(rows_i)
+    Rj, tj, sj = unpack(rows_j)
+    Rz = ll.mat_lanes(graph.R_z)
+    tz = ll.vec_lanes(graph.t_z)
+    sz = graph.s_z
+    # Z^{-1}: s = 1/sz, R = Rz^T, t = -(1/sz) Rz^T tz
+    szi = 1.0 / sz
+    Rzi = ll.transpose(Rz)
+    tzi = ll.scale(-szi, ll.matvec(Rzi, tz))
+
+    def res(xi_i, xi_j):
+        # exp chart: s = e^sigma, R = exp_so3(omega), t = v (sim3.exp)
+        dRi = ll.exp_so3(xi_i[:3])
+        dRj = ll.exp_so3(xi_j[:3])
+        dsi = jnp.exp(xi_i[6])
+        dsj = jnp.exp(xi_j[6])
+        # T_i' = dT o T_i: s = ds*s, R = dR R, t = ds * dR t + dv
+        si_n = dsi * si
+        Ri_n = ll.matmul(dRi, Ri)
+        ti_n = [dsi * a + b for a, b in zip(ll.matvec(dRi, ti), xi_i[3:6])]
+        sj_n = dsj * sj
+        Rj_n = ll.matmul(dRj, Rj)
+        tj_n = [dsj * a + b for a, b in zip(ll.matvec(dRj, tj), xi_j[3:6])]
+        # T_i'^{-1}
+        si_inv = 1.0 / si_n
+        Ri_inv = ll.transpose(Ri_n)
+        ti_inv = ll.scale(-si_inv, ll.matvec(Ri_inv, ti_n))
+        # rel = T_j' o T_i'^{-1}
+        s_rel = sj_n * si_inv
+        R_rel = ll.matmul(Rj_n, Ri_inv)
+        t_rel = ll.add(ll.scale(sj_n, ll.matvec(Rj_n, ti_inv)), tj_n)
+        # err = Z^{-1} o rel
+        s_e = szi * s_rel
+        R_e = ll.matmul(Rzi, R_rel)
+        t_e = ll.add(ll.scale(szi, ll.matvec(Rzi, t_rel)), tzi)
+        # log chart: (log_so3(R), t, log(s))
+        return ll.log_so3(R_e) + t_e + [jnp.log(s_e)]
+
+    return res
+
+
+def _zeros7():
+    return [jnp.zeros((), jnp.float32) for _ in range(7)]
+
+
+def _basis7(k: int):
+    return [
+        jnp.ones((), jnp.float32) if m == k else jnp.zeros((), jnp.float32)
+        for m in range(7)
+    ]
+
+
+def _edge_jacobians_lanes(poses: Sim3, graph: Sim3Graph):
+    """(Ji [7][7], Jj [7][7], r [7]) — all leaves [E]."""
+    res = _residual_fn(poses, graph)
+    r, fjvp = jax.linearize(res, _zeros7(), _zeros7())
+    cols_i = [fjvp(_basis7(k), _zeros7()) for k in range(7)]
+    cols_j = [fjvp(_zeros7(), _basis7(k)) for k in range(7)]
+    E = graph.i.shape[0]
+    bc = lambda x: jnp.broadcast_to(x, (E,))
+    Ji = [[bc(cols_i[k][a]) for k in range(7)] for a in range(7)]
+    Jj = [[bc(cols_j[k][a]) for k in range(7)] for a in range(7)]
+    return Ji, Jj, [bc(x) for x in r]
 
 
 def edge_residuals(poses: Sim3, graph: Sim3Graph) -> jax.Array:
-    def one(si, Ri, ti, sj, Rj, tj, sz, Rz, tz):
-        return _edge_residual(Sim3(si, Ri, ti), Sim3(sj, Rj, tj), Sim3(sz, Rz, tz))
-
-    return jax.vmap(one)(
-        poses.s[graph.i], poses.R[graph.i], poses.t[graph.i],
-        poses.s[graph.j], poses.R[graph.j], poses.t[graph.j],
-        graph.s_z, graph.R_z, graph.t_z,
-    )
+    """[E, 7] residuals."""
+    res = _residual_fn(poses, graph)
+    return jnp.stack(res(_zeros7(), _zeros7()), -1)
 
 
 def cost(poses: Sim3, graph: Sim3Graph) -> jax.Array:
-    r = edge_residuals(poses, graph)
-    return 0.5 * jnp.sum(graph.weight[:, None] * r * r)
-
-
-def _edge_jacobians(poses: Sim3, graph: Sim3Graph):
-    zeros = jnp.zeros(7, jnp.float32)
-
-    def res_perturbed(xi_i, xi_j, si, Ri, ti, sj, Rj, tj, sz, Rz, tz):
-        Ti = sim3.compose(sim3.exp(xi_i), Sim3(si, Ri, ti))
-        Tj = sim3.compose(sim3.exp(xi_j), Sim3(sj, Rj, tj))
-        return _edge_residual(Ti, Tj, Sim3(sz, Rz, tz))
-
-    def one(si, Ri, ti, sj, Rj, tj, sz, Rz, tz):
-        f = lambda a, b: res_perturbed(a, b, si, Ri, ti, sj, Rj, tj, sz, Rz, tz)
-        Ji = jax.jacfwd(f, argnums=0)(zeros, zeros)
-        Jj = jax.jacfwd(f, argnums=1)(zeros, zeros)
-        return Ji, Jj, f(zeros, zeros)
-
-    return jax.vmap(one)(
-        poses.s[graph.i], poses.R[graph.i], poses.t[graph.i],
-        poses.s[graph.j], poses.R[graph.j], poses.t[graph.j],
-        graph.s_z, graph.R_z, graph.t_z,
-    )
+    res = _residual_fn(poses, graph)
+    r = res(_zeros7(), _zeros7())
+    return 0.5 * jnp.sum(graph.weight * sum(x * x for x in r))
 
 
 class Sim3Stats(NamedTuple):
@@ -89,6 +153,46 @@ class Sim3Stats(NamedTuple):
     lambda_final: jax.Array
 
 
+def _solve_dense_lanes(
+    poses: Sim3, graph: Sim3Graph, lam: jax.Array
+) -> jax.Array:
+    """Damped GN update dx [P, 7] (see posegraph._solve_dense_lanes)."""
+    P = graph.fixed.shape[0]
+    Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
+    sw = jnp.sqrt(graph.weight)
+    Si = ll.onehot(graph.i, P)
+    Sj = ll.onehot(graph.j, P)
+
+    blocks = []
+    for a in range(7):
+        row = [
+            Si * (Ji[a][c] * sw)[:, None] + Sj * (Jj[a][c] * sw)[:, None]
+            for c in range(7)
+        ]
+        blocks.append(jnp.concatenate(row, axis=1))  # [E, 7P]
+    G = jnp.concatenate(blocks, axis=0)  # [7E, 7P]
+    rw = jnp.concatenate([r[a] * sw for a in range(7)])
+
+    H = lax.dot_general(G, G, (((0,), (0,)), ((), ())), precision=_HP)
+    b = -jnp.matmul(rw, G, precision=_HP)
+
+    free = jnp.tile((~graph.fixed).astype(jnp.float32), 7)  # [7P], c-major
+    eye = jnp.eye(7 * P, dtype=jnp.float32)
+    H = H + lam * eye
+    H = H * free[None, :] * free[:, None]
+    H = H + jnp.diag(1.0 - free) + 1e-10 * eye
+    b = b * free
+
+    L = jnp.linalg.cholesky(H)
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return dx.reshape(7, P).T  # (c, p) -> [P, 7]
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("iterations", "lam0"))
 def optimize_pose_graph_sim3(
     poses: Sim3,
     graph: Sim3Graph,
@@ -96,39 +200,15 @@ def optimize_pose_graph_sim3(
     iterations: int = 20,
     lam0: float = 1e-6,
 ) -> Tuple[Sim3, Sim3Stats]:
-    """LM optimization of the 7-dof pose graph (dense solve, small P)."""
-    P = graph.fixed.shape[0]
+    """LM optimization of the 7-dof pose graph (dense solve, small P).
+
+    Jitted at definition — see posegraph.optimize_pose_graph."""
     c0 = cost(poses, graph)
     free = (~graph.fixed).astype(jnp.float32)
 
-    def build(ps, lam):
-        Ji, Jj, r = _edge_jacobians(ps, graph)
-        w = graph.weight
-        H = jnp.zeros((P, 7, P, 7), jnp.float32)
-        H = H.at[graph.i, :, graph.i, :].add(jnp.einsum("eai,eaj,e->eij", Ji, Ji, w, precision=lax.Precision.HIGHEST))
-        H = H.at[graph.j, :, graph.j, :].add(jnp.einsum("eai,eaj,e->eij", Jj, Jj, w, precision=lax.Precision.HIGHEST))
-        Hij = jnp.einsum("eai,eaj,e->eij", Ji, Jj, w, precision=lax.Precision.HIGHEST)
-        H = H.at[graph.i, :, graph.j, :].add(Hij)
-        H = H.at[graph.j, :, graph.i, :].add(jnp.swapaxes(Hij, -1, -2))
-        b = jnp.zeros((P, 7), jnp.float32)
-        b = b.at[graph.i].add(-jnp.einsum("eai,ea,e->ei", Ji, r, w, precision=lax.Precision.HIGHEST))
-        b = b.at[graph.j].add(-jnp.einsum("eai,ea,e->ei", Jj, r, w, precision=lax.Precision.HIGHEST))
-        eye7 = jnp.eye(7, dtype=jnp.float32)
-        H = H + jnp.einsum("pq,ij->piqj", jnp.eye(P, dtype=jnp.float32), lam * eye7, precision=lax.Precision.HIGHEST)
-        H = H * free[:, None, None, None] * free[None, None, :, None]
-        H = H + jnp.einsum(
-            "pq,ij,p->piqj", jnp.eye(P, dtype=jnp.float32), eye7, 1.0 - free
-        , precision=lax.Precision.HIGHEST)
-        return H, b * free[:, None]
-
     def body(_, carry):
         ps, cur, lam = carry
-        H, b = build(ps, lam)
-        A = H.reshape(P * 7, P * 7) + 1e-10 * jnp.eye(P * 7, dtype=jnp.float32)
-        L = jnp.linalg.cholesky(A)
-        y = jax.scipy.linalg.solve_triangular(L, b.reshape(-1), lower=True)
-        dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False).reshape(P, 7)
-        dx = dx * free[:, None]
+        dx = _solve_dense_lanes(ps, graph, lam) * free[:, None]
         cand = sim3.compose(sim3.exp(dx), ps)
         cand_cost = cost(cand, graph)
         accept = cand_cost < cur

@@ -108,7 +108,22 @@ def main() -> int:
     ap.add_argument("--size", nargs=2, type=int, default=[160, 120])
     ap.add_argument("--loop", action="store_true", help="closed-orbit trajectory")
     ap.add_argument("--keep", default="", help="keep the dataset at this path")
+    ap.add_argument(
+        "--platform",
+        default="cpu",
+        choices=["cpu", "default"],
+        help="cpu (default): force the CPU backend — the demo's tiny "
+        "per-frame host-driven dispatches are tunnel-RTT-bound on the "
+        "remote TPU; 'default' keeps the session backend. NOTE: the "
+        "JAX_PLATFORMS env var alone is IGNORED once the axon PJRT "
+        "plugin registers; only this config update works.",
+    )
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     w, h = args.size
     tmp = Path(args.keep) if args.keep else Path(tempfile.mkdtemp(prefix="cvsteer_demo_"))

@@ -186,3 +186,53 @@ def test_pose_graph_sharded_matches_single():
     assert float(stats.cost) <= 1.05 * float(sref.cost) + 1e-10
     ang = np.asarray(se3.rotation_geodesic(out.R, ref.R))
     assert ang.max() < 2e-3
+
+
+def test_lane_jacobians_match_autodiff_reference():
+    """The lane-layout linearize Jacobians (posegraph._edge_jacobians_lanes)
+    must equal per-edge stacked jacfwd of the textbook residual."""
+    from cvsteer_tpu.slam.posegraph import _edge_jacobians_lanes
+
+    P = 9
+    gt = _circle_trajectory(P)
+    edges = [(k, k + 1) for k in range(P - 1)] + [(P - 1, 0), (2, 6)]
+    graph = _graph_from_gt(gt, edges, meas_noise=0.05, seed=7)
+    poses = _perturb(gt, 0.1, seed=8)
+
+    Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
+    Ji = np.stack([np.stack([np.asarray(x) for x in row]) for row in Ji])
+    Jj = np.stack([np.stack([np.asarray(x) for x in row]) for row in Jj])
+    r = np.stack([np.asarray(x) for x in r])  # [6, E]
+
+    zeros = jnp.zeros(6, jnp.float32)
+
+    def _edge_residual(Ri, ti, Rj, tj, Rz, tz):
+        Rrel, trel = se3.compose(Rj, tj, *se3.invert(Ri, ti))
+        Rz_inv, tz_inv = se3.invert(Rz, tz)
+        Re, te = se3.compose(Rz_inv, tz_inv, Rrel, trel)
+        return jnp.concatenate([se3.log_so3(Re), te], axis=-1)
+
+    def res_of_perturb(xi_i, xi_j, Ri, ti, Rj, tj, Rz, tz):
+        dRi, dti = se3.exp_se3(xi_i)
+        dRj, dtj = se3.exp_se3(xi_j)
+        Ri_n, ti_n = se3.compose(dRi, dti, Ri, ti)
+        Rj_n, tj_n = se3.compose(dRj, dtj, Rj, tj)
+        return _edge_residual(Ri_n, ti_n, Rj_n, tj_n, Rz, tz)
+
+    def one(Ri, ti, Rj, tj, Rz, tz):
+        f = lambda a, b: res_of_perturb(a, b, Ri, ti, Rj, tj, Rz, tz)
+        return (
+            jax.jacfwd(f, argnums=0)(zeros, zeros),
+            jax.jacfwd(f, argnums=1)(zeros, zeros),
+            f(zeros, zeros),
+        )
+
+    Ji_ref, Jj_ref, r_ref = jax.vmap(one)(
+        poses.R[graph.i], poses.t[graph.i],
+        poses.R[graph.j], poses.t[graph.j],
+        graph.R_z, graph.t_z,
+    )
+    # reference layout [E, a, k] -> [a, k, E]
+    np.testing.assert_allclose(Ji, np.moveaxis(np.asarray(Ji_ref), 0, -1), atol=2e-5)
+    np.testing.assert_allclose(Jj, np.moveaxis(np.asarray(Jj_ref), 0, -1), atol=2e-5)
+    np.testing.assert_allclose(r, np.asarray(r_ref).T, atol=1e-6)

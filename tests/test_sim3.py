@@ -286,3 +286,65 @@ def test_sim3_closure_edge_measures_scale_drift():
     np.testing.assert_allclose(R_z, R_rel, atol=1e-6)
     # t_z = s_j * t_unit = lam * B * t_unit = lam * t_metric
     np.testing.assert_allclose(t_z, lam * t_rel_metric, rtol=0.05)
+
+
+def test_lane_jacobians_match_autodiff_reference():
+    """posegraph_sim3._edge_jacobians_lanes vs per-edge stacked jacfwd of
+    the textbook Sim(3) residual (the pre-lane implementation)."""
+    import jax
+
+    from cvsteer_tpu.slam import sim3
+    from cvsteer_tpu.slam.posegraph_sim3 import _edge_jacobians_lanes
+
+    rng = np.random.default_rng(11)
+    P, E = 7, 12
+    w = rng.normal(0, 0.4, (P, 3)).astype(np.float32)
+    R = np.asarray(jax.vmap(se3.exp_so3)(jnp.asarray(w)))
+    poses = Sim3(
+        s=jnp.asarray(np.exp(rng.normal(0, 0.2, P)).astype(np.float32)),
+        R=jnp.asarray(R),
+        t=jnp.asarray(rng.normal(0, 1.0, (P, 3)).astype(np.float32)),
+    )
+    i = jnp.asarray(rng.integers(0, P, E), jnp.int32)
+    j = jnp.asarray((np.asarray(rng.integers(0, P, E)) + 1) % P, jnp.int32)
+    wz = rng.normal(0, 0.3, (E, 3)).astype(np.float32)
+    graph = Sim3Graph(
+        i=i, j=j,
+        s_z=jnp.asarray(np.exp(rng.normal(0, 0.2, E)).astype(np.float32)),
+        R_z=jnp.asarray(np.asarray(jax.vmap(se3.exp_so3)(jnp.asarray(wz)))),
+        t_z=jnp.asarray(rng.normal(0, 1.0, (E, 3)).astype(np.float32)),
+        weight=jnp.ones(E),
+        fixed=jnp.asarray(np.arange(P) == 0),
+    )
+
+    Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
+    Ji = np.stack([np.stack([np.asarray(x) for x in row]) for row in Ji])
+    Jj = np.stack([np.stack([np.asarray(x) for x in row]) for row in Jj])
+    r = np.stack([np.asarray(x) for x in r])  # [7, E]
+
+    zeros = jnp.zeros(7, jnp.float32)
+
+    def _edge_residual(Ti, Tj, Z):
+        rel = sim3.compose(Tj, sim3.invert(Ti))
+        return sim3.log(sim3.compose(sim3.invert(Z), rel))
+
+    def one(si, Ri, ti, sj, Rj, tj, sz, Rz, tz):
+        def f(a, b):
+            Ti = sim3.compose(sim3.exp(a), Sim3(si, Ri, ti))
+            Tj = sim3.compose(sim3.exp(b), Sim3(sj, Rj, tj))
+            return _edge_residual(Ti, Tj, Sim3(sz, Rz, tz))
+
+        return (
+            jax.jacfwd(f, argnums=0)(zeros, zeros),
+            jax.jacfwd(f, argnums=1)(zeros, zeros),
+            f(zeros, zeros),
+        )
+
+    Ji_ref, Jj_ref, r_ref = jax.vmap(one)(
+        poses.s[graph.i], poses.R[graph.i], poses.t[graph.i],
+        poses.s[graph.j], poses.R[graph.j], poses.t[graph.j],
+        graph.s_z, graph.R_z, graph.t_z,
+    )
+    np.testing.assert_allclose(Ji, np.moveaxis(np.asarray(Ji_ref), 0, -1), atol=3e-5)
+    np.testing.assert_allclose(Jj, np.moveaxis(np.asarray(Jj_ref), 0, -1), atol=3e-5)
+    np.testing.assert_allclose(r, np.asarray(r_ref).T, atol=1e-5)
