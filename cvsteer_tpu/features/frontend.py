@@ -163,6 +163,7 @@ def _extract_features_tpu(levels, bank, cfg: FrontendConfig, single: bool):
                     rw, mk, c, si,
                     max_keypoints=cfg.keypoints_per_level,
                     approx=True,
+                    pool=cfg.nms_radius + 1,
                 )
             )(raw, masked, ctm, stm)
         with jax.named_scope(f"desc_l{lvl}"):

@@ -87,7 +87,14 @@ def _detect_core(
     mask = is_max & in_border & (strength > threshold)
 
     score_masked = jnp.where(mask, strength, -jnp.inf)
-    return _select_and_refine(strength, score_masked, aux, max_keypoints, approx)
+    return _select_and_refine(
+        strength,
+        score_masked,
+        aux,
+        max_keypoints,
+        approx,
+        pool=nms_radius + 1 if approx else 1,
+    )
 
 
 def _select_and_refine(
@@ -96,10 +103,48 @@ def _select_and_refine(
     aux: Sequence[jax.Array],
     max_keypoints: int,
     approx: bool,
+    pool: int = 1,
 ):
-    """Top-N selection on a pre-masked score + table-gather subpixel/aux."""
+    """Top-N selection on a pre-masked score + table-gather subpixel/aux.
+
+    ``pool`` (s): optional s x s strided max-pool pre-reduction of the
+    top-k input. Sound when s <= nms_radius + 1: NMS admits no two
+    survivors within Chebyshev distance <= r (each strictly beats its
+    r-window), so every pool cell holds at most one survivor and the
+    cell-max top-k equals the full top-k — on s^2-fold fewer elements
+    (approx_max_k cost scales with total elements, measured on v5e).
+    Sole divergence: two EXACTLY equal maxima within r of each other
+    (ties survive the >= NMS) can share a cell and deduplicate; real
+    imagery never produces exact ties off flat masked-out regions.
+    """
     H, W = strength.shape
     kk = min(max_keypoints, H * W)  # tiny pyramid levels: fewer pixels than k
+    Hp, Wp = -(-H // pool), -(-W // pool)
+    if approx and pool > 1 and kk < Hp * Wp:
+        sm = jnp.pad(
+            score_masked,
+            ((0, Hp * pool - H), (0, Wp * pool - W)),
+            constant_values=-jnp.inf,
+        )
+        cells = (
+            sm.reshape(Hp, pool, Wp, pool)
+            .transpose(0, 2, 1, 3)
+            .reshape(Hp * Wp, pool * pool)
+        )
+        cell_scores, cell_idx = lax.approx_max_k(
+            cells.max(-1), kk, recall_target=0.99
+        )
+        rows = cells[cell_idx]  # [kk, s*s] — one row gather
+        off = jnp.argmax(rows, axis=-1)
+        cy = (cell_idx // Wp) * pool + off // pool
+        cx = (cell_idx % Wp) * pool + off % pool
+        flat_scores = cell_scores
+        flat_idx = cy * W + cx  # padded picks are -inf -> masked invalid
+        if kk < max_keypoints:
+            pad = max_keypoints - kk
+            flat_scores = jnp.pad(flat_scores, (0, pad), constant_values=-jnp.inf)
+            flat_idx = jnp.pad(flat_idx, (0, pad))
+        return _gather_refine(strength, aux, flat_scores, flat_idx)
     if approx and kk < H * W:
         # TPU-optimized approximate top-k (recall >= 0.99): the full-map
         # exact top_k lowers to a whole-image sort, which dominates the
@@ -174,6 +219,7 @@ def detect_keypoints_premasked(
     *,
     max_keypoints: int = 512,
     approx: bool = False,
+    pool: int = 1,
 ) -> Keypoints:
     """Selection-only detector for pre-masked scores.
 
@@ -181,9 +227,11 @@ def detect_keypoints_premasked(
     NMS + threshold + border masking in-kernel: ``masked`` is -inf outside
     accepted maxima, ``raw`` is the unmasked score (subpixel refinement
     needs real neighbor values), (ct, st) the half-angle orientation maps.
+    ``pool``: strided max-pool pre-reduction of the top-k input; sound for
+    pool <= nms_radius + 1 (see _select_and_refine).
     """
     yx, scores, valid, aux = _select_and_refine(
-        raw, masked, [ct, st], max_keypoints, approx
+        raw, masked, [ct, st], max_keypoints, approx, pool=pool
     )
     theta = jnp.arctan2(aux[:, 1], aux[:, 0])
     return Keypoints(

@@ -142,3 +142,37 @@ def test_corner_score_prefers_junctions_over_edges():
     assert s_cross[32, 32] > 20.0 * s_edge[32, 16]
     # on the cross, the center beats the pure-line regions
     assert s_cross[32, 32] > 3.0 * s_cross[32, 10]
+
+
+def test_pooled_topk_selection_matches_exact():
+    """The strided max-pool top-k pre-reduction (pool = nms_radius + 1)
+    must select exactly the same keypoints as the exact full-map top-k:
+    NMS admits no two survivors within Chebyshev distance <= radius, so
+    each pool cell holds at most one survivor."""
+    from cvsteer_tpu.features.keypoints import detect_keypoints
+
+    rng = np.random.default_rng(42)
+    for radius in (1, 2):
+        for H, W in [(96, 128), (45, 67)]:  # even and ragged sizes
+            s = jnp.asarray(rng.uniform(0, 10, (H, W)).astype(np.float32))
+            theta = jnp.asarray(
+                rng.uniform(-1.5, 1.5, (H, W)).astype(np.float32)
+            )
+            exact = detect_keypoints(
+                s, theta, max_keypoints=64, nms_radius=radius,
+                threshold=1.0, approx=False,
+            )
+            pooled = detect_keypoints(
+                s, theta, max_keypoints=64, nms_radius=radius,
+                threshold=1.0, approx=True,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(exact.valid), np.asarray(pooled.valid)
+            )
+            v = np.asarray(exact.valid)
+            np.testing.assert_allclose(
+                np.asarray(exact.yx)[v], np.asarray(pooled.yx)[v], atol=0
+            )
+            np.testing.assert_allclose(
+                np.asarray(exact.score)[v], np.asarray(pooled.score)[v], atol=0
+            )
