@@ -397,17 +397,44 @@ def bench_sim3():
 
 _T_START = time.perf_counter()
 
+# Hard watchdog: a dead/degraded TPU tunnel blocks inside a device fetch
+# where Python signals and soft deadlines never run (observed: a trivial
+# matmul hanging >2 min). The driver needs ONE JSON line regardless, so a
+# daemon timer emits whatever has been measured and force-exits.
+_PARTIAL = {"metric": f"g2_frontend_frames_per_s_{H}x{W}",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "extra": {}}
+_WATCHDOG_S = 540.0
+
+
+def _watchdog_fire():
+    import os
+
+    _PARTIAL["extra"]["degraded"] = (
+        f"watchdog: device hung/slow past {_WATCHDOG_S:.0f}s; partial results"
+    )
+    print(json.dumps(_PARTIAL), flush=True)
+    os._exit(2)
+
 
 def main() -> int:
+    import threading
+
+    watchdog = threading.Timer(_WATCHDOG_S, _watchdog_fire)
+    watchdog.daemon = True
+    watchdog.start()
+
     images = _images()
     value = bench_device(images)
+    _PARTIAL["value"] = round(value, 2)
     try:
         base = bench_reference_cpu(images)
         vs = value / base
     except Exception as e:  # cv2 missing or failed: report raw throughput only
         print(f"baseline failed: {e}", file=sys.stderr)
         vs = 0.0
-    extra = {}
+    _PARTIAL["vs_baseline"] = round(vs, 3)
+    extra = _PARTIAL["extra"]  # sections record as they complete (watchdog)
     for name, fn in [
         ("feature_frames_per_s_480x640", bench_features),
         ("ba_iters_per_s_c8_l1024", bench_ba),
@@ -459,6 +486,7 @@ def main() -> int:
             }
         )
     )
+    watchdog.cancel()
     return 0
 
 
