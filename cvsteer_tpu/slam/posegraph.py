@@ -32,6 +32,12 @@ from cvsteer_tpu.slam import se3
 
 _HP = lax.Precision.HIGHEST
 
+# One-hot MXU accumulation is used while 2E*P stays below this entry count
+# (~64 MB of fp32 one-hot traffic per product); larger graphs switch to the
+# sorted prefix-sum segment reduction. Module-level so tests can force the
+# large-graph path on small inputs.
+_ONEHOT_MAX_ENTRIES = 1 << 24
+
 
 class PoseGraph(NamedTuple):
     """Masked fixed-size pose graph.
@@ -237,7 +243,7 @@ def _gn_step_matfree(
     # permute + cumsum + two [P]-row gathers — no scatter at all. The
     # prefix-difference loses ~E*eps of the segment magnitude, fine for a
     # CG direction (cost/acceptance stay exact).
-    use_onehot = 2 * E * P <= (1 << 24)
+    use_onehot = 2 * E * P <= _ONEHOT_MAX_ENTRIES
     if use_onehot:
         S = jnp.concatenate(
             [ll.onehot(graph.i, P), ll.onehot(graph.j, P)], axis=0

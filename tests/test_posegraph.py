@@ -236,3 +236,33 @@ def test_lane_jacobians_match_autodiff_reference():
     np.testing.assert_allclose(Ji, np.moveaxis(np.asarray(Ji_ref), 0, -1), atol=2e-5)
     np.testing.assert_allclose(Jj, np.moveaxis(np.asarray(Jj_ref), 0, -1), atol=2e-5)
     np.testing.assert_allclose(r, np.asarray(r_ref).T, atol=1e-6)
+
+
+def test_pcg_prefix_sum_accumulation_matches_onehot(monkeypatch):
+    """Large graphs accumulate CG products via the sorted prefix-sum
+    segment reduction instead of the one-hot MXU matmul; force that path
+    on a small graph and check it optimizes to the same solution."""
+    from cvsteer_tpu.slam import posegraph as pg
+
+    P = 14
+    gt = _circle_trajectory(P)
+    edges = [(k, k + 1) for k in range(P - 1)] + [(P - 1, 0), (2, 9), (4, 12)]
+    graph = _graph_from_gt(gt, edges, meas_noise=0.01, seed=9)
+    init = _perturb(gt, 0.04)
+
+    ref, sref = optimize_pose_graph(
+        init, graph, iterations=12, solver="pcg", cg_iterations=60
+    )
+    monkeypatch.setattr(pg, "_ONEHOT_MAX_ENTRIES", 0)
+    # distinct shapes would hit the jit cache; clear so the body retraces
+    pg.optimize_pose_graph.clear_cache()
+    try:
+        out, stats = optimize_pose_graph(
+            init, graph, iterations=12, solver="pcg", cg_iterations=60
+        )
+    finally:
+        pg.optimize_pose_graph.clear_cache()
+    assert float(stats.cost) < 1.05 * float(sref.cost) + 1e-10
+    ang = np.asarray(se3.rotation_geodesic(out.R, ref.R))
+    assert ang.max() < 1e-3
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), atol=1e-3)
