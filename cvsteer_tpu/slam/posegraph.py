@@ -7,12 +7,14 @@ matrix-free Jacobi-PCG (large P / edge-sharded) solvers.
 
 TPU layout (the lane-array contract of slam.ba and slam.lie_lanes): every
 per-edge quantity is a nested Python list of [E] lane arrays — the
-stacked [E, 6, 6] Jacobian blocks and their einsums of the first design
-compiled to (8, 128)-padded VPU fusions that measured ~1.0 ms per LM
-iteration at P=128/E=512 on a v5e; the lane form with one-hot MXU
-scatter/gather runs the same iteration in ~60 us. Edge Jacobians come
-from ONE jax.linearize of the lane residual evaluated on the 12 tangent
-basis vectors (shared primal, elementwise tangents).
+stacked [E, 6, 6] Jacobian blocks of the first design carry (8, 128)-
+padded layouts whose einsums compile to crawling VPU fusions. Edge
+Jacobians come from ONE jax.linearize of the lane residual evaluated on
+the 12 tangent basis vectors (shared primal, elementwise tangents);
+pose reads are one packed [P, 12]-table row gather per endpoint.
+Measured v5e LM-iteration wall (25 CG iters): 1028 -> 865 us at P=128 /
+E=512, 5412 -> 3707 us at P=1024, 21468 -> 15625 us at P=4096 vs the
+einsum design; small graphs remain kernel-launch-bound (BENCH_NOTES.md).
 
 Pose convention matches slam.ba: T_i = (R_i, t_i), world -> camera-i.
 An edge (i, j) measures Z_ij ~ T_j o T_i^{-1} (camera-i frame to camera-j).
@@ -21,6 +23,7 @@ Residual: log( Z_ij^{-1} o (T_j o T_i^{-1}) ) as a 6-vector (omega, v).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -367,9 +370,6 @@ def _gn_step_matfree(
 
     x, _, _, _ = lax.fori_loop(0, cg_iterations, cg_body, (x, res, p, rz))
     return x.T  # [P, 6]
-
-
-from functools import partial
 
 
 @partial(

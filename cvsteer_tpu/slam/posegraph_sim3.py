@@ -19,6 +19,7 @@ one-hot-expanded columns) + Cholesky with LM damping. Small-P solver
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -187,9 +188,6 @@ def _solve_dense_lanes(
     y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
     dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
     return dx.reshape(7, P).T  # (c, p) -> [P, 7]
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("iterations", "lam0"))
