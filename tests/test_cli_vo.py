@@ -210,3 +210,49 @@ def test_cli_vo_on_real_image_fixture(tmp_path):
         est_t.append(-Rwc.T @ row[1:4])
     ate = ate_rmse(np.stack(est_R), np.stack(est_t), seq.gt_R, seq.gt_t)
     assert ate < 0.6, f"ATE {ate:.3f} m on the 10-frame real-image fixture"
+
+
+def test_cli_vo_on_kitti_layout_fixture(tmp_path):
+    """The same real-imagery frames re-laid-out as a KITTI odometry
+    sequence (sequences/00/image_0 + poses/00.txt), driven through cli_vo
+    end-to-end: pins load_kitti_odometry -> VO -> trajectory output, not
+    just the parser unit test."""
+    import pathlib
+    import shutil
+
+    from cvsteer_tpu.cli_vo import main
+    from cvsteer_tpu.io.datasets import open_sequence
+
+    fixture = pathlib.Path(__file__).parent / "assets" / "tum_fixture"
+    tum = open_sequence(str(fixture))
+
+    root = tmp_path / "kitti"
+    img_dir = root / "sequences" / "00" / "image_0"
+    img_dir.mkdir(parents=True)
+    (root / "poses").mkdir()
+    rows = []
+    for k, src in enumerate(tum.image_paths):
+        shutil.copy(src, img_dir / f"{k:06d}.png")
+        # KITTI pose rows are 3x4 camera->world
+        Rcw = tum.gt_R[k].T
+        twc = -Rcw @ tum.gt_t[k]
+        P = np.hstack([Rcw, twc[:, None]])
+        rows.append(" ".join(f"{v:.9e}" for v in P.reshape(-1)))
+    (root / "poses" / "00.txt").write_text("\n".join(rows) + "\n")
+
+    out = tmp_path / "traj.txt"
+    rc = main([
+        "--input", str(root),
+        "--set", "camera.fx=300", "camera.fy=300", "camera.cx=160",
+        "camera.cy=120", "slam.min_parallax=0.005", "slam.kf_max_gap=2",
+        "slam.window=6",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    lines = [l for l in out.read_text().splitlines() if l.strip()]
+    assert len(lines) == len(tum.image_paths)
+
+    # parser round-trip: KITTI gt must equal the TUM gt it was built from
+    kitti = open_sequence(str(root))
+    np.testing.assert_allclose(kitti.gt_R, tum.gt_R, atol=1e-5)
+    np.testing.assert_allclose(kitti.gt_t, tum.gt_t, atol=1e-5)
