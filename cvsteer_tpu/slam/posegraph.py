@@ -117,27 +117,25 @@ def _zeros6():
     return [jnp.zeros((), jnp.float32) for _ in range(6)]
 
 
-def _basis6(k: int):
-    return [
-        jnp.ones((), jnp.float32) if m == k else jnp.zeros((), jnp.float32)
-        for m in range(6)
-    ]
-
-
 def _edge_jacobians_lanes(poses: Poses, graph: PoseGraph):
     """(Ji [6][6], Jj [6][6], r [6]) — all leaves [E].
 
-    Ji[a][k] = d r_a / d xi_i[k]. One jax.linearize shares the primal pass;
-    the 12 tangent evaluations are pure elementwise lane math.
+    Ji[a][k] = d r_a / d xi_i[k]. One jax.linearize shares the primal
+    pass, and the 12 tangent basis directions go through ONE vmapped
+    evaluation of the linearized function ([12]-leaf tangents -> [12, E]
+    outputs): 12 separate fjvp calls traced a 12x bigger jaxpr and
+    compiled to 12x the kernels for the same math.
     """
     res = _residual_fn(poses, graph)
     r, fjvp = jax.linearize(res, _zeros6(), _zeros6())
-    cols_i = [fjvp(_basis6(k), _zeros6()) for k in range(6)]
-    cols_j = [fjvp(_zeros6(), _basis6(k)) for k in range(6)]
+    rng12 = jnp.arange(12)
+    tans_i = [(rng12 == k).astype(jnp.float32) for k in range(6)]
+    tans_j = [(rng12 == 6 + k).astype(jnp.float32) for k in range(6)]
+    cols = jax.vmap(fjvp)(tans_i, tans_j)  # [6 residual rows] of [12, E]
     E = graph.i.shape[0]
     bc = lambda x: jnp.broadcast_to(x, (E,))
-    Ji = [[bc(cols_i[k][a]) for k in range(6)] for a in range(6)]
-    Jj = [[bc(cols_j[k][a]) for k in range(6)] for a in range(6)]
+    Ji = [[bc(cols[a][k]) for k in range(6)] for a in range(6)]
+    Jj = [[bc(cols[a][6 + k]) for k in range(6)] for a in range(6)]
     return Ji, Jj, [bc(x) for x in r]
 
 

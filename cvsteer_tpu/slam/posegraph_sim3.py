@@ -116,23 +116,21 @@ def _zeros7():
     return [jnp.zeros((), jnp.float32) for _ in range(7)]
 
 
-def _basis7(k: int):
-    return [
-        jnp.ones((), jnp.float32) if m == k else jnp.zeros((), jnp.float32)
-        for m in range(7)
-    ]
-
-
 def _edge_jacobians_lanes(poses: Sim3, graph: Sim3Graph):
-    """(Ji [7][7], Jj [7][7], r [7]) — all leaves [E]."""
+    """(Ji [7][7], Jj [7][7], r [7]) — all leaves [E].
+
+    One linearize + ONE vmapped evaluation over the 14 tangent basis
+    directions (see posegraph._edge_jacobians_lanes)."""
     res = _residual_fn(poses, graph)
     r, fjvp = jax.linearize(res, _zeros7(), _zeros7())
-    cols_i = [fjvp(_basis7(k), _zeros7()) for k in range(7)]
-    cols_j = [fjvp(_zeros7(), _basis7(k)) for k in range(7)]
+    rng14 = jnp.arange(14)
+    tans_i = [(rng14 == k).astype(jnp.float32) for k in range(7)]
+    tans_j = [(rng14 == 7 + k).astype(jnp.float32) for k in range(7)]
+    cols = jax.vmap(fjvp)(tans_i, tans_j)  # [7 residual rows] of [14, E]
     E = graph.i.shape[0]
     bc = lambda x: jnp.broadcast_to(x, (E,))
-    Ji = [[bc(cols_i[k][a]) for k in range(7)] for a in range(7)]
-    Jj = [[bc(cols_j[k][a]) for k in range(7)] for a in range(7)]
+    Ji = [[bc(cols[a][k]) for k in range(7)] for a in range(7)]
+    Jj = [[bc(cols[a][7 + k]) for k in range(7)] for a in range(7)]
     return Ji, Jj, [bc(x) for x in r]
 
 
