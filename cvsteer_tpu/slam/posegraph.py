@@ -238,12 +238,10 @@ def _gn_step_matfree(
     # into one MXU matmul — a TPU scatter serializes over rows — but its
     # HBM traffic is 2E*P floats per product, so past ~16M entries the
     # matmul loses (measured 2.2x slower than scatter at P=4096, E=16384).
-    # Large graphs instead use a sorted prefix-sum segment reduction: the
-    # edge argsort/segment boundaries are loop-invariant (computed once per
-    # GN step, hoisted by XLA across CG iterations); each product is then
-    # permute + cumsum + two [P]-row gathers — no scatter at all. The
-    # prefix-difference loses ~E*eps of the segment magnitude, fine for a
-    # CG direction (cost/acceptance stay exact).
+    # Large graphs factorize the one-hot instead: with p = p1*P2 + p2,
+    # out[p1, p2] = sum_e A[e, p1] * (B[e, p2] * y[e]) is one MXU matmul
+    # per component over two E x sqrt(P)-sized one-hots — O(E sqrt(P))
+    # memory, and exact (each product has a single nonzero pair).
     use_onehot = 2 * E * P <= _ONEHOT_MAX_ENTRIES
     if use_onehot:
         S = jnp.concatenate(
@@ -251,17 +249,19 @@ def _gn_step_matfree(
         )  # [2E, P]; S^T is the gather both endpoints share
         segsum = None
     else:
-        perm = jnp.argsort(idx2)
-        sidx = idx2[perm]
-        pose_ids = jnp.arange(P, dtype=idx2.dtype)
-        seg_l = jnp.searchsorted(sidx, pose_ids, side="left")
-        seg_r = jnp.searchsorted(sidx, pose_ids, side="right")
+        P2 = 1 << ((max(P - 1, 1).bit_length() + 1) // 2)
+        P1 = -(-P // P2)
+        A1 = ll.onehot(idx2 // P2, P1)  # [2E, P1]
+        B2 = ll.onehot(idx2 % P2, P2)  # [2E, P2]
 
         def segsum(vals):
-            """[2E, C] -> [P, C] segment sums over idx2."""
-            c = jnp.cumsum(vals[perm], axis=0)
-            c0 = jnp.concatenate([jnp.zeros((1, vals.shape[1]), c.dtype), c])
-            return c0[seg_r] - c0[seg_l]
+            """[2E, C] -> [P, C] segment sums over idx2 (factorized)."""
+            outs = []
+            for c in range(vals.shape[1]):
+                M = B2 * vals[:, c : c + 1]  # [2E, P2]
+                Z = jnp.matmul(A1.T, M, precision=_HP)  # [P1, P2]
+                outs.append(Z.reshape(P1 * P2)[:P])
+            return jnp.stack(outs, -1)
 
     def scatter6(Yi, Yj):
         """[6] lists of [E] per endpoint -> [6, P] accumulation."""

@@ -238,9 +238,9 @@ def test_lane_jacobians_match_autodiff_reference():
     np.testing.assert_allclose(r, np.asarray(r_ref).T, atol=1e-6)
 
 
-def test_pcg_prefix_sum_accumulation_matches_onehot(monkeypatch):
-    """Large graphs accumulate CG products via the sorted prefix-sum
-    segment reduction instead of the one-hot MXU matmul; force that path
+def test_pcg_factorized_accumulation_matches_onehot(monkeypatch):
+    """Large graphs accumulate CG products via the factorized one-hot
+    (E x sqrt(P) operands) instead of the full one-hot matmul; force that path
     on a small graph and check it optimizes to the same solution."""
     from cvsteer_tpu.slam import posegraph as pg
 
