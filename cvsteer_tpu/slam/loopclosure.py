@@ -205,6 +205,48 @@ def _closure_scale(state: VOState, i: int, res) -> float:
     return max(float(np.linalg.norm(cj - ci)), 1e-6)
 
 
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_pose_graph(
+    poses: Poses, graph: PoseGraph
+) -> Tuple[Poses, PoseGraph, int]:
+    """Pad poses/edges to power-of-two buckets (compile-once shapes).
+
+    The jitted optimizer retraces per (P, E) shape; over a long run every
+    new keyframe or closure count would otherwise recompile (seconds per
+    shape). Padding poses are fixed identities touched by no edge (the
+    gauge mask gives them exact identity rows); padding edges are
+    weight-0 identity self-loops at pose 0 (zero residual, masked).
+    Returns (poses, graph, P_real).
+    """
+    P = poses.R.shape[0]
+    E = graph.i.shape[0]
+    Pp, Ep = _bucket(P), _bucket(E)
+    if Pp == P and Ep == E:
+        return poses, graph, P
+    pp, ep = Pp - P, Ep - E
+    eyeP = np.broadcast_to(np.eye(3, dtype=np.float32), (pp, 3, 3))
+    eyeE = np.broadcast_to(np.eye(3, dtype=np.float32), (ep, 3, 3))
+    poses = Poses(
+        R=jnp.concatenate([poses.R, jnp.asarray(eyeP)]),
+        t=jnp.concatenate([poses.t, jnp.zeros((pp, 3), jnp.float32)]),
+    )
+    graph = PoseGraph(
+        i=jnp.concatenate([graph.i, jnp.zeros(ep, graph.i.dtype)]),
+        j=jnp.concatenate([graph.j, jnp.zeros(ep, graph.j.dtype)]),
+        R_z=jnp.concatenate([graph.R_z, jnp.asarray(eyeE)]),
+        t_z=jnp.concatenate([graph.t_z, jnp.zeros((ep, 3), jnp.float32)]),
+        weight=jnp.concatenate([graph.weight, jnp.zeros(ep, jnp.float32)]),
+        fixed=jnp.concatenate([graph.fixed, jnp.ones(pp, bool)]),
+    )
+    return poses, graph, P
+
+
 def build_keyframe_graph(
     state: VOState,
     closures: List[LoopClosure],
@@ -291,17 +333,19 @@ def close_loops(
     poses, graph0 = build_keyframe_graph(
         state, closures, closure_weight=closure_weight
     )
+    poses, graph0, P_real = _pad_pose_graph(poses, graph0)
+    n_clo = len(closures)
     w0 = np.asarray(graph0.weight)
-    active = np.ones(len(closures), bool)
+    active = np.ones(n_clo, bool)
     while active.any():
         w = w0.copy()
-        w[n_odo:][~active] = 0.0
+        w[n_odo : n_odo + n_clo][~active] = 0.0
         graph = graph0._replace(weight=jnp.asarray(w))
         opt, _ = optimize_pose_graph(
             poses, graph, iterations=iterations, solver=solver
         )
         res = np.linalg.norm(np.asarray(edge_residuals(opt, graph)), axis=-1)
-        odo_res, clo_res = res[:n_odo], res[n_odo:]
+        odo_res, clo_res = res[:n_odo], res[n_odo : n_odo + n_clo]
         bad = (clo_res >= max_closure_residual) & active
         if not bad.any() and (n_odo == 0 or odo_res.max() < odo_bound):
             break
@@ -319,8 +363,8 @@ def close_loops(
     # rigid per-keyframe landmark correction: X' = T_new^{-1} T_old X,
     # batched per anchor keyframe
     old = [(kf.R.copy(), kf.t.copy()) for kf in state.keyframes]
-    Rn = np.asarray(opt.R)
-    tn = np.asarray(opt.t)
+    Rn = np.asarray(opt.R)[:P_real]
+    tn = np.asarray(opt.t)[:P_real]
 
     anchor = _landmark_anchors(state)
     for k in np.unique(anchor[anchor >= 0]):
@@ -420,20 +464,42 @@ def close_loops_sim3(
             fixed=jnp.asarray(fixed),
         )
 
-    # weight-0 masking instead of graph rebuilds: one static shape, one
-    # compile of the jitted Sim(3) optimizer (see close_loops)
+    # weight-0 masking instead of graph rebuilds + bucket padding: one
+    # static shape, one compile of the jitted Sim(3) optimizer per bucket
+    # (see close_loops / _pad_pose_graph)
     graph0 = build(edges)
+    P_real = P
+    Pp, Ep = _bucket(P), _bucket(graph0.i.shape[0])
+    if Pp != P or Ep != graph0.i.shape[0]:
+        pp, ep = Pp - P, Ep - graph0.i.shape[0]
+        eyeP = np.broadcast_to(np.eye(3, dtype=np.float32), (pp, 3, 3))
+        eyeE = np.broadcast_to(np.eye(3, dtype=np.float32), (ep, 3, 3))
+        poses = Sim3(
+            s=jnp.concatenate([poses.s, jnp.ones(pp)]),
+            R=jnp.concatenate([poses.R, jnp.asarray(eyeP)]),
+            t=jnp.concatenate([poses.t, jnp.zeros((pp, 3), jnp.float32)]),
+        )
+        graph0 = Sim3Graph(
+            i=jnp.concatenate([graph0.i, jnp.zeros(ep, graph0.i.dtype)]),
+            j=jnp.concatenate([graph0.j, jnp.zeros(ep, graph0.j.dtype)]),
+            s_z=jnp.concatenate([graph0.s_z, jnp.ones(ep, jnp.float32)]),
+            R_z=jnp.concatenate([graph0.R_z, jnp.asarray(eyeE)]),
+            t_z=jnp.concatenate([graph0.t_z, jnp.zeros((ep, 3), jnp.float32)]),
+            weight=jnp.concatenate([graph0.weight, jnp.zeros(ep, jnp.float32)]),
+            fixed=jnp.concatenate([graph0.fixed, jnp.ones(pp, bool)]),
+        )
+    n_clo = len(edges)
     w0 = np.asarray(graph0.weight)
-    active = np.ones(len(edges), bool)
+    active = np.ones(n_clo, bool)
     while active.any():
         w = w0.copy()
-        w[n_odo:][~active] = 0.0
+        w[n_odo : n_odo + n_clo][~active] = 0.0
         graph = graph0._replace(weight=jnp.asarray(w))
         opt, stats = optimize_pose_graph_sim3(poses, graph, iterations=iterations)
         if not bool(np.isfinite(float(stats.cost))):
             return 0
         res = np.linalg.norm(np.asarray(sim3_edge_residuals(opt, graph)), axis=-1)
-        odo_res, clo_res = res[:n_odo], res[n_odo:]
+        odo_res, clo_res = res[:n_odo], res[n_odo : n_odo + n_clo]
         bad = (clo_res >= max_closure_residual) & active
         if not bad.any() and (n_odo == 0 or odo_res.max() < odo_bound):
             break
@@ -450,9 +516,9 @@ def close_loops_sim3(
     # correction (camera-frame coords invariant); poses re-metricate by
     # folding the recovered scale into translation
     old = [(kf.R.copy(), kf.t.copy()) for kf in state.keyframes]
-    sn = np.asarray(opt.s)
-    Rn = np.asarray(opt.R)
-    tn = np.asarray(opt.t)
+    sn = np.asarray(opt.s)[:P_real]
+    Rn = np.asarray(opt.R)[:P_real]
+    tn = np.asarray(opt.t)[:P_real]
 
     anchor = _landmark_anchors(state)
     for k in np.unique(anchor[anchor >= 0]):
