@@ -1,4 +1,4 @@
-"""cvsteer-vo: monocular visual odometry over an image sequence.
+"""cvsteer-vo: monocular visual odometry over image sequences.
 
 BASELINE config 4 entry point: run the steerable-front-end VO (keyframing +
 windowed Schur BA) over a TUM-RGBD sequence, KITTI odometry sequence, or a
@@ -7,6 +7,14 @@ the trajectory in TUM format; checkpoint/resume mid-sequence.
 
   python -m cvsteer_tpu.cli_vo --input <seq_dir> --config cfg.json \
       --set slam.window=10 --output traj.txt --checkpoint-dir ckpt/
+
+Serving mode: a comma-separated --input runs every sequence concurrently
+through slam.vo_server.VOServer — per tick the whole fleet's images are
+decoded by a thread pool, feature-extracted in ONE batched dispatch, and
+stepped with four fetch round-trips total (the production many-streams-
+one-accelerator deployment; see BENCH_NOTES.md for throughput):
+
+  python -m cvsteer_tpu.cli_vo --input seqA,seqB,seqC --output traj.txt
 """
 
 from __future__ import annotations
@@ -29,12 +37,9 @@ def main(argv=None) -> int:
 
     import numpy as np
 
-    from cvsteer_tpu.features.frontend import FrontendConfig
-    from cvsteer_tpu.geometry.camera import Intrinsics
     from cvsteer_tpu.io.datasets import open_sequence
     from cvsteer_tpu.io.imageio import imread_gray_f32
-    from cvsteer_tpu.slam.evaluate import ate_rmse
-    from cvsteer_tpu.slam.vo import VOConfig, finalize, init_vo, process_image
+    from cvsteer_tpu.slam.vo import finalize, init_vo, process_image
     from cvsteer_tpu.utils.config import EngineConfig, apply_overrides, load_config
     from cvsteer_tpu.utils.metrics import Metrics, StepTimer
 
@@ -44,39 +49,16 @@ def main(argv=None) -> int:
     if args.checkpoint_dir:
         cfg.checkpoint_dir = args.checkpoint_dir
 
+    roots = [p for p in args.input.split(",") if p]
+    if len(roots) > 1:
+        return _run_server(args, cfg, roots)
+
     seq = open_sequence(args.input, max_frames=args.max_frames or None)
     if not seq.image_paths:
         print("no images found", file=sys.stderr)
         return 1
 
-    vo_cfg = VOConfig(
-        intrinsics=Intrinsics(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy),
-        frontend=FrontendConfig(
-            levels=cfg.frontend.levels,
-            keypoints_per_level=cfg.frontend.keypoints_per_level,
-            nms_radius=cfg.frontend.nms_radius,
-            threshold=cfg.frontend.threshold,
-            descriptor_grid=cfg.frontend.descriptor_grid,
-            descriptor_spacing=cfg.frontend.descriptor_spacing,
-        ),
-        match_ratio=cfg.slam.match_ratio,
-        min_parallax=cfg.slam.min_parallax,
-        init_min_inliers=cfg.slam.init_min_inliers,
-        track_min_landmarks=cfg.slam.track_min_landmarks,
-        kf_max_gap=cfg.slam.kf_max_gap,
-        window=cfg.slam.window,
-        ba_iterations=cfg.slam.ba_iterations,
-        huber_delta=cfg.slam.huber_delta,
-        ransac_hypotheses=cfg.slam.ransac_hypotheses,
-        ransac_threshold=cfg.slam.ransac_threshold,
-        max_landmarks=cfg.slam.max_landmarks,
-        loop_closure=cfg.slam.loop_closure,
-        loop_closure_sim3=cfg.slam.loop_closure_sim3,
-        loop_min_gap=cfg.slam.loop_min_gap,
-        loop_min_inliers=cfg.slam.loop_min_inliers,
-        motion_model=cfg.slam.motion_model,
-    )
-    state = init_vo(vo_cfg)
+    state = init_vo(_vo_config(cfg))
 
     ckpt = None
     start = 0
@@ -124,30 +106,164 @@ def main(argv=None) -> int:
         ckpt.save(len(state.keyframes), state)
         ckpt.close()
 
-    Rs, ts = state.poses()
     if args.output:
-        with open(args.output, "w") as f:
-            for (fi, R, t) in state.trajectory:
-                # TUM format: t tx ty tz qx qy qz qw (camera->world)
-                Rwc = R.T
-                c = -Rwc @ t
-                q = _rot_to_quat(Rwc)
-                stamp = seq.timestamps[fi] if fi < len(seq.timestamps) else fi
-                f.write(
-                    f"{stamp:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
-                    f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
-                )
+        _write_trajectory(args.output, state, seq)
 
-    if seq.gt_R is not None and len(state.trajectory) >= 3:
-        frames = [fi for fi, _, _ in state.trajectory]
-        ate = ate_rmse(Rs, ts, seq.gt_R[frames], seq.gt_t[frames])
-        print(f"ATE RMSE: {ate:.4f} m over {len(frames)} frames")
+    ate, n_traj = _ate(state, seq)
+    if ate is not None:
+        print(f"ATE RMSE: {ate:.4f} m over {n_traj} frames")
     if args.verbose:
         print(
             f"frames/s: {metrics.fps:.2f}; keyframes: {len(state.keyframes)}; "
             f"landmarks: {state.num_landmarks}; phase ms: {timer.means_ms()}",
             file=sys.stderr,
         )
+    return 0
+
+
+def _vo_config(cfg):
+    from cvsteer_tpu.features.frontend import FrontendConfig
+    from cvsteer_tpu.geometry.camera import Intrinsics
+    from cvsteer_tpu.slam.vo import VOConfig
+
+    return VOConfig(
+        intrinsics=Intrinsics(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy),
+        frontend=FrontendConfig(
+            levels=cfg.frontend.levels,
+            keypoints_per_level=cfg.frontend.keypoints_per_level,
+            nms_radius=cfg.frontend.nms_radius,
+            threshold=cfg.frontend.threshold,
+            descriptor_grid=cfg.frontend.descriptor_grid,
+            descriptor_spacing=cfg.frontend.descriptor_spacing,
+        ),
+        match_ratio=cfg.slam.match_ratio,
+        min_parallax=cfg.slam.min_parallax,
+        init_min_inliers=cfg.slam.init_min_inliers,
+        track_min_landmarks=cfg.slam.track_min_landmarks,
+        kf_max_gap=cfg.slam.kf_max_gap,
+        window=cfg.slam.window,
+        ba_iterations=cfg.slam.ba_iterations,
+        huber_delta=cfg.slam.huber_delta,
+        ransac_hypotheses=cfg.slam.ransac_hypotheses,
+        ransac_threshold=cfg.slam.ransac_threshold,
+        max_landmarks=cfg.slam.max_landmarks,
+        loop_closure=cfg.slam.loop_closure,
+        loop_closure_sim3=cfg.slam.loop_closure_sim3,
+        loop_min_gap=cfg.slam.loop_min_gap,
+        loop_min_inliers=cfg.slam.loop_min_inliers,
+        motion_model=cfg.slam.motion_model,
+    )
+
+
+def _write_trajectory(path: str, state, seq) -> None:
+    """TUM format: t tx ty tz qx qy qz qw (camera->world)."""
+    with open(path, "w") as f:
+        for (fi, R, t) in state.trajectory:
+            Rwc = R.T
+            c = -Rwc @ t
+            q = _rot_to_quat(Rwc)
+            stamp = seq.timestamps[fi] if fi < len(seq.timestamps) else fi
+            f.write(
+                f"{stamp:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+                f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
+            )
+
+
+def _ate(state, seq):
+    """(ate_rmse or None, #trajectory frames) vs the sequence ground truth."""
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+
+    if seq.gt_R is None or len(state.trajectory) < 3:
+        return None, len(state.trajectory)
+    Rs, ts = state.poses()
+    frames = [fi for fi, _, _ in state.trajectory]
+    return ate_rmse(Rs, ts, seq.gt_R[frames], seq.gt_t[frames]), len(frames)
+
+
+def _stream_output_path(base: str, k: int) -> str:
+    import os
+
+    root, ext = os.path.splitext(base)
+    return f"{root}.{k}{ext or '.txt'}"
+
+
+def _run_server(args, cfg, roots) -> int:
+    """Serving mode: every sequence in ``roots`` stepped concurrently
+    through slam.vo_server.VOServer.
+
+    Per tick: thread-pool decode of the fleet's images (GIL-releasing
+    native codec), ONE batched feature-extraction dispatch per distinct
+    image shape, then VOServer.step's four batched fetch round-trips.
+    Unreadable frames advance their stream's frame counter so trajectory
+    rows stay aligned with ground truth (as in the sequential path).
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvsteer_tpu.features.frontend import extract_features
+    from cvsteer_tpu.io.datasets import open_sequence
+    from cvsteer_tpu.io.imageio import imread_gray_f32
+    from cvsteer_tpu.slam.vo import finalize
+    from cvsteer_tpu.slam.vo_server import VOServer
+
+    vo_cfg = _vo_config(cfg)
+    seqs = [open_sequence(r, max_frames=args.max_frames or None) for r in roots]
+    for r, s in zip(roots, seqs):
+        if not s.image_paths:
+            print(f"no images found in {r}", file=sys.stderr)
+            return 1
+    n = len(seqs)
+    srv = VOServer(vo_cfg, n_streams=n)
+    pool = ThreadPoolExecutor(max_workers=min(8, n))
+    extract = jax.jit(lambda imgs: extract_features(imgs, cfg=vo_cfg.frontend))
+
+    n_ticks = max(len(s.image_paths) for s in seqs)
+    t0 = time.perf_counter()
+    frames_done = 0
+    for k in range(n_ticks):
+        paths = [
+            s.image_paths[k] if k < len(s.image_paths) else None for s in seqs
+        ]
+        imgs = list(pool.map(lambda p: imread_gray_f32(p) if p else None, paths))
+        frames = [None] * n
+        live = [i for i, im in enumerate(imgs) if im is not None]
+        if live:
+            by_shape = {}
+            for i in live:
+                by_shape.setdefault(imgs[i].shape, []).append(i)
+            for idxs in by_shape.values():
+                batch = extract(jnp.asarray(np.stack([imgs[i] for i in idxs])))
+                for slot, i in enumerate(idxs):
+                    frames[i] = jax.tree.map(lambda x, s=slot: x[s], batch)
+            srv.step(frames)
+            frames_done += len(live)
+        for i, im in enumerate(imgs):
+            if paths[i] is not None and im is None:
+                if args.verbose:
+                    print(f"skip unreadable: {paths[i]}", file=sys.stderr)
+                srv.states[i].frame_count += 1
+    dt = time.perf_counter() - t0
+
+    for i, (root, seq) in enumerate(zip(roots, seqs)):
+        st = finalize(srv.states[i])
+        if args.output:
+            _write_trajectory(_stream_output_path(args.output, i), st, seq)
+        ate, n_traj = _ate(st, seq)
+        tag = f"stream {i} ({root})"
+        if ate is not None:
+            print(f"{tag}: ATE RMSE {ate:.4f} m over {n_traj} frames")
+        elif args.verbose:
+            print(f"{tag}: {n_traj} frames (no ground truth)", file=sys.stderr)
+    print(
+        f"served {frames_done} frames over {n} streams in {dt:.1f}s "
+        f"({frames_done / max(dt, 1e-9):.2f} frames/s aggregate)",
+        file=sys.stderr if not args.verbose else sys.stdout,
+    )
     return 0
 
 

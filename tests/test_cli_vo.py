@@ -256,3 +256,27 @@ def test_cli_vo_on_kitti_layout_fixture(tmp_path):
     kitti = open_sequence(str(root))
     np.testing.assert_allclose(kitti.gt_R, tum.gt_R, atol=1e-5)
     np.testing.assert_allclose(kitti.gt_t, tum.gt_t, atol=1e-5)
+
+
+def test_cli_vo_serving_mode(tmp_path):
+    """Comma-separated --input serves sequences concurrently via VOServer:
+    two copies of the real-image fixture must produce identical
+    trajectories and one output file per stream."""
+    import pathlib
+
+    from cvsteer_tpu.cli_vo import main
+
+    fixture = str(pathlib.Path(__file__).parent / "assets" / "tum_fixture")
+    out = tmp_path / "traj.txt"
+    rc = main([
+        "--input", f"{fixture},{fixture}",
+        "--set", "camera.fx=300", "camera.fy=300", "camera.cx=160",
+        "camera.cy=120", "slam.min_parallax=0.005", "slam.kf_max_gap=2",
+        "slam.window=6",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    t0 = (tmp_path / "traj.0.txt").read_text()
+    t1 = (tmp_path / "traj.1.txt").read_text()
+    assert len([l for l in t0.splitlines() if l.strip()]) == 10
+    assert t0 == t1  # identical streams -> identical trajectories
