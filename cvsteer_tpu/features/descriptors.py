@@ -39,6 +39,33 @@ def _grid_offsets(grid: int, spacing: float) -> np.ndarray:
     return np.stack([(ys - c) * spacing, (xs - c) * spacing], -1).reshape(-1, 2)
 
 
+def _rotated_grid_samples(
+    basis: jax.Array, keypoints: Keypoints, grid: int, spacing: float
+):
+    """(samples [N, S, C], ct [N], st [N]): the C basis channels bilinearly
+    sampled on the keypoint-oriented grid — shared by all filter orders.
+
+    Two channels-last bf16 row gathers per sample from a right-neighbor
+    pair table. Measured on v5e: XLA gather cost scales with GATHERED
+    LANES (a 4C-lane quad-table gather costs ~4x a C-lane one, so one quad
+    gather loses to two 2C-lane pair gathers), making the pair table the
+    sweet spot. Combine + steering stay fp32.
+    """
+    offsets = jnp.asarray(_grid_offsets(grid, spacing), jnp.float32)  # [S, 2]
+    theta = keypoints.theta  # [N]
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+
+    # Rotate grid offsets into the keypoint frame: [N, S, 2].
+    dy = offsets[None, :, 0] * ct[:, None] - offsets[None, :, 1] * st[:, None]
+    dx = offsets[None, :, 0] * st[:, None] + offsets[None, :, 1] * ct[:, None]
+    ys = keypoints.yx[:, 0:1] + dy
+    xs = keypoints.yx[:, 1:2] + dx
+    samples = bilinear_sample_channels_last_pair_bf16(
+        jnp.moveaxis(basis, 0, -1), ys, xs
+    )
+    return samples, ct, st
+
+
 def phase_descriptors(
     basis: jax.Array,
     keypoints: Keypoints,
@@ -50,24 +77,7 @@ def phase_descriptors(
 
     Batched use: vmap over a leading batch axis of both arguments.
     """
-    offsets = jnp.asarray(_grid_offsets(grid, spacing), jnp.float32)  # [S, 2]
-    theta = keypoints.theta  # [N]
-    ct, st = jnp.cos(theta), jnp.sin(theta)
-
-    # Rotate grid offsets into the keypoint frame: [N, S, 2].
-    dy = offsets[None, :, 0] * ct[:, None] - offsets[None, :, 1] * st[:, None]
-    dx = offsets[None, :, 0] * st[:, None] + offsets[None, :, 1] * ct[:, None]
-    ys = keypoints.yx[:, 0:1] + dy
-    xs = keypoints.yx[:, 1:2] + dx
-
-    # [N, S, 7]: two channels-last bf16 row gathers per sample from a
-    # right-neighbor pair table. Measured on v5e: XLA gather cost scales
-    # with GATHERED LANES (a 28-lane quad-table gather costs ~4x a 7-lane
-    # one, so one quad gather loses to two 14-lane pair gathers), making
-    # the pair table the sweet spot. Combine + steering stay fp32.
-    samples = bilinear_sample_channels_last_pair_bf16(
-        jnp.moveaxis(basis, 0, -1), ys, xs
-    )
+    samples, ct, st = _rotated_grid_samples(basis, keypoints, grid, spacing)
 
     ct2, st2 = ct * ct, st * st
     ct3, st3 = ct2 * ct, st2 * st
@@ -85,6 +95,36 @@ def phase_descriptors(
     )
 
     desc = jnp.concatenate([g2, h2], axis=-1)  # [N, 2*S]
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    desc = desc / jnp.maximum(norm, 1e-12)
+    return jnp.where(keypoints.valid[:, None], desc, 0.0)
+
+
+def phase_descriptors_g4(
+    basis: jax.Array,
+    keypoints: Keypoints,
+    *,
+    grid: int = 4,
+    spacing: float = 3.0,
+) -> jax.Array:
+    """4th-order phase descriptors ``[N, grid*grid*2]`` over ``basis [11, H, W]``.
+
+    Same recipe as :func:`phase_descriptors` with the G4/H4 quadrature
+    pair: each sample's 11 basis responses are steered to the keypoint's
+    orientation with the binomial weights (filters.g4.steering_coefficients,
+    SteerableFiltersG4.cpp:92-122 parity) and the (g4, h4) pairs are
+    L2-normalized into the descriptor. The narrower 4th-order angular
+    tuning trades some rotation tolerance for extra selectivity.
+    """
+    from cvsteer_tpu.filters.g4 import steering_coefficients
+
+    samples, ct, st = _rotated_grid_samples(basis, keypoints, grid, spacing)
+    ga, ha = steering_coefficients(keypoints.theta, dtype=samples.dtype)
+    w = lambda v: v[:, None]  # [N] -> [N, 1] for broadcasting over S
+    g4 = sum(w(ga[i]) * samples[..., i] for i in range(5))
+    h4 = sum(w(ha[i]) * samples[..., 5 + i] for i in range(6))
+
+    desc = jnp.concatenate([g4, h4], axis=-1)  # [N, 2*S]
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
     return jnp.where(keypoints.valid[:, None], desc, 0.0)

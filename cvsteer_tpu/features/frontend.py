@@ -37,6 +37,9 @@ class FrontendConfig(NamedTuple):
     # 'strength': dominant-orientation strength |(c2,c3)| — the map the
     # reference exposes; fires along ridges (position slides on edges).
     score: str = "corner"
+    # Filter order: 2 = G2/H2 (default, fused TPU kernel path), 4 = G4/H4
+    # (narrower angular tuning; basis through the generic Pallas bank).
+    order: int = 2
 
     @property
     def capacity(self) -> int:
@@ -68,7 +71,7 @@ class Features(NamedTuple):
 
 def extract_features(
     images: jax.Array,
-    bank: Optional[fg2.G2Bank] = None,
+    bank=None,
     cfg: FrontendConfig = FrontendConfig(),
 ) -> Features:
     """Features of ``images [H, W]`` or ``[B, H, W]``.
@@ -77,22 +80,55 @@ def extract_features(
     bank — batching there is a reshape into the kernel grid, not a vmap, so
     the fused TPU kernels keep their hand-written layout. Only the
     per-image keypoint selection and descriptor sampling (pure XLA top-k /
-    gather work) are vmapped.
+    gather work) are vmapped. ``cfg.order`` selects the G2/H2 (default) or
+    G4/H4 quadrature pair; ``bank`` must match the order when given.
     """
+    if cfg.order == 4:
+        from cvsteer_tpu.features.descriptors import phase_descriptors_g4
+        from cvsteer_tpu.filters import g4 as fg4
+
+        if bank is None:
+            bank = fg4.g4_bank()
+        return _extract_features_generic(
+            images, cfg,
+            basis_fn=lambda im: fg4.g4_basis(im, bank),
+            coeff_fn=fg4.energy_coefficients,
+            desc_fn=phase_descriptors_g4,
+        )
     if bank is None:
         bank = fg2.g2_bank()
+    single = images.ndim == 2
+    imgs = images[None] if single else images
+    on_tpu = jax.default_backend() == "tpu"
+    if cfg.score == "corner" and on_tpu:
+        with jax.named_scope("pyramid"):
+            levels = gaussian_pyramid(imgs, cfg.levels)
+        return _extract_features_tpu(levels, bank, cfg, single)
+    return _extract_features_generic(
+        images, cfg,
+        basis_fn=lambda im: fg2.g2_basis(im, bank),
+        coeff_fn=fg2.energy_coefficients,
+        desc_fn=phase_descriptors,
+    )
+
+
+def _extract_features_generic(
+    images: jax.Array, cfg: FrontendConfig, *, basis_fn, coeff_fn, desc_fn
+) -> Features:
+    """Order-agnostic XLA path: pyramid -> basis -> energy coefficients ->
+    detector -> descriptors. The 2nd-harmonic (c1, c2, c3) semantics are
+    shared by both orders (filters.g4.energy_coefficients fills reference
+    gap C20 with the same meaning as the G2 table)."""
     single = images.ndim == 2
     imgs = images[None] if single else images
     with jax.named_scope("pyramid"):
         levels = gaussian_pyramid(imgs, cfg.levels)
     on_tpu = jax.default_backend() == "tpu"
-    if cfg.score == "corner" and on_tpu:
-        return _extract_features_tpu(levels, bank, cfg, single)
     parts = []
     for lvl, lv_imgs in enumerate(levels):
         with jax.named_scope(f"basis_l{lvl}"):
-            basis = fg2.g2_basis(lv_imgs, bank)  # [B, K, H, W]
-        c1, c2, c3 = fg2.energy_coefficients(basis)
+            basis = basis_fn(lv_imgs)  # [B, K, H, W]
+        c1, c2, c3 = coeff_fn(basis)
         theta, strength = fg2.dominant_orientation(c2, c3)
         score_map = (
             fg2.corner_strength(c1, c2, c3) if cfg.score == "corner" else strength
@@ -112,7 +148,7 @@ def extract_features(
             )(score_map, ctm, stm)
         with jax.named_scope(f"desc_l{lvl}"):
             desc = jax.vmap(
-                lambda b, k: phase_descriptors(
+                lambda b, k: desc_fn(
                     b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
                 )
             )(basis, kp)

@@ -176,3 +176,33 @@ def test_pooled_topk_selection_matches_exact():
             np.testing.assert_allclose(
                 np.asarray(exact.score)[v], np.asarray(pooled.score)[v], atol=0
             )
+
+
+def test_g4_order_features_translated_match(fish_gray):
+    """FrontendConfig(order=4): the G4/H4 feature path (4th-order basis,
+    binomial steering descriptors) must match across a translation just
+    like the G2 path."""
+    from cvsteer_tpu.features.frontend import FrontendConfig, extract_features
+
+    dyx = 8
+    img_a = jnp.asarray(fish_gray[:-dyx, :-dyx])
+    img_b = jnp.asarray(fish_gray[dyx:, dyx:])
+    cfg = FrontendConfig(levels=2, keypoints_per_level=128, threshold=1.0, order=4)
+
+    fa = extract_features(img_a, cfg=cfg)
+    fb = extract_features(img_b, cfg=cfg)
+    assert int(np.asarray(fa.valid).sum()) >= 50
+    assert np.isfinite(np.asarray(fa.desc)).all()
+    # valid descriptors are unit-norm
+    norms = np.linalg.norm(np.asarray(fa.desc)[np.asarray(fa.valid)], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    m = match_descriptors(fa.desc, fa.valid, fb.desc, fb.valid, ratio=0.9)
+    valid = np.asarray(m.valid)
+    assert valid.sum() >= 30
+    pa = np.asarray(fa.yx)[valid]
+    pb = np.asarray(fb.yx)[np.asarray(m.index)[valid]]
+    lvl = np.asarray(fa.level)[valid]
+    same = lvl == np.asarray(fb.level)[np.asarray(m.index)[valid]]
+    good = (np.abs((pa - pb) - dyx) < 1.5).all(axis=1) & same
+    assert good.mean() > 0.8, f"only {good.mean():.2f} matches at expected offset"
