@@ -135,6 +135,7 @@ def _vo_config(cfg):
             threshold=cfg.frontend.threshold,
             descriptor_grid=cfg.frontend.descriptor_grid,
             descriptor_spacing=cfg.frontend.descriptor_spacing,
+            order=cfg.frontend.order,
         ),
         match_ratio=cfg.slam.match_ratio,
         min_parallax=cfg.slam.min_parallax,

@@ -33,6 +33,7 @@ class FrontendCfg:
     threshold: float = 1.0
     descriptor_grid: int = 4
     descriptor_spacing: float = 3.0
+    order: int = 2  # 2 = G2/H2, 4 = G4/H4 (features.frontend.FrontendConfig)
 
 
 @dataclasses.dataclass
