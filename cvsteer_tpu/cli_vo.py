@@ -226,6 +226,7 @@ def _run_server(args, cfg, roots) -> int:
     n_ticks = max(len(s.image_paths) for s in seqs)
     t0 = time.perf_counter()
     frames_done = 0
+    group_pad = {}  # image shape -> stable padded batch size
     for k in range(n_ticks):
         paths = [
             s.image_paths[k] if k < len(s.image_paths) else None for s in seqs
@@ -237,8 +238,15 @@ def _run_server(args, cfg, roots) -> int:
             by_shape = {}
             for i in live:
                 by_shape.setdefault(imgs[i].shape, []).append(i)
-            for idxs in by_shape.values():
-                batch = extract(jnp.asarray(np.stack([imgs[i] for i in idxs])))
+            for shape, idxs in by_shape.items():
+                # pad each shape group's batch to its running max so a
+                # stream ending mid-run doesn't recompile the extractor
+                gp = group_pad[shape] = max(group_pad.get(shape, 0), len(idxs))
+                stack = np.stack(
+                    [imgs[i] for i in idxs]
+                    + [np.zeros(shape, np.float32)] * (gp - len(idxs))
+                )
+                batch = extract(jnp.asarray(stack))
                 for slot, i in enumerate(idxs):
                     frames[i] = jax.tree.map(lambda x, s=slot: x[s], batch)
             srv.step(frames)
