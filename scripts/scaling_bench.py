@@ -100,12 +100,64 @@ def bench_ba(n_devices: int, cameras: int, landmarks: int, iters: int) -> float:
     return iters / dt
 
 
+def bench_pgo(n_devices: int, poses: int, edges_per_dev: int, iters: int) -> float:
+    """Edge-sharded pose-graph LM iterations/s (lane-array PCG; one [6, P]
+    psum per CG iteration is the only per-iteration communication)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cvsteer_tpu.parallel import make_mesh
+    from cvsteer_tpu.parallel.posegraph_sharded import (
+        optimize_pose_graph_sharded,
+        place_pose_graph,
+    )
+    from cvsteer_tpu.slam import se3
+    from cvsteer_tpu.slam.posegraph import PoseGraph, Poses
+
+    mesh = make_mesh({"data": n_devices}, devices=jax.devices()[:n_devices])
+    rng = np.random.default_rng(0)
+    P = poses
+    E = edges_per_dev * n_devices
+    w = jnp.asarray(rng.normal(0, 0.3, (P, 3)), jnp.float32)
+    t = jnp.asarray(rng.normal(0, 1.0, (P, 3)), jnp.float32)
+    R = se3.exp_so3(w)
+    ii = np.concatenate([np.arange(P - 1), rng.integers(0, P - 1, E - (P - 1))])
+    jj = np.concatenate([np.arange(1, P), rng.integers(1, P, E - (P - 1))])
+    jj = np.where(jj == ii, (jj + 1) % P, jj)
+    ii = jnp.asarray(ii, jnp.int32)
+    jj = jnp.asarray(jj, jnp.int32)
+    Rz, tz = se3.compose(R[jj], t[jj], *se3.invert(R[ii], t[ii]))
+    graph = PoseGraph(
+        i=ii, j=jj, R_z=Rz, t_z=tz,
+        weight=jnp.ones(E, jnp.float32),
+        fixed=jnp.asarray(np.arange(P) == 0),
+    )
+    dw = jnp.asarray(rng.normal(0, 0.03, (P, 3)), jnp.float32)
+    init = Poses(R=se3.exp_so3(dw) @ R, t=t + 0.05)
+    placed = place_pose_graph(graph, mesh)
+
+    fn = jax.jit(
+        lambda ps, g: optimize_pose_graph_sharded(
+            ps, g, mesh, iterations=iters, cg_iterations=25
+        )
+    )
+    jax.block_until_ready(fn(init, placed))
+    t0 = time.perf_counter()
+    out, stats = fn(init, placed)
+    jax.block_until_ready((out, stats))
+    return iters / (time.perf_counter() - t0)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--image", nargs=2, type=int, default=[512, 512])
     ap.add_argument("--batch", type=int, default=16, help="per-device batch")
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--ba", action="store_true", help="also bench distributed BA")
+    ap.add_argument("--pgo", action="store_true", help="also bench edge-sharded pose graph")
+    ap.add_argument("--poses", type=int, default=256)
+    ap.add_argument("--edges", type=int, default=512, help="per device")
     ap.add_argument("--cameras", type=int, default=12)
     ap.add_argument("--landmarks", type=int, default=512, help="per device")
     args = ap.parse_args()
@@ -143,6 +195,22 @@ def main() -> int:
                         "devices": nd,
                         "landmarks": args.landmarks * nd,
                         "cameras": args.cameras,
+                        "value": round(ips, 2),
+                        "unit": "iters/s",
+                    }
+                )
+            )
+
+    if args.pgo:
+        for nd in sizes:
+            ips = bench_pgo(nd, args.poses, args.edges, 10)
+            print(
+                json.dumps(
+                    {
+                        "metric": "pgo_lm_iterations",
+                        "devices": nd,
+                        "poses": args.poses,
+                        "edges": args.edges * nd,
                         "value": round(ips, 2),
                         "unit": "iters/s",
                     }
