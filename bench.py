@@ -410,10 +410,24 @@ _WATCHDOG_S = 540.0
 def _watchdog_fire():
     import os
 
-    _PARTIAL["extra"]["degraded"] = (
-        f"watchdog: device hung/slow past {_WATCHDOG_S:.0f}s; partial results"
-    )
-    print(json.dumps(_PARTIAL), flush=True)
+    # Snapshot defensively: the main thread mutates _PARTIAL['extra']
+    # concurrently, and json.dumps over a dict that changes size raises —
+    # which would kill this thread before os._exit, leaving the driver
+    # with no line at all.
+    try:
+        snap = dict(_PARTIAL)
+        snap["extra"] = dict(snap.get("extra", {}))
+        snap["extra"]["degraded"] = (
+            f"watchdog: device hung/slow past {_WATCHDOG_S:.0f}s; partial results"
+        )
+        line = json.dumps(snap)
+    except Exception:
+        line = json.dumps(
+            {"metric": f"g2_frontend_frames_per_s_{H}x{W}", "value": 0.0,
+             "unit": "frames/s", "vs_baseline": 0.0,
+             "extra": {"degraded": "watchdog (snapshot failed)"}}
+        )
+    print(line, flush=True)
     os._exit(2)
 
 
@@ -475,6 +489,9 @@ def main() -> int:
             print(f"sim3 bench failed: {e}", file=sys.stderr)
     else:
         print("sim3 bench skipped (soft deadline)", file=sys.stderr)
+    # cancel BEFORE printing so the watchdog can never interleave its line
+    # with the final one (if it already fired, os._exit won the race)
+    watchdog.cancel()
     print(
         json.dumps(
             {
@@ -486,7 +503,6 @@ def main() -> int:
             }
         )
     )
-    watchdog.cancel()
     return 0
 
 

@@ -50,10 +50,13 @@ def main(argv=None) -> int:
         cfg.checkpoint_dir = args.checkpoint_dir
 
     roots = [p for p in args.input.split(",") if p]
+    if not roots:
+        print("no input sequences given", file=sys.stderr)
+        return 1
     if len(roots) > 1:
         return _run_server(args, cfg, roots)
 
-    seq = open_sequence(args.input, max_frames=args.max_frames or None)
+    seq = open_sequence(roots[0], max_frames=args.max_frames or None)
     if not seq.image_paths:
         print("no images found", file=sys.stderr)
         return 1
@@ -223,13 +226,37 @@ def _run_server(args, cfg, roots) -> int:
     pool = ThreadPoolExecutor(max_workers=min(8, n))
     extract = jax.jit(lambda imgs: extract_features(imgs, cfg=vo_cfg.frontend))
 
+    # per-stream checkpointing (subdirectory per stream); resumed streams
+    # skip ticks below their restored frame_count
+    ckpts = [None] * n
+    start = [0] * n
+    if cfg.checkpoint_dir:
+        import os
+
+        from cvsteer_tpu.utils.checkpoint import SlamCheckpointer
+
+        for i in range(n):
+            ckpts[i] = SlamCheckpointer(
+                os.path.join(cfg.checkpoint_dir, f"stream{i}")
+            )
+            if ckpts[i].latest_step() is not None:
+                srv.states[i] = ckpts[i].restore(srv.states[i])
+                start[i] = srv.states[i].frame_count
+                if args.verbose:
+                    print(f"stream {i}: resumed at frame {start[i]}",
+                          file=sys.stderr)
+    last_kf = [len(st.keyframes) for st in srv.states]
+
     n_ticks = max(len(s.image_paths) for s in seqs)
     t0 = time.perf_counter()
     frames_done = 0
     group_pad = {}  # image shape -> stable padded batch size
     for k in range(n_ticks):
         paths = [
-            s.image_paths[k] if k < len(s.image_paths) else None for s in seqs
+            s.image_paths[k]
+            if k < len(s.image_paths) and k >= start[i]
+            else None
+            for i, s in enumerate(seqs)
         ]
         imgs = list(pool.map(lambda p: imread_gray_f32(p) if p else None, paths))
         frames = [None] * n
@@ -256,10 +283,22 @@ def _run_server(args, cfg, roots) -> int:
                 if args.verbose:
                     print(f"skip unreadable: {paths[i]}", file=sys.stderr)
                 srv.states[i].frame_count += 1
+        for i, st in enumerate(srv.states):
+            nk = len(st.keyframes)
+            if nk != last_kf[i]:
+                last_kf[i] = nk
+                if ckpts[i] is not None and cfg.checkpoint_every and (
+                    nk % cfg.checkpoint_every == 0
+                ):
+                    ckpts[i].save(nk, st)
     dt = time.perf_counter() - t0
 
     for i, (root, seq) in enumerate(zip(roots, seqs)):
         st = finalize(srv.states[i])
+        srv.states[i] = st
+        if ckpts[i] is not None:
+            ckpts[i].save(len(st.keyframes), st)
+            ckpts[i].close()
         if args.output:
             _write_trajectory(_stream_output_path(args.output, i), st, seq)
         ate, n_traj = _ate(st, seq)

@@ -7,6 +7,14 @@ the steered quadrature pair, and batched MXU matching. All fixed-size,
 masked, jit/vmap-composable.
 """
 
+from cvsteer_tpu.features.descriptors import (  # noqa: F401
+    phase_descriptors,
+    phase_descriptors_g4,
+)
+from cvsteer_tpu.features.frontend import (  # noqa: F401
+    Features,
+    FrontendConfig,
+    extract_features,
+)
 from cvsteer_tpu.features.keypoints import Keypoints, detect_keypoints  # noqa: F401
-from cvsteer_tpu.features.descriptors import phase_descriptors  # noqa: F401
 from cvsteer_tpu.features.matching import Matches, match_descriptors  # noqa: F401

@@ -45,15 +45,6 @@ def vec_lanes(v: jax.Array) -> Vec:
     return [v[:, a] for a in range(3)]
 
 
-def gather_mat(M: jax.Array, idx: jax.Array) -> Mat:
-    """Rows ``idx`` of ``M [P, 3, 3]`` as [3][3] of [E] (1-D row gathers)."""
-    return [[M[:, a, b][idx] for b in range(3)] for a in range(3)]
-
-
-def gather_vec(v: jax.Array, idx: jax.Array) -> Vec:
-    return [v[:, a][idx] for a in range(3)]
-
-
 def stack_mat(A: Mat) -> jax.Array:
     """[3][3] of [E] -> [E, 3, 3]."""
     return jnp.stack([jnp.stack(row, -1) for row in A], -2)

@@ -212,9 +212,7 @@ def _bucket(n: int, minimum: int = 8) -> int:
     return b
 
 
-def _pad_pose_graph(
-    poses: Poses, graph: PoseGraph
-) -> Tuple[Poses, PoseGraph, int]:
+def _pad_pose_graph(poses, graph) -> Tuple[object, object, int]:
     """Pad poses/edges to power-of-two buckets (compile-once shapes).
 
     The jitted optimizer retraces per (P, E) shape; over a long run every
@@ -222,6 +220,9 @@ def _pad_pose_graph(
     shape). Padding poses are fixed identities touched by no edge (the
     gauge mask gives them exact identity rows); padding edges are
     weight-0 identity self-loops at pose 0 (zero residual, masked).
+
+    Handles both (Poses, PoseGraph) and (Sim3, Sim3Graph) — the Sim(3)
+    variants carry the extra unit-scale fields ``s`` / ``s_z``.
     Returns (poses, graph, P_real).
     """
     P = poses.R.shape[0]
@@ -230,21 +231,25 @@ def _pad_pose_graph(
     if Pp == P and Ep == E:
         return poses, graph, P
     pp, ep = Pp - P, Ep - E
-    eyeP = np.broadcast_to(np.eye(3, dtype=np.float32), (pp, 3, 3))
-    eyeE = np.broadcast_to(np.eye(3, dtype=np.float32), (ep, 3, 3))
-    poses = Poses(
-        R=jnp.concatenate([poses.R, jnp.asarray(eyeP)]),
+    eyeP = jnp.asarray(np.broadcast_to(np.eye(3, dtype=np.float32), (pp, 3, 3)))
+    eyeE = jnp.asarray(np.broadcast_to(np.eye(3, dtype=np.float32), (ep, 3, 3)))
+    pkw = dict(
+        R=jnp.concatenate([poses.R, eyeP]),
         t=jnp.concatenate([poses.t, jnp.zeros((pp, 3), jnp.float32)]),
     )
-    graph = PoseGraph(
+    if hasattr(poses, "s"):
+        pkw["s"] = jnp.concatenate([poses.s, jnp.ones(pp, poses.s.dtype)])
+    gkw = dict(
         i=jnp.concatenate([graph.i, jnp.zeros(ep, graph.i.dtype)]),
         j=jnp.concatenate([graph.j, jnp.zeros(ep, graph.j.dtype)]),
-        R_z=jnp.concatenate([graph.R_z, jnp.asarray(eyeE)]),
+        R_z=jnp.concatenate([graph.R_z, eyeE]),
         t_z=jnp.concatenate([graph.t_z, jnp.zeros((ep, 3), jnp.float32)]),
         weight=jnp.concatenate([graph.weight, jnp.zeros(ep, jnp.float32)]),
         fixed=jnp.concatenate([graph.fixed, jnp.ones(pp, bool)]),
     )
-    return poses, graph, P
+    if hasattr(graph, "s_z"):
+        gkw["s_z"] = jnp.concatenate([graph.s_z, jnp.ones(ep, jnp.float32)])
+    return type(poses)(**pkw), type(graph)(**gkw), P
 
 
 def build_keyframe_graph(
@@ -467,27 +472,7 @@ def close_loops_sim3(
     # weight-0 masking instead of graph rebuilds + bucket padding: one
     # static shape, one compile of the jitted Sim(3) optimizer per bucket
     # (see close_loops / _pad_pose_graph)
-    graph0 = build(edges)
-    P_real = P
-    Pp, Ep = _bucket(P), _bucket(graph0.i.shape[0])
-    if Pp != P or Ep != graph0.i.shape[0]:
-        pp, ep = Pp - P, Ep - graph0.i.shape[0]
-        eyeP = np.broadcast_to(np.eye(3, dtype=np.float32), (pp, 3, 3))
-        eyeE = np.broadcast_to(np.eye(3, dtype=np.float32), (ep, 3, 3))
-        poses = Sim3(
-            s=jnp.concatenate([poses.s, jnp.ones(pp)]),
-            R=jnp.concatenate([poses.R, jnp.asarray(eyeP)]),
-            t=jnp.concatenate([poses.t, jnp.zeros((pp, 3), jnp.float32)]),
-        )
-        graph0 = Sim3Graph(
-            i=jnp.concatenate([graph0.i, jnp.zeros(ep, graph0.i.dtype)]),
-            j=jnp.concatenate([graph0.j, jnp.zeros(ep, graph0.j.dtype)]),
-            s_z=jnp.concatenate([graph0.s_z, jnp.ones(ep, jnp.float32)]),
-            R_z=jnp.concatenate([graph0.R_z, jnp.asarray(eyeE)]),
-            t_z=jnp.concatenate([graph0.t_z, jnp.zeros((ep, 3), jnp.float32)]),
-            weight=jnp.concatenate([graph0.weight, jnp.zeros(ep, jnp.float32)]),
-            fixed=jnp.concatenate([graph0.fixed, jnp.ones(pp, bool)]),
-        )
+    poses, graph0, P_real = _pad_pose_graph(poses, build(edges))
     n_clo = len(edges)
     w0 = np.asarray(graph0.weight)
     active = np.ones(n_clo, bool)

@@ -280,3 +280,31 @@ def test_cli_vo_serving_mode(tmp_path):
     t1 = (tmp_path / "traj.1.txt").read_text()
     assert len([l for l in t0.splitlines() if l.strip()]) == 10
     assert t0 == t1  # identical streams -> identical trajectories
+
+
+def test_cli_vo_serving_mode_checkpoint_resume(tmp_path):
+    """Serving mode honors --checkpoint-dir per stream: a second run with
+    the same directory resumes each stream past its consumed frames and
+    reproduces the trajectory from the restored state."""
+    import pathlib
+
+    from cvsteer_tpu.cli_vo import main
+
+    fixture = str(pathlib.Path(__file__).parent / "assets" / "tum_fixture")
+    ck = str(tmp_path / "ck")
+    common = [
+        "--input", f"{fixture},{fixture}",
+        "--set", "camera.fx=300", "camera.fy=300", "camera.cx=160",
+        "camera.cy=120", "slam.min_parallax=0.005", "slam.kf_max_gap=2",
+        "slam.window=6",
+        "--checkpoint-dir", ck,
+    ]
+    out1 = tmp_path / "a.txt"
+    assert main(common + ["--output", str(out1)]) == 0
+    assert (tmp_path / "ck" / "stream0").exists()
+    assert (tmp_path / "ck" / "stream1").exists()
+
+    out2 = tmp_path / "b.txt"
+    assert main(common + ["--output", str(out2), "--verbose"]) == 0
+    # resumed at the end of the sequence: trajectory reproduced unchanged
+    assert (tmp_path / "a.0.txt").read_text() == (tmp_path / "b.0.txt").read_text()
