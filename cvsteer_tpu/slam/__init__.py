@@ -7,6 +7,16 @@ Schur elimination of landmarks, and (in cvsteer_tpu.parallel) landmark-
 sharded distributed BA over a device mesh.
 """
 
-from cvsteer_tpu.slam import se3  # noqa: F401
+from cvsteer_tpu.slam import se3, sim3  # noqa: F401
 from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust  # noqa: F401
-from cvsteer_tpu.slam.posegraph import PoseGraph, optimize_pose_graph  # noqa: F401
+from cvsteer_tpu.slam.posegraph import (  # noqa: F401
+    PoseGraph,
+    Poses,
+    optimize_pose_graph,
+)
+from cvsteer_tpu.slam.posegraph_sim3 import (  # noqa: F401
+    Sim3Graph,
+    optimize_pose_graph_sim3,
+)
+from cvsteer_tpu.slam.vo import VOConfig, init_vo, process_frame, process_image  # noqa: F401
+from cvsteer_tpu.slam.vo_server import VOServer  # noqa: F401
