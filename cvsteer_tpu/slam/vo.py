@@ -132,20 +132,6 @@ def _refine_pose_jit(X, uv, sel, R0, t0, *, iterations, huber_delta, lam0=1e-4):
     # fold the inlier count on-device: one device_get per refinement
     return R, t, jnp.sum(inl)
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
-def _windowed_ba_jit(ba_state: BAState, problem: BAProblem, iterations: int):
-    """BA + per-landmark mean reprojection error in ONE dispatch/fetch."""
-    from cvsteer_tpu.slam.ba import residuals as _ba_residuals
-
-    final, _ = bundle_adjust(ba_state, problem, iterations=iterations)
-    r, _w = _ba_residuals(final, problem)
-    rn = jnp.linalg.norm(r, axis=-1)
-    m = problem.mask.astype(rn.dtype)
-    obs = m.sum(axis=0)
-    mean_err = jnp.where(obs > 0, (rn * m).sum(axis=0) / jnp.maximum(obs, 1.0), 0.0)
-    return final.R, final.t, final.X, mean_err
-
-_triangulate_jit = jax.jit(triangulate)
 
 
 @functools.partial(
@@ -436,44 +422,50 @@ def _kf_inherit(state: VOState, feats: Features, idx, valid, ref_kf):
     return kf_prev, lm_ids, fresh
 
 
-def _kf_tri_issue(state: VOState, kf_prev: Keyframe, R, t, idx, fresh, x_new):
-    """Dispatch triangulation of fresh correspondences (un-fetched) or None.
+def _kf_fused_jit_body(
+    R_pad, t_pad, X_pad, uv, mask_old, pot_mask, fixed,
+    P1, P2, x_prev, x_new_m, fresh, n_room, *, iterations, huber_delta,
+):
+    """Triangulation + cheirality/capacity gating + windowed BA + per-
+    landmark mean reprojection error, all in ONE dispatch.
 
-    Static [N] shape: all feature slots go to the device; the fresh subset
-    is selected host-side after the fetch."""
-    if fresh.sum() < 8 or state.num_landmarks >= state.config.max_landmarks:
-        return None
-    x_prev_all = _kf_host_cache(state, kf_prev)[0]
-    x_new_all = x_new[np.maximum(idx, 0)]
-    P1 = jnp.asarray(
-        np.concatenate([kf_prev.R, kf_prev.t[:, None]], 1), jnp.float32
+    The round-1..2 keyframe path paid three blocking fetches
+    (triangulation, then BA after host-side registration); on a
+    remote/tunneled device each fetch is a full RTT. Here the candidate
+    landmarks ride along as extra masked columns of the BA grid: the
+    device triangulates all F candidate slots, gates them (cheirality in
+    both views, bounds, capacity rank via cumsum — the same
+    first-n_room-in-slot-order rule the host used), and the accepted ones
+    join the window BA immediately. The host registers ids from the
+    fetched ``ok`` mask afterwards — same ids, same end state, one fetch.
+    """
+    from cvsteer_tpu.slam.ba import residuals as _ba_residuals
+
+    Xc = triangulate(P1, P2, x_prev, x_new_m)  # [F, 3]
+    z1 = Xc @ P1[2, :3] + P1[2, 3]
+    z2 = Xc @ P2[2, :3] + P2[2, 3]
+    ok = fresh & (z1 > 1e-3) & (z2 > 1e-3) & (jnp.abs(Xc) < 1e4).all(1)
+    ok = ok & (jnp.cumsum(ok.astype(jnp.int32)) <= n_room)
+    Lp = mask_old.shape[1]
+    X = X_pad.at[Lp:].set(jnp.where(ok[:, None], Xc, 0.0))
+    mask = jnp.concatenate([mask_old, pot_mask & ok[None, :]], axis=1)
+    problem = BAProblem(
+        uv=uv, mask=mask, fixed_cameras=fixed, huber_delta=huber_delta
     )
-    P2 = jnp.asarray(np.concatenate([R, t[:, None]], 1), jnp.float32)
-    return _triangulate_jit(
-        P1, P2, jnp.asarray(x_prev_all), jnp.asarray(x_new_all)
+    final, _ = bundle_adjust(
+        BAState(R=R_pad, t=t_pad, X=X), problem, iterations=iterations
     )
+    r, _w = _ba_residuals(final, problem)
+    rn = jnp.linalg.norm(r, axis=-1)
+    m = mask.astype(rn.dtype)
+    obs = m.sum(axis=0)
+    mean_err = jnp.where(obs > 0, (rn * m).sum(axis=0) / jnp.maximum(obs, 1.0), 0.0)
+    return final.R, final.t, final.X, mean_err, ok
 
 
-def _kf_tri_register(state: VOState, kf_prev, lm_ids, idx, fresh, R, t, Xw_all):
-    """Host phase: cheirality-check and register FETCHED triangulations."""
-    if Xw_all is None:
-        return
-    fresh_idx = np.nonzero(fresh)[0]
-    Xw = Xw_all[fresh_idx]
-    # cheirality + depth sanity in both views
-    z1 = (Xw @ kf_prev.R.T + kf_prev.t)[:, 2]
-    z2 = (Xw @ np.asarray(R).T + np.asarray(t))[:, 2]
-    ok = (z1 > 1e-3) & (z2 > 1e-3) & (np.abs(Xw) < 1e4).all(axis=1)
-    n_room = state.config.max_landmarks - state.num_landmarks
-    keep = np.nonzero(ok)[0][:n_room]
-    if keep.size:
-        new_ids = np.arange(state.num_landmarks, state.num_landmarks + keep.size)
-        state.landmarks[new_ids] = Xw[keep]
-        state.landmark_valid[new_ids] = True
-        state.num_landmarks += keep.size
-        prev_feat_idx = np.nonzero(fresh)[0][keep]
-        kf_prev.landmark_ids[prev_feat_idx] = new_ids
-        lm_ids[np.maximum(idx, 0)[prev_feat_idx]] = new_ids
+_kf_fused_jit = functools.partial(
+    jax.jit, static_argnames=("iterations", "huber_delta")
+)(_kf_fused_jit_body)
 
 
 def _kf_append(state: VOState, feats: Features, R, t, lm_ids, x_new):
@@ -485,19 +477,16 @@ def _kf_append(state: VOState, feats: Features, R, t, lm_ids, x_new):
 def _add_keyframe(
     state: VOState, feats: Features, R, t, idx, valid, ref_kf=None, x_new=None
 ):
-    """Promote the current frame: inherit landmark ids from matches to the
-    reference keyframe (default: the latest), triangulate new landmarks,
-    run windowed BA. Sequential composition of the phase helpers; the
-    batched server (slam.vo_server) runs the same phases with the device
-    fetches grouped across streams."""
+    """Promote the current frame: inherit landmark ids, triangulate new
+    landmarks, and run windowed BA — ONE fused dispatch + ONE fetch
+    (_kf_fused_jit). The batched server (slam.vo_server) runs the same
+    issue/complete phases with the fetch grouped across streams."""
     if x_new is None:
         x_new = _norm_pts(state, feats)  # one fetch; seeds the new kf cache
-    kf_prev, lm_ids, fresh = _kf_inherit(state, feats, idx, valid, ref_kf)
-    h = _kf_tri_issue(state, kf_prev, R, t, idx, fresh, x_new)
-    Xw_all = np.asarray(jax.device_get(h)) if h is not None else None
-    _kf_tri_register(state, kf_prev, lm_ids, idx, fresh, R, t, Xw_all)
-    _kf_append(state, feats, R, t, lm_ids, x_new)
-    _windowed_ba(state)
+    handles, ctx = _kf_fused_issue(state, feats, R, t, idx, valid, ref_kf, x_new)
+    _kf_fused_complete(
+        state, jax.device_get(handles) if handles is not None else None, ctx
+    )
 
 
 # Landmark-count buckets for the windowed BA: L is padded up to one of these
@@ -506,28 +495,31 @@ def _add_keyframe(
 _BA_L_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 
 
-def _windowed_ba_issue(state: VOState):
-    """Host assembly + dispatch of the windowed BA (un-fetched).
+def _kf_fused_issue(state: VOState, feats, R, t, idx, valid, ref_kf, x_new):
+    """Host assembly + dispatch of the fused keyframe step (un-fetched).
 
-    Returns (handles, ctx) or None; pair with _windowed_ba_complete.
-    Dense masked BA over the last ``window`` keyframes, static shapes:
-    cameras are padded to exactly ``cfg.window`` (padding cameras are fixed
-    with no observations); landmarks are padded to a size bucket. The grid
-    assembly is vectorized (searchsorted scatter), no Python-per-observation
-    loop.
+    Returns (handles, ctx); handles is None when neither BA nor
+    triangulation has enough support (the keyframe is still appended by
+    _kf_fused_complete with inherited ids only). Grid layout: cameras
+    padded to ``cfg.window`` (the new frame is the last real camera),
+    landmark columns = [bucket-padded window landmarks | F candidate
+    slots] where F is the feature capacity — candidate columns are masked
+    on-device by the triangulation gate.
     """
     cfg = state.config
-    window = state.keyframes[-cfg.window :]
-    C = len(window)
-    if C < 2:
-        return None
+    kf_prev, lm_ids, fresh = _kf_inherit(state, feats, idx, valid, ref_kf)
+    skip_tri = fresh.sum() < 8 or state.num_landmarks >= cfg.max_landmarks
+    fresh_eff = fresh & (not skip_tri)
 
-    # local landmark set = union of landmarks observed in the window
-    lm_set = np.unique(
-        np.concatenate([kf.landmark_ids[kf.landmark_ids >= 0] for kf in window])
-    )
-    if lm_set.size < 8:
-        return None
+    window = state.keyframes[-(cfg.window - 1):] if cfg.window > 1 else []
+    C = len(window) + 1
+    c_new = C - 1
+
+    id_arrays = [kf.landmark_ids[kf.landmark_ids >= 0] for kf in window]
+    id_arrays.append(lm_ids[lm_ids >= 0])
+    lm_set = np.unique(np.concatenate(id_arrays))
+    if lm_set.size < 8 and skip_tri:
+        return None, (kf_prev, lm_ids, fresh, idx, x_new, feats, R, t)
 
     max_bucket = _BA_L_BUCKETS[-1]
     if lm_set.size > max_bucket:
@@ -536,20 +528,40 @@ def _windowed_ba_issue(state: VOState):
         for kf in window:
             ids = kf.landmark_ids[kf.landmark_ids >= 0]
             counts += np.isin(lm_set, ids)
+        counts += np.isin(lm_set, lm_ids[lm_ids >= 0])
         order = np.argsort(-counts, kind="stable")[:max_bucket]
         lm_set = np.sort(lm_set[order])
     L = lm_set.size
     Lp = next(b for b in _BA_L_BUCKETS if b >= L)
     Cp = cfg.window
+    F = fresh.shape[0]
 
-    uv = np.zeros((Cp, Lp, 2), np.float32)
-    mask = np.zeros((Cp, Lp), bool)
+    uv = np.zeros((Cp, Lp + F, 2), np.float32)
+    mask_old = np.zeros((Cp, Lp), bool)
     for c, kf in enumerate(window):
         x, fvalid = _kf_host_cache(state, kf)
         sel = (kf.landmark_ids >= 0) & fvalid & np.isin(kf.landmark_ids, lm_set)
         loc = np.searchsorted(lm_set, kf.landmark_ids[sel])
         uv[c, loc] = x[sel]
-        mask[c, loc] = True
+        mask_old[c, loc] = True
+    # the new frame's row: inherited observations (ids known pre-fetch)
+    sel_new = (lm_ids >= 0) & np.isin(lm_ids, lm_set)
+    loc = np.searchsorted(lm_set, lm_ids[sel_new])
+    uv[c_new, loc] = x_new[sel_new]
+    mask_old[c_new, loc] = True
+
+    # candidate columns: observed by kf_prev (when in the window) and the
+    # new frame; masked on-device by the triangulation gate
+    x_prev_all = _kf_host_cache(state, kf_prev)[0]
+    x_new_all = x_new[np.maximum(idx, 0)]
+    pot = np.zeros((Cp, F), bool)
+    uv[c_new, Lp:] = x_new_all
+    pot[c_new] = fresh_eff
+    for c, kf in enumerate(window):
+        if kf is kf_prev:
+            uv[c, Lp:] = x_prev_all
+            pot[c] = fresh_eff
+            break
 
     fixed = np.ones(Cp, bool)  # padding cameras held fixed
     fixed[:C] = False
@@ -559,53 +571,77 @@ def _windowed_ba_issue(state: VOState):
 
     R_pad = np.broadcast_to(np.eye(3, dtype=np.float32), (Cp, 3, 3)).copy()
     t_pad = np.zeros((Cp, 3), np.float32)
-    R_pad[:C] = np.stack([kf.R for kf in window])
-    t_pad[:C] = np.stack([kf.t for kf in window])
-    X_pad = np.zeros((Lp, 3), np.float32)
+    if window:
+        R_pad[: C - 1] = np.stack([kf.R for kf in window])
+        t_pad[: C - 1] = np.stack([kf.t for kf in window])
+    R_pad[c_new] = np.asarray(R, np.float32)
+    t_pad[c_new] = np.asarray(t, np.float32)
+    X_pad = np.zeros((Lp + F, 3), np.float32)
     X_pad[:L] = state.landmarks[lm_set]
 
-    problem = BAProblem(
-        uv=jnp.asarray(uv),
-        mask=jnp.asarray(mask),
-        fixed_cameras=jnp.asarray(fixed),
-        huber_delta=cfg.huber_delta,
+    P1 = np.concatenate([kf_prev.R, kf_prev.t[:, None]], 1).astype(np.float32)
+    P2 = np.concatenate(
+        [np.asarray(R, np.float32), np.asarray(t, np.float32)[:, None]], 1
     )
-    ba_state = BAState(
-        R=jnp.asarray(R_pad), t=jnp.asarray(t_pad), X=jnp.asarray(X_pad)
+    n_room = np.int32(cfg.max_landmarks - state.num_landmarks)
+
+    handles = _kf_fused_jit(
+        jnp.asarray(R_pad), jnp.asarray(t_pad), jnp.asarray(X_pad),
+        jnp.asarray(uv), jnp.asarray(mask_old), jnp.asarray(pot),
+        jnp.asarray(fixed), jnp.asarray(P1), jnp.asarray(P2),
+        jnp.asarray(x_prev_all), jnp.asarray(x_new_all),
+        jnp.asarray(fresh_eff), jnp.asarray(n_room),
+        iterations=cfg.ba_iterations, huber_delta=cfg.huber_delta,
     )
-    handles = _windowed_ba_jit(ba_state, problem, cfg.ba_iterations)
-    return handles, (window, lm_set, L)
+    ctx = (
+        window, lm_set, L, Lp, kf_prev, lm_ids, fresh, idx, x_new, feats, R, t
+    )
+    return handles, ctx
 
 
-def _windowed_ba_complete(state: VOState, fetched, ctx):
-    """Write back FETCHED BA results; cull irreconcilable landmarks."""
+def _kf_fused_complete(state: VOState, fetched, ctx):
+    """Register FETCHED candidates, append the keyframe, write back BA
+    results, cull irreconcilable landmarks."""
     cfg = state.config
-    window, lm_set, L = ctx
-    Rs, ts, X, mean_err = fetched
-    for c, kf in enumerate(window):
+    if fetched is None:
+        kf_prev, lm_ids, fresh, idx, x_new, feats, R, t = ctx
+        _kf_append(state, feats, R, t, lm_ids, x_new)
+        return
+    window, lm_set, L, Lp, kf_prev, lm_ids, fresh, idx, x_new, feats, R, t = ctx
+    Rs, ts, X, mean_err, ok = (np.asarray(a) for a in fetched)
+
+    # register accepted candidates (ids in slot order == device cumsum rank)
+    ok_slots = np.nonzero(ok)[0]
+    new_ids = np.empty(0, np.int64)
+    if ok_slots.size:
+        new_ids = np.arange(
+            state.num_landmarks, state.num_landmarks + ok_slots.size
+        )
+        state.landmarks[new_ids] = X[Lp + ok_slots]
+        state.landmark_valid[new_ids] = True
+        state.num_landmarks += ok_slots.size
+        kf_prev.landmark_ids[ok_slots] = new_ids
+        lm_ids[np.maximum(idx, 0)[ok_slots]] = new_ids
+
+    _kf_append(state, feats, R, t, lm_ids, x_new)
+    for c, kf in enumerate(window + [state.keyframes[-1]]):
         kf.R, kf.t = Rs[c], ts[c]
     state.landmarks[lm_set] = X[:L]
 
     # Cull landmarks the optimizer could not reconcile: mean reprojection
     # error beyond 3x the Huber width across their window observations
-    # (mean_err computed on-device inside _windowed_ba_jit — one fetch).
-    bad_local = np.nonzero(mean_err[:L] > 3.0 * max(cfg.huber_delta, 1e-4))[0]
-    if bad_local.size:
-        bad_global = set(int(g) for g in lm_set[bad_local])
+    # (mean_err computed on-device — part of the single fetch).
+    bar = 3.0 * max(cfg.huber_delta, 1e-4)
+    bad_global = set(int(g) for g in lm_set[np.nonzero(mean_err[:L] > bar)[0]])
+    if ok_slots.size:
+        bad_cand = mean_err[Lp + ok_slots] > bar
+        bad_global |= set(int(g) for g in new_ids[bad_cand])
+    if bad_global:
         state.landmark_valid[list(bad_global)] = False
         for kf in state.keyframes:
             drop = np.isin(kf.landmark_ids, list(bad_global))
             kf.landmark_ids[drop] = -1
     state.track_version += 1  # poses, landmark positions, and culls moved
-
-
-def _windowed_ba(state: VOState):
-    """Sequential windowed BA: issue, one fetch, write back."""
-    r = _windowed_ba_issue(state)
-    if r is None:
-        return
-    handles, ctx = r
-    _windowed_ba_complete(state, jax.device_get(handles), ctx)
 
 
 def process_frame(state: VOState, feats: Features) -> VOState:

@@ -31,15 +31,11 @@ from cvsteer_tpu.slam.vo import (
     VOConfig,
     VOState,
     _decide_keyframe,
-    _kf_append,
-    _kf_inherit,
-    _kf_tri_issue,
-    _kf_tri_register,
     _keyframe_epilogue,
+    _kf_fused_complete,
+    _kf_fused_issue,
     _track_complete,
     _track_issue,
-    _windowed_ba_complete,
-    _windowed_ba_issue,
     init_vo,
     process_frame,
 )
@@ -58,8 +54,8 @@ class VOServer:
         ``frames[i]`` is stream i's next feature set (None = no frame this
         tick). Streams not yet initialized take the sequential two-view
         bootstrap path (host logic; a handful of frames per stream
-        lifetime). Initialized streams run in four batched stages — track,
-        new-frame pixel fetch, triangulation, windowed BA — each paying ONE
+        lifetime). Initialized streams run in three batched stages — track,
+        new-frame pixel fetch, fused triangulation+windowed-BA — each paying ONE
         fetch round-trip for the whole fleet regardless of how many streams
         promote a keyframe this step.
         """
@@ -89,38 +85,23 @@ class VOServer:
         if kf_req:
             # round-trip 2: the promoted frames' feature pixels
             yx = jax.device_get({i: frames[i].yx for i in kf_req})
-            x_new, ctx1, tri = {}, {}, {}
+            fused = {}
             for i, (R, t, idx, valid, ref_kf) in kf_req.items():
                 st = self.states[i]
                 K = st.config.intrinsics
                 y = np.asarray(yx[i], np.float32)
-                x_new[i] = np.stack(
+                x_new = np.stack(
                     [(y[..., 1] - K.cx) / K.fx, (y[..., 0] - K.cy) / K.fy], -1
                 )
-                kf_prev, lm_ids, fresh = _kf_inherit(
-                    st, frames[i], idx, valid, ref_kf
+                h, ctx = _kf_fused_issue(
+                    st, frames[i], R, t, idx, valid, ref_kf, x_new
                 )
-                ctx1[i] = (kf_prev, lm_ids, fresh)
-                h = _kf_tri_issue(st, kf_prev, R, t, idx, fresh, x_new[i])
-                if h is not None:
-                    tri[i] = h
-            # round-trip 3: the fleet's triangulations
-            tri_f = jax.device_get(tri) if tri else {}
-
-            ba = {}
-            for i, (R, t, idx, valid, ref_kf) in kf_req.items():
-                st = self.states[i]
-                kf_prev, lm_ids, fresh = ctx1[i]
-                Xw = np.asarray(tri_f[i]) if i in tri_f else None
-                _kf_tri_register(st, kf_prev, lm_ids, idx, fresh, R, t, Xw)
-                _kf_append(st, frames[i], R, t, lm_ids, x_new[i])
-                r = _windowed_ba_issue(st)
-                if r is not None:
-                    ba[i] = r
-            # round-trip 4: the fleet's windowed BAs
-            ba_f = jax.device_get({i: h for i, (h, _) in ba.items()}) if ba else {}
-            for i, (_, ctx) in ba.items():
-                _windowed_ba_complete(self.states[i], ba_f[i], ctx)
+                fused[i] = (h, ctx)
+            # round-trip 3: the fleet's fused triangulation+BA results
+            live = {i: h for i, (h, _) in fused.items() if h is not None}
+            fused_f = jax.device_get(live) if live else {}
+            for i, (h, ctx) in fused.items():
+                _kf_fused_complete(self.states[i], fused_f.get(i), ctx)
             for i in kf_req:
                 _keyframe_epilogue(self.states[i])
 
