@@ -158,11 +158,12 @@ def _track_fused_jit(
     """
     idx = match_descriptors(desc_a, valid_a, desc_b, valid_b, ratio=ratio).index
     use = (idx >= 0) & sel_slots
-    yx = yx_b[jnp.maximum(idx, 0)]
-    uv = jnp.stack(
-        [(yx[:, 1] - K4[2]) / K4[0], (yx[:, 0] - K4[3]) / K4[1]], -1
+    # normalized pixels of EVERY new-frame slot: rides home with the track
+    # fetch so a keyframe promotion needs no separate pixel round-trip
+    uv_all = jnp.stack(
+        [(yx_b[:, 1] - K4[2]) / K4[0], (yx_b[:, 0] - K4[3]) / K4[1]], -1
     )
-    uv = jnp.where(use[:, None], uv, 0.0)
+    uv = jnp.where(use[:, None], uv_all[jnp.maximum(idx, 0)], 0.0)
     Ra, ta, ia = refine_pose(
         X_slots, uv, use, R0, t0,
         iterations=iterations, huber_delta=huber_delta, lam0=1e-4,
@@ -178,7 +179,7 @@ def _track_fused_jit(
         Ra = jnp.where(pick_b, Rb, Ra)
         ta = jnp.where(pick_b, tb, ta)
         na = jnp.where(pick_b, nb, na)
-    return Ra, ta, na, idx, jnp.sum(valid_b)
+    return Ra, ta, na, idx, jnp.sum(valid_b), uv_all, valid_b
 
 
 def _kf_track_cache(state: VOState, kf: Keyframe):
@@ -336,14 +337,22 @@ def _track_issue(state: VOState, feats: Features):
 
 
 def _track_complete(state: VOState, fetched):
-    """Host-side tail of the tracking step from a FETCHED result tuple."""
+    """Host-side tail of the tracking step from a FETCHED result tuple.
+
+    Returns (R, t, n_tracked, idx, valid, n_valid, x_new, fvalid): the
+    last two are the new frame's normalized pixels and feature validity,
+    fetched alongside the track result (a keyframe promotion consumes
+    them without another round-trip)."""
     kf = state.keyframes[-1]
-    R, t, n, idx, n_valid = fetched
+    R, t, n, idx, n_valid, uv_all, valid_b = fetched
     n_tracked = int(n)
     idx = np.asarray(idx)
     if not (np.isfinite(R).all() and np.isfinite(t).all()):
         R, t, n_tracked = kf.R.copy(), kf.t.copy(), 0
-    return np.asarray(R), np.asarray(t), n_tracked, idx, idx >= 0, int(n_valid)
+    return (
+        np.asarray(R), np.asarray(t), n_tracked, idx, idx >= 0,
+        int(n_valid), np.asarray(uv_all, np.float32), np.asarray(valid_b),
+    )
 
 
 def _track(state: VOState, feats: Features):
@@ -468,22 +477,29 @@ _kf_fused_jit = functools.partial(
 )(_kf_fused_jit_body)
 
 
-def _kf_append(state: VOState, feats: Features, R, t, lm_ids, x_new):
+def _kf_append(state: VOState, feats: Features, R, t, lm_ids, x_new, fvalid=None):
     kf_new = Keyframe(state.frame_count, feats, R, t, lm_ids)
-    kf_new.host_cache = (x_new, np.asarray(feats.valid))
+    if fvalid is None:
+        fvalid = np.asarray(feats.valid)  # host mirror: one fetch
+    kf_new.host_cache = (x_new, fvalid)
     state.keyframes.append(kf_new)
 
 
 def _add_keyframe(
-    state: VOState, feats: Features, R, t, idx, valid, ref_kf=None, x_new=None
+    state: VOState, feats: Features, R, t, idx, valid, ref_kf=None,
+    x_new=None, fvalid=None,
 ):
     """Promote the current frame: inherit landmark ids, triangulate new
     landmarks, and run windowed BA — ONE fused dispatch + ONE fetch
-    (_kf_fused_jit). The batched server (slam.vo_server) runs the same
+    (_kf_fused_jit); the new frame's pixels/validity normally arrive with
+    the TRACK fetch (x_new/fvalid), so promotion adds exactly one
+    round-trip. The batched server (slam.vo_server) runs the same
     issue/complete phases with the fetch grouped across streams."""
     if x_new is None:
-        x_new = _norm_pts(state, feats)  # one fetch; seeds the new kf cache
-    handles, ctx = _kf_fused_issue(state, feats, R, t, idx, valid, ref_kf, x_new)
+        x_new = _norm_pts(state, feats)  # fallback fetch (direct callers)
+    handles, ctx = _kf_fused_issue(
+        state, feats, R, t, idx, valid, ref_kf, x_new, fvalid
+    )
     _kf_fused_complete(
         state, jax.device_get(handles) if handles is not None else None, ctx
     )
@@ -495,7 +511,9 @@ def _add_keyframe(
 _BA_L_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
 
 
-def _kf_fused_issue(state: VOState, feats, R, t, idx, valid, ref_kf, x_new):
+def _kf_fused_issue(
+    state: VOState, feats, R, t, idx, valid, ref_kf, x_new, fvalid=None
+):
     """Host assembly + dispatch of the fused keyframe step (un-fetched).
 
     Returns (handles, ctx); handles is None when neither BA nor
@@ -519,7 +537,7 @@ def _kf_fused_issue(state: VOState, feats, R, t, idx, valid, ref_kf, x_new):
     id_arrays.append(lm_ids[lm_ids >= 0])
     lm_set = np.unique(np.concatenate(id_arrays))
     if lm_set.size < 8 and skip_tri:
-        return None, (kf_prev, lm_ids, fresh, idx, x_new, feats, R, t)
+        return None, (kf_prev, lm_ids, fresh, idx, x_new, fvalid, feats, R, t)
 
     max_bucket = _BA_L_BUCKETS[-1]
     if lm_set.size > max_bucket:
@@ -594,7 +612,8 @@ def _kf_fused_issue(state: VOState, feats, R, t, idx, valid, ref_kf, x_new):
         iterations=cfg.ba_iterations, huber_delta=cfg.huber_delta,
     )
     ctx = (
-        window, lm_set, L, Lp, kf_prev, lm_ids, fresh, idx, x_new, feats, R, t
+        window, lm_set, L, Lp, kf_prev, lm_ids, fresh, idx, x_new, fvalid,
+        feats, R, t,
     )
     return handles, ctx
 
@@ -604,10 +623,11 @@ def _kf_fused_complete(state: VOState, fetched, ctx):
     results, cull irreconcilable landmarks."""
     cfg = state.config
     if fetched is None:
-        kf_prev, lm_ids, fresh, idx, x_new, feats, R, t = ctx
-        _kf_append(state, feats, R, t, lm_ids, x_new)
+        kf_prev, lm_ids, fresh, idx, x_new, fvalid, feats, R, t = ctx
+        _kf_append(state, feats, R, t, lm_ids, x_new, fvalid)
         return
-    window, lm_set, L, Lp, kf_prev, lm_ids, fresh, idx, x_new, feats, R, t = ctx
+    (window, lm_set, L, Lp, kf_prev, lm_ids, fresh, idx, x_new, fvalid,
+     feats, R, t) = ctx
     Rs, ts, X, mean_err, ok = (np.asarray(a) for a in fetched)
 
     # register accepted candidates (ids in slot order == device cumsum rank)
@@ -623,7 +643,7 @@ def _kf_fused_complete(state: VOState, fetched, ctx):
         kf_prev.landmark_ids[ok_slots] = new_ids
         lm_ids[np.maximum(idx, 0)[ok_slots]] = new_ids
 
-    _kf_append(state, feats, R, t, lm_ids, x_new)
+    _kf_append(state, feats, R, t, lm_ids, x_new, fvalid)
     for c, kf in enumerate(window + [state.keyframes[-1]]):
         kf.R, kf.t = Rs[c], ts[c]
     state.landmarks[lm_set] = X[:L]
@@ -671,8 +691,7 @@ def process_frame(state: VOState, feats: Features) -> VOState:
         state.frame_count += 1
         return state
 
-    R, t, n_tracked, idx, valid, n_valid = _track(state, feats)
-    return _post_track(state, feats, R, t, n_tracked, idx, valid, n_valid)
+    return _post_track(state, feats, *_track(state, feats))
 
 
 def _decide_keyframe(
@@ -724,15 +743,21 @@ def _keyframe_epilogue(state: VOState) -> None:
 
 
 def _post_track(
-    state: VOState, feats: Features, R, t, n_tracked, idx, valid, n_valid
+    state: VOState, feats: Features, R, t, n_tracked, idx, valid, n_valid,
+    x_new=None, fvalid=None,
 ) -> VOState:
     """Everything after the fused tracking fetch: relocalization fallback,
     trajectory append, keyframe promotion, loop closure. Shared by the
-    sequential loop (process_frame) and the batched server (vo_server)."""
+    sequential loop (process_frame) and the batched server (vo_server).
+    ``x_new``/``fvalid`` (from the track fetch) spare the promotion its
+    pixel round-trip."""
     req = _decide_keyframe(state, feats, R, t, n_tracked, idx, valid, n_valid)
     if req is not None:
         R2, t2, idx2, valid2, ref_kf = req
-        _add_keyframe(state, feats, R2, t2, idx2, valid2, ref_kf=ref_kf)
+        _add_keyframe(
+            state, feats, R2, t2, idx2, valid2, ref_kf=ref_kf,
+            x_new=x_new, fvalid=fvalid,
+        )
         _keyframe_epilogue(state)
     state.frame_count += 1
     return state

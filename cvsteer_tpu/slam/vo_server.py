@@ -24,8 +24,6 @@ from typing import List, Optional, Sequence
 
 import jax
 
-import numpy as np
-
 from cvsteer_tpu.features.frontend import Features
 from cvsteer_tpu.slam.vo import (
     VOConfig,
@@ -54,10 +52,11 @@ class VOServer:
         ``frames[i]`` is stream i's next feature set (None = no frame this
         tick). Streams not yet initialized take the sequential two-view
         bootstrap path (host logic; a handful of frames per stream
-        lifetime). Initialized streams run in three batched stages — track,
-        new-frame pixel fetch, fused triangulation+windowed-BA — each paying ONE
-        fetch round-trip for the whole fleet regardless of how many streams
-        promote a keyframe this step.
+        lifetime). Initialized streams run in TWO batched stages — track
+        (whose fetch also carries each frame's normalized pixels +
+        validity) and the fused triangulation+windowed-BA — each paying
+        ONE fetch round-trip for the whole fleet regardless of how many
+        streams promote a keyframe this step.
         """
         assert len(frames) == len(self.states)
         pending = {}
@@ -74,30 +73,29 @@ class VOServer:
             return
         fetched = jax.device_get(pending)  # round-trip 1: the fleet's tracks
 
-        # host decisions; collect keyframe requests
+        # host decisions; collect keyframe requests (the track fetch also
+        # carried each frame's normalized pixels + validity, so promotion
+        # needs no pixel round-trip)
         kf_req = {}
+        pix = {}
         for i, res in fetched.items():
             st = self.states[i]
-            req = _decide_keyframe(st, frames[i], *_track_complete(st, res))
+            out = _track_complete(st, res)
+            req = _decide_keyframe(st, frames[i], *out[:6])
             if req is not None:
                 kf_req[i] = req
+                pix[i] = out[6:]  # (x_new, fvalid)
 
         if kf_req:
-            # round-trip 2: the promoted frames' feature pixels
-            yx = jax.device_get({i: frames[i].yx for i in kf_req})
             fused = {}
             for i, (R, t, idx, valid, ref_kf) in kf_req.items():
-                st = self.states[i]
-                K = st.config.intrinsics
-                y = np.asarray(yx[i], np.float32)
-                x_new = np.stack(
-                    [(y[..., 1] - K.cx) / K.fx, (y[..., 0] - K.cy) / K.fy], -1
-                )
+                x_new, fvalid = pix[i]
                 h, ctx = _kf_fused_issue(
-                    st, frames[i], R, t, idx, valid, ref_kf, x_new
+                    self.states[i], frames[i], R, t, idx, valid, ref_kf,
+                    x_new, fvalid,
                 )
                 fused[i] = (h, ctx)
-            # round-trip 3: the fleet's fused triangulation+BA results
+            # round-trip 2: the fleet's fused triangulation+BA results
             live = {i: h for i, (h, _) in fused.items() if h is not None}
             fused_f = jax.device_get(live) if live else {}
             for i, (h, ctx) in fused.items():
