@@ -68,13 +68,27 @@ def frontend():
     print(f"frontend: {v:.0f} frames/s @512x512 b64", flush=True)
 
 
+def vo():
+    import bench
+
+    fps, ate = bench.bench_vo()
+    print(f"vo: {fps:.1f} frames/s, ate {ate:.4f} m "
+          f"(fused keyframe step: 1 track fetch + 1 fused tri+BA fetch)",
+          flush=True)
+    agg = bench.bench_vo_server(8)
+    print(f"vo_server: {agg:.1f} frames/s aggregate over 8 streams "
+          f"(2 batched round-trips/step)", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", default="", help="comma list: pgo,features,frontend")
     args = ap.parse_args()
     skip = set(args.skip.split(","))
     probe()
-    for name, fn in [("pgo", pgo), ("features", features), ("frontend", frontend)]:
+    for name, fn in [
+        ("pgo", pgo), ("features", features), ("frontend", frontend), ("vo", vo),
+    ]:
         if name in skip:
             continue
         try:
