@@ -11,7 +11,7 @@ the trajectory in TUM format; checkpoint/resume mid-sequence.
 Serving mode: a comma-separated --input runs every sequence concurrently
 through slam.vo_server.VOServer — per tick the whole fleet's images are
 decoded by a thread pool, feature-extracted in ONE batched dispatch, and
-stepped with three fetch round-trips total (the production many-streams-
+stepped with two fetch round-trips total (the production many-streams-
 one-accelerator deployment; see BENCH_NOTES.md for throughput):
 
   python -m cvsteer_tpu.cli_vo --input seqA,seqB,seqC --output traj.txt
@@ -197,7 +197,7 @@ def _run_server(args, cfg, roots) -> int:
 
     Per tick: thread-pool decode of the fleet's images (GIL-releasing
     native codec), ONE batched feature-extraction dispatch per distinct
-    image shape, then VOServer.step's three batched fetch round-trips.
+    image shape, then VOServer.step's two batched fetch round-trips.
     Unreadable frames advance their stream's frame counter so trajectory
     rows stay aligned with ground truth (as in the sequential path).
     """

@@ -359,7 +359,9 @@ def _track(state: VOState, feats: Features):
     """Match to the last keyframe's landmark-bearing features; PnP refine.
 
     One fused device dispatch and one blocking fetch (_track_fused_jit).
-    Returns (R, t, n_tracked, idx, valid, n_valid_features)."""
+    Returns (R, t, n_tracked, idx, valid, n_valid_features, x_new, fvalid)
+    — the last two are the frame's normalized pixels / validity, carried
+    home with the same fetch for a potential keyframe promotion."""
     return _track_complete(state, jax.device_get(_track_issue(state, feats)))
 
 
@@ -469,12 +471,34 @@ def _kf_fused_jit_body(
     m = mask.astype(rn.dtype)
     obs = m.sum(axis=0)
     mean_err = jnp.where(obs > 0, (rn * m).sum(axis=0) / jnp.maximum(obs, 1.0), 0.0)
-    return final.R, final.t, final.X, mean_err, ok
+    return final.R, final.t, final.X, mean_err, ok, Xc
 
 
 _kf_fused_jit = functools.partial(
     jax.jit, static_argnames=("iterations", "huber_delta")
 )(_kf_fused_jit_body)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "huber_delta"))
+def _ba_only_jit(R_pad, t_pad, X_pad, uv, mask, fixed, *, iterations, huber_delta):
+    """Windowed BA + per-landmark mean error, no candidate columns — the
+    cheaper dispatch when triangulation is skipped (landmark budget full
+    or too few fresh matches): the fused kernel would otherwise drag F
+    feature-capacity dead columns through every LM iteration."""
+    from cvsteer_tpu.slam.ba import residuals as _ba_residuals
+
+    problem = BAProblem(
+        uv=uv, mask=mask, fixed_cameras=fixed, huber_delta=huber_delta
+    )
+    final, _ = bundle_adjust(
+        BAState(R=R_pad, t=t_pad, X=X_pad), problem, iterations=iterations
+    )
+    r, _w = _ba_residuals(final, problem)
+    rn = jnp.linalg.norm(r, axis=-1)
+    m = mask.astype(rn.dtype)
+    obs = m.sum(axis=0)
+    mean_err = jnp.where(obs > 0, (rn * m).sum(axis=0) / jnp.maximum(obs, 1.0), 0.0)
+    return final.R, final.t, final.X, mean_err
 
 
 def _kf_append(state: VOState, feats: Features, R, t, lm_ids, x_new, fvalid=None):
@@ -557,8 +581,8 @@ def _kf_fused_issue(
     uv = np.zeros((Cp, Lp + F, 2), np.float32)
     mask_old = np.zeros((Cp, Lp), bool)
     for c, kf in enumerate(window):
-        x, fvalid = _kf_host_cache(state, kf)
-        sel = (kf.landmark_ids >= 0) & fvalid & np.isin(kf.landmark_ids, lm_set)
+        x, fv = _kf_host_cache(state, kf)
+        sel = (kf.landmark_ids >= 0) & fv & np.isin(kf.landmark_ids, lm_set)
         loc = np.searchsorted(lm_set, kf.landmark_ids[sel])
         uv[c, loc] = x[sel]
         mask_old[c, loc] = True
@@ -584,8 +608,9 @@ def _kf_fused_issue(
     fixed = np.ones(Cp, bool)  # padding cameras held fixed
     fixed[:C] = False
     fixed[0] = True
-    # monocular gauge: also freeze the second camera to pin scale
-    fixed[1] = True
+    if Cp > 1:
+        # monocular gauge: also freeze the second camera to pin scale
+        fixed[1] = True
 
     R_pad = np.broadcast_to(np.eye(3, dtype=np.float32), (Cp, 3, 3)).copy()
     t_pad = np.zeros((Cp, 3), np.float32)
@@ -597,38 +622,57 @@ def _kf_fused_issue(
     X_pad = np.zeros((Lp + F, 3), np.float32)
     X_pad[:L] = state.landmarks[lm_set]
 
-    P1 = np.concatenate([kf_prev.R, kf_prev.t[:, None]], 1).astype(np.float32)
-    P2 = np.concatenate(
-        [np.asarray(R, np.float32), np.asarray(t, np.float32)[:, None]], 1
-    )
-    n_room = np.int32(cfg.max_landmarks - state.num_landmarks)
-
-    handles = _kf_fused_jit(
-        jnp.asarray(R_pad), jnp.asarray(t_pad), jnp.asarray(X_pad),
-        jnp.asarray(uv), jnp.asarray(mask_old), jnp.asarray(pot),
-        jnp.asarray(fixed), jnp.asarray(P1), jnp.asarray(P2),
-        jnp.asarray(x_prev_all), jnp.asarray(x_new_all),
-        jnp.asarray(fresh_eff), jnp.asarray(n_room),
-        iterations=cfg.ba_iterations, huber_delta=cfg.huber_delta,
-    )
+    if skip_tri:
+        # no candidates: the lean BA-only dispatch (no F dead columns)
+        handles = _ba_only_jit(
+            jnp.asarray(R_pad), jnp.asarray(t_pad), jnp.asarray(X_pad[:Lp]),
+            jnp.asarray(uv[:, :Lp]), jnp.asarray(mask_old),
+            jnp.asarray(fixed),
+            iterations=cfg.ba_iterations, huber_delta=cfg.huber_delta,
+        )
+    else:
+        P1 = np.concatenate(
+            [kf_prev.R, kf_prev.t[:, None]], 1
+        ).astype(np.float32)
+        P2 = np.concatenate(
+            [np.asarray(R, np.float32), np.asarray(t, np.float32)[:, None]], 1
+        )
+        n_room = np.int32(cfg.max_landmarks - state.num_landmarks)
+        handles = _kf_fused_jit(
+            jnp.asarray(R_pad), jnp.asarray(t_pad), jnp.asarray(X_pad),
+            jnp.asarray(uv), jnp.asarray(mask_old), jnp.asarray(pot),
+            jnp.asarray(fixed), jnp.asarray(P1), jnp.asarray(P2),
+            jnp.asarray(x_prev_all), jnp.asarray(x_new_all),
+            jnp.asarray(fresh_eff), jnp.asarray(n_room),
+            iterations=cfg.ba_iterations, huber_delta=cfg.huber_delta,
+        )
     ctx = (
         window, lm_set, L, Lp, kf_prev, lm_ids, fresh, idx, x_new, fvalid,
-        feats, R, t,
+        feats, R, t, lm_set.size >= 8, not skip_tri,
     )
     return handles, ctx
 
 
 def _kf_fused_complete(state: VOState, fetched, ctx):
     """Register FETCHED candidates, append the keyframe, write back BA
-    results, cull irreconcilable landmarks."""
+    results, cull irreconcilable landmarks.
+
+    ``ba_valid`` (from ctx): when the window carried < 8 landmarks the BA
+    solve is under-constrained — candidates are registered from the RAW
+    triangulation and poses/old landmarks are left untouched (the pre-
+    fusion behavior, where _windowed_ba_issue declined such windows)."""
     cfg = state.config
     if fetched is None:
         kf_prev, lm_ids, fresh, idx, x_new, fvalid, feats, R, t = ctx
         _kf_append(state, feats, R, t, lm_ids, x_new, fvalid)
         return
     (window, lm_set, L, Lp, kf_prev, lm_ids, fresh, idx, x_new, fvalid,
-     feats, R, t) = ctx
-    Rs, ts, X, mean_err, ok = (np.asarray(a) for a in fetched)
+     feats, R, t, ba_valid, has_cands) = ctx
+    if has_cands:
+        Rs, ts, X, mean_err, ok, Xc = (np.asarray(a) for a in fetched)
+    else:
+        Rs, ts, X, mean_err = (np.asarray(a) for a in fetched)
+        ok, Xc = np.zeros(0, bool), None
 
     # register accepted candidates (ids in slot order == device cumsum rank)
     ok_slots = np.nonzero(ok)[0]
@@ -637,13 +681,17 @@ def _kf_fused_complete(state: VOState, fetched, ctx):
         new_ids = np.arange(
             state.num_landmarks, state.num_landmarks + ok_slots.size
         )
-        state.landmarks[new_ids] = X[Lp + ok_slots]
+        src = X[Lp + ok_slots] if ba_valid else Xc[ok_slots]
+        state.landmarks[new_ids] = src
         state.landmark_valid[new_ids] = True
         state.num_landmarks += ok_slots.size
         kf_prev.landmark_ids[ok_slots] = new_ids
         lm_ids[np.maximum(idx, 0)[ok_slots]] = new_ids
 
     _kf_append(state, feats, R, t, lm_ids, x_new, fvalid)
+    if not ba_valid:
+        state.track_version += 1  # fresh registrations moved the map
+        return
     for c, kf in enumerate(window + [state.keyframes[-1]]):
         kf.R, kf.t = Rs[c], ts[c]
     state.landmarks[lm_set] = X[:L]

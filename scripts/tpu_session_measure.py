@@ -4,7 +4,8 @@ Runs, in order (each independently timed, failures don't stop the rest):
   1. a tunnel health probe,
   2. pose-graph LM iteration wall at three sizes (lane solvers),
   3. feature-extraction frames/s (pooled top-k path),
-  4. fused G2 front-end frames/s (bench.bench_device).
+  4. fused G2 front-end frames/s (bench.bench_device),
+  5. VO frames/s + ATE and the 8-stream server aggregate.
 
 Usage: python scripts/tpu_session_measure.py [--skip frontend,features,...]
 """
@@ -82,7 +83,7 @@ def vo():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--skip", default="", help="comma list: pgo,features,frontend")
+    ap.add_argument("--skip", default="", help="comma list: pgo,features,frontend,vo")
     args = ap.parse_args()
     skip = set(args.skip.split(","))
     probe()

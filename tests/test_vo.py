@@ -302,3 +302,21 @@ def test_vo_server_parallel_streams_track():
         Rs, ts = st.poses()
         ate = float(ate_rmse(Rs, ts, gt_R[: len(ts)], gt_t[: len(ts)]))
         assert ate < 0.15, f"stream {s}: ATE {ate}"
+
+
+def test_keyframe_host_cache_matches_own_features(vo_run):
+    """Each keyframe's host mirror (x_norm, valid) must be derived from its
+    OWN features — a regression guard for the fused-promotion path, where
+    a shadowed variable once stored the previous window keyframe's
+    validity mask on the new keyframe."""
+    state, _, _ = vo_run
+    for kf in state.keyframes:
+        if kf.host_cache is None:
+            continue
+        x_norm, fvalid = kf.host_cache
+        np.testing.assert_array_equal(fvalid, np.asarray(kf.features.valid))
+        yx = np.asarray(kf.features.yx, np.float32)
+        expect = np.stack(
+            [(yx[:, 1] - K.cx) / K.fx, (yx[:, 0] - K.cy) / K.fy], -1
+        )
+        np.testing.assert_allclose(x_norm, expect, atol=1e-6)
