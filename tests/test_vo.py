@@ -320,3 +320,22 @@ def test_keyframe_host_cache_matches_own_features(vo_run):
             [(yx[:, 1] - K.cx) / K.fx, (yx[:, 0] - K.cy) / K.fy], -1
         )
         np.testing.assert_allclose(x_norm, expect, atol=1e-6)
+
+
+def test_vo_degenerate_window_configs():
+    """window=1 and window=2 configs must survive keyframe promotion (the
+    monocular gauge line once indexed fixed[1] out of bounds at Cp=1)."""
+    X, desc = _make_world(seed=7)
+    rng = np.random.default_rng(7)
+    for w in (1, 2):
+        cfg = VOConfig(
+            intrinsics=K, kf_max_gap=3, window=w, track_min_landmarks=30
+        )
+        state = init_vo(cfg)
+        for k in range(12):
+            R, t = _gt_pose(k, 12)
+            state = process_frame(state, _render_features(X, desc, R, t, rng))
+        assert len(state.keyframes) >= 2
+        assert state.num_landmarks > 0
+        Rs, ts = finalize(state).poses()
+        assert np.isfinite(Rs).all() and np.isfinite(ts).all()
