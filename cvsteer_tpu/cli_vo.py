@@ -130,7 +130,11 @@ def _vo_config(cfg):
     from cvsteer_tpu.slam.vo import VOConfig
 
     return VOConfig(
-        intrinsics=Intrinsics(cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy),
+        intrinsics=Intrinsics(
+            cfg.camera.fx, cfg.camera.fy, cfg.camera.cx, cfg.camera.cy,
+            dist=(cfg.camera.k1, cfg.camera.k2, cfg.camera.p1,
+                  cfg.camera.p2, cfg.camera.k3),
+        ),
         frontend=FrontendConfig(
             levels=cfg.frontend.levels,
             keypoints_per_level=cfg.frontend.keypoints_per_level,

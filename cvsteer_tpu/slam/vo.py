@@ -136,12 +136,14 @@ def _refine_pose_jit(X, uv, sel, R0, t0, *, iterations, huber_delta, lam0=1e-4):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ratio", "iterations", "huber_delta", "min_track", "dual_init"),
+    static_argnames=(
+        "ratio", "iterations", "huber_delta", "min_track", "dual_init", "dist"
+    ),
 )
 def _track_fused_jit(
     desc_a, valid_a, X_slots, sel_slots, yx_b, desc_b, valid_b,
     R0, t0, R1, t1, K4,
-    *, ratio, iterations, huber_delta, min_track, dual_init,
+    *, ratio, iterations, huber_delta, min_track, dual_init, dist,
 ):
     """The whole steady-state tracking step in ONE dispatch / ONE fetch.
 
@@ -163,6 +165,10 @@ def _track_fused_jit(
     uv_all = jnp.stack(
         [(yx_b[:, 1] - K4[2]) / K4[0], (yx_b[:, 0] - K4[3]) / K4[1]], -1
     )
+    if any(float(d) != 0.0 for d in dist):  # static branch
+        from cvsteer_tpu.geometry.camera import undistort_normalized
+
+        uv_all = undistort_normalized(uv_all, dist)
     uv = jnp.where(use[:, None], uv_all[jnp.maximum(idx, 0)], 0.0)
     Ra, ta, ia = refine_pose(
         X_slots, uv, use, R0, t0,
@@ -207,13 +213,18 @@ def _match(state: VOState, fa: Features, fb: Features):
 
 
 def _norm_pts(state: VOState, feats: Features) -> np.ndarray:
-    """Normalized pixels, computed host-side (tiny array; avoids a device
-    round-trip per frame)."""
+    """Normalized (undistorted) pixels, computed host-side (tiny array;
+    avoids a device round-trip per frame)."""
+    from cvsteer_tpu.geometry.camera import undistort_normalized_np
+
     K = state.config.intrinsics
     yx = np.asarray(feats.yx, np.float32)
     x = (yx[..., 1] - K.cx) / K.fx
     y = (yx[..., 0] - K.cy) / K.fy
-    return np.stack([x, y], -1)
+    xy = np.stack([x, y], -1)
+    if K.has_distortion:
+        xy = undistort_normalized_np(xy, K.dist)
+    return xy
 
 
 def _kf_host_cache(state: VOState, kf: Keyframe):
@@ -333,6 +344,7 @@ def _track_issue(state: VOState, feats: Features):
         huber_delta=state.config.huber_delta,
         min_track=state.config.track_min_landmarks,
         dual_init=dual,
+        dist=tuple(K.dist),
     )
 
 

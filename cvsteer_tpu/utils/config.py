@@ -38,10 +38,17 @@ class FrontendCfg:
 
 @dataclasses.dataclass
 class CameraConfig:
+    # Brown-Conrady distortion (OpenCV k1, k2, p1, p2, k3 ordering);
+    # all-zero = pure pinhole
     fx: float = 500.0
     fy: float = 500.0
     cx: float = 320.0
     cy: float = 240.0
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
 
 
 @dataclasses.dataclass
