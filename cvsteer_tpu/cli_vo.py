@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="cvsteer-vo", description=__doc__)
     ap.add_argument("--input", required=True, help="sequence dir (TUM/KITTI/images)")
     ap.add_argument("--config", default="", help="EngineConfig JSON")
+    ap.add_argument(
+        "--camera-preset", default="",
+        help="published calibration: tum_fr1 | tum_fr2 | tum_fr3 | kitti_gray",
+    )
     ap.add_argument("--set", nargs="*", default=[], help="dotted overrides k=v")
     ap.add_argument("--output", default="", help="trajectory output (TUM format)")
     ap.add_argument("--checkpoint-dir", default="")
@@ -44,6 +48,10 @@ def main(argv=None) -> int:
     from cvsteer_tpu.utils.metrics import Metrics, StepTimer
 
     cfg = load_config(args.config) if args.config else EngineConfig()
+    if args.camera_preset:
+        from cvsteer_tpu.utils.config import apply_camera_preset
+
+        cfg = apply_camera_preset(cfg, args.camera_preset)
     if args.set:
         cfg = apply_overrides(cfg, tuple(args.set))
     if args.checkpoint_dir:

@@ -51,6 +51,31 @@ class CameraConfig:
     k3: float = 0.0
 
 
+# Published calibrations for the BASELINE datasets (OpenCV convention),
+# applied via cli_vo --camera-preset. TUM freiburg values are the
+# ROS-default monocular calibrations from the dataset documentation;
+# KITTI odometry grayscale cam0 is rectified (no distortion).
+CAMERA_PRESETS: Dict[str, Dict[str, float]] = {
+    "tum_fr1": dict(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+                    k1=0.2624, k2=-0.9531, p1=-0.0054, p2=0.0026, k3=1.1633),
+    "tum_fr2": dict(fx=520.9, fy=521.0, cx=325.1, cy=249.7,
+                    k1=0.2312, k2=-0.7849, p1=-0.0033, p2=-0.0001, k3=0.9172),
+    "tum_fr3": dict(fx=535.4, fy=539.2, cx=320.1, cy=247.6),
+    "kitti_gray": dict(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157),
+}
+
+
+def apply_camera_preset(cfg: "EngineConfig", name: str) -> "EngineConfig":
+    """Overwrite cfg.camera with a named published calibration."""
+    if name not in CAMERA_PRESETS:
+        raise KeyError(
+            f"unknown camera preset {name!r}; have {sorted(CAMERA_PRESETS)}"
+        )
+    d = to_dict(cfg)
+    d["camera"] = {**to_dict(cfg.camera), **CAMERA_PRESETS[name]}
+    return from_dict(EngineConfig, d)
+
+
 @dataclasses.dataclass
 class SlamConfig:
     match_ratio: float = 0.85

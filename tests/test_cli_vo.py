@@ -308,3 +308,25 @@ def test_cli_vo_serving_mode_checkpoint_resume(tmp_path):
     assert main(common + ["--output", str(out2), "--verbose"]) == 0
     # resumed at the end of the sequence: trajectory reproduced unchanged
     assert (tmp_path / "a.0.txt").read_text() == (tmp_path / "b.0.txt").read_text()
+
+
+def test_camera_presets():
+    """Published calibrations load and --set still overrides on top."""
+    from cvsteer_tpu.utils.config import (
+        CAMERA_PRESETS,
+        EngineConfig,
+        apply_camera_preset,
+        apply_overrides,
+    )
+
+    for name in CAMERA_PRESETS:
+        cfg = apply_camera_preset(EngineConfig(), name)
+        assert cfg.camera.fx > 100.0
+    cfg = apply_camera_preset(EngineConfig(), "tum_fr1")
+    assert cfg.camera.k1 != 0.0  # distortion coefficients present
+    cfg = apply_overrides(cfg, ("camera.fx=999.0",))
+    assert cfg.camera.fx == 999.0 and cfg.camera.k1 != 0.0
+    import pytest
+
+    with pytest.raises(KeyError):
+        apply_camera_preset(EngineConfig(), "nope")
