@@ -145,10 +145,50 @@ def edge_residuals(poses: Poses, graph: PoseGraph) -> jax.Array:
     return jnp.stack(res(_zeros6(), _zeros6()), -1)
 
 
-def cost(poses: Poses, graph: PoseGraph) -> jax.Array:
+def cost(
+    poses: Poses,
+    graph: PoseGraph,
+    huber_delta: float = 0.0,
+    robust_kernel: str = "huber",
+) -> jax.Array:
+    """Total (optionally robustified) edge cost.
+
+    ``huber_delta`` > 0 bounds each edge's influence; the kernel is the
+    solver-level defense against residual outliers (false closures) that
+    complements loopclosure's post-hoc consistency rejection.
+    ``robust_kernel``: 'huber' (convex: quadratic inside the width, linear
+    outside — bounded but never zero influence) or 'tukey' (redescending
+    biweight with cutoff c = 3*delta: gross outliers get exactly ZERO
+    influence, the standard cure for confident-but-wrong closure edges a
+    convex kernel still partially satisfies)."""
     res = _residual_fn(poses, graph)
     r = res(_zeros6(), _zeros6())
-    return 0.5 * jnp.sum(graph.weight * sum(x * x for x in r))
+    sq = sum(x * x for x in r)
+    if huber_delta > 0:
+        rn = jnp.sqrt(sq + 1e-20)
+        if robust_kernel == "tukey":
+            c = jnp.float32(3.0 * huber_delta)
+            u = jnp.clip(1.0 - (rn / c) ** 2, 0.0, 1.0)
+            rho = (c * c / 6.0) * (1.0 - u ** 3)
+        else:
+            d = jnp.float32(huber_delta)
+            rho = jnp.where(rn <= d, 0.5 * sq, d * (rn - 0.5 * d))
+        return jnp.sum(graph.weight * rho)
+    return 0.5 * jnp.sum(graph.weight * sq)
+
+
+def _robust_weight(r, weight, huber_delta: float, robust_kernel: str = "huber"):
+    """IRLS edge weights for the configured kernel (static no-op branch
+    when huber_delta == 0). huber: min(1, delta/||r||); tukey:
+    (1 - (||r||/c)^2)^2 inside the cutoff c = 3*delta, exactly 0 outside."""
+    if huber_delta <= 0:
+        return weight
+    rn = jnp.sqrt(sum(x * x for x in r) + 1e-20)
+    if robust_kernel == "tukey":
+        c = jnp.float32(3.0 * huber_delta)
+        u = jnp.clip(1.0 - (rn / c) ** 2, 0.0, 1.0)
+        return weight * u * u
+    return weight * jnp.minimum(1.0, jnp.float32(huber_delta) / rn)
 
 
 def _apply(poses: Poses, dx: jax.Array, fixed: jax.Array) -> Poses:
@@ -168,7 +208,13 @@ def _num_poses(graph: PoseGraph) -> int:
     return graph.fixed.shape[0]
 
 
-def _solve_dense_lanes(poses: Poses, graph: PoseGraph, lam: jax.Array) -> jax.Array:
+def _solve_dense_lanes(
+    poses: Poses,
+    graph: PoseGraph,
+    lam: jax.Array,
+    huber_delta: float = 0.0,
+    robust_kernel: str = "huber",
+) -> jax.Array:
     """Damped GN update dx [P, 6] by dense Cholesky.
 
     The full normal matrix is assembled as H = G^T diag(w) G with ONE MXU
@@ -180,7 +226,7 @@ def _solve_dense_lanes(poses: Poses, graph: PoseGraph, lam: jax.Array) -> jax.Ar
     P = _num_poses(graph)
     E = graph.i.shape[0]
     Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
-    sw = jnp.sqrt(graph.weight)
+    sw = jnp.sqrt(_robust_weight(r, graph.weight, huber_delta, robust_kernel))
     Si = ll.onehot(graph.i, P)  # [E, P]
     Sj = ll.onehot(graph.j, P)
 
@@ -217,6 +263,8 @@ def _gn_step_matfree(
     lam: jax.Array,
     cg_iterations: int,
     axis_name: Optional[str],
+    huber_delta: float = 0.0,
+    robust_kernel: str = "huber",
 ) -> jax.Array:
     """Damped GN update dx [P, 6] via matrix-free Jacobi-preconditioned CG.
 
@@ -230,7 +278,7 @@ def _gn_step_matfree(
     P = _num_poses(graph)
     E = graph.i.shape[0]
     Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
-    w = graph.weight
+    w = _robust_weight(r, graph.weight, huber_delta, robust_kernel)
     freeP = (~graph.fixed).astype(jnp.float32)  # [P]
     idx2 = jnp.concatenate([graph.i, graph.j])  # [2E]
 
@@ -372,7 +420,10 @@ def _gn_step_matfree(
 
 @partial(
     jax.jit,
-    static_argnames=("iterations", "lam0", "solver", "cg_iterations", "axis_name"),
+    static_argnames=(
+        "iterations", "lam0", "solver", "cg_iterations", "axis_name",
+        "huber_delta", "robust_kernel",
+    ),
 )
 def optimize_pose_graph(
     poses: Poses,
@@ -383,6 +434,8 @@ def optimize_pose_graph(
     solver: str = "dense",
     cg_iterations: int = 50,
     axis_name: Optional[str] = None,
+    huber_delta: float = 0.0,
+    robust_kernel: str = "huber",
 ) -> Tuple[Poses, PGOStats]:
     """LM pose-graph optimization, fixed iteration count (jit-compatible).
 
@@ -396,7 +449,7 @@ def optimize_pose_graph(
     edges are sharded over ``axis_name`` (see
     cvsteer_tpu.parallel.posegraph_sharded) and preferred for large P.
     """
-    c0 = cost(poses, graph)
+    c0 = cost(poses, graph, huber_delta, robust_kernel)
     if axis_name is not None:
         c0 = lax.psum(c0, axis_name)
         solver = "pcg"
@@ -404,11 +457,14 @@ def optimize_pose_graph(
     def body(_, carry):
         ps, cur, lam = carry
         if solver == "pcg":
-            dx = _gn_step_matfree(ps, graph, lam, cg_iterations, axis_name)
+            dx = _gn_step_matfree(
+                ps, graph, lam, cg_iterations, axis_name, huber_delta,
+                robust_kernel,
+            )
         else:
-            dx = _solve_dense_lanes(ps, graph, lam)
+            dx = _solve_dense_lanes(ps, graph, lam, huber_delta, robust_kernel)
         cand = _apply(ps, dx, graph.fixed)
-        cand_cost = cost(cand, graph)
+        cand_cost = cost(cand, graph, huber_delta, robust_kernel)
         if axis_name is not None:
             cand_cost = lax.psum(cand_cost, axis_name)
         accept = cand_cost < cur

@@ -140,10 +140,27 @@ def edge_residuals(poses: Sim3, graph: Sim3Graph) -> jax.Array:
     return jnp.stack(res(_zeros7(), _zeros7()), -1)
 
 
-def cost(poses: Sim3, graph: Sim3Graph) -> jax.Array:
+def cost(
+    poses: Sim3,
+    graph: Sim3Graph,
+    huber_delta: float = 0.0,
+    robust_kernel: str = "huber",
+) -> jax.Array:
+    """Total (optionally robustified) edge cost (see posegraph.cost)."""
     res = _residual_fn(poses, graph)
     r = res(_zeros7(), _zeros7())
-    return 0.5 * jnp.sum(graph.weight * sum(x * x for x in r))
+    sq = sum(x * x for x in r)
+    if huber_delta > 0:
+        rn = jnp.sqrt(sq + 1e-20)
+        if robust_kernel == "tukey":
+            c = jnp.float32(3.0 * huber_delta)
+            u = jnp.clip(1.0 - (rn / c) ** 2, 0.0, 1.0)
+            rho = (c * c / 6.0) * (1.0 - u ** 3)
+        else:
+            d = jnp.float32(huber_delta)
+            rho = jnp.where(rn <= d, 0.5 * sq, d * (rn - 0.5 * d))
+        return jnp.sum(graph.weight * rho)
+    return 0.5 * jnp.sum(graph.weight * sq)
 
 
 class Sim3Stats(NamedTuple):
@@ -153,12 +170,18 @@ class Sim3Stats(NamedTuple):
 
 
 def _solve_dense_lanes(
-    poses: Sim3, graph: Sim3Graph, lam: jax.Array
+    poses: Sim3,
+    graph: Sim3Graph,
+    lam: jax.Array,
+    huber_delta: float = 0.0,
+    robust_kernel: str = "huber",
 ) -> jax.Array:
     """Damped GN update dx [P, 7] (see posegraph._solve_dense_lanes)."""
+    from cvsteer_tpu.slam.posegraph import _robust_weight
+
     P = graph.fixed.shape[0]
     Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
-    sw = jnp.sqrt(graph.weight)
+    sw = jnp.sqrt(_robust_weight(r, graph.weight, huber_delta, robust_kernel))
     Si = ll.onehot(graph.i, P)
     Sj = ll.onehot(graph.j, P)
 
@@ -188,25 +211,32 @@ def _solve_dense_lanes(
     return dx.reshape(7, P).T  # (c, p) -> [P, 7]
 
 
-@partial(jax.jit, static_argnames=("iterations", "lam0"))
+@partial(
+    jax.jit,
+    static_argnames=("iterations", "lam0", "huber_delta", "robust_kernel"),
+)
 def optimize_pose_graph_sim3(
     poses: Sim3,
     graph: Sim3Graph,
     *,
     iterations: int = 20,
     lam0: float = 1e-6,
+    huber_delta: float = 0.0,
+    robust_kernel: str = "huber",
 ) -> Tuple[Sim3, Sim3Stats]:
     """LM optimization of the 7-dof pose graph (dense solve, small P).
 
     Jitted at definition — see posegraph.optimize_pose_graph."""
-    c0 = cost(poses, graph)
+    c0 = cost(poses, graph, huber_delta, robust_kernel)
     free = (~graph.fixed).astype(jnp.float32)
 
     def body(_, carry):
         ps, cur, lam = carry
-        dx = _solve_dense_lanes(ps, graph, lam) * free[:, None]
+        dx = _solve_dense_lanes(
+            ps, graph, lam, huber_delta, robust_kernel
+        ) * free[:, None]
         cand = sim3.compose(sim3.exp(dx), ps)
-        cand_cost = cost(cand, graph)
+        cand_cost = cost(cand, graph, huber_delta, robust_kernel)
         accept = cand_cost < cur
         ps = jax.tree.map(lambda a, b2: jnp.where(accept, a, b2), cand, ps)
         cur = jnp.where(accept, cand_cost, cur)

@@ -266,3 +266,52 @@ def test_pcg_factorized_accumulation_matches_onehot(monkeypatch):
     ang = np.asarray(se3.rotation_geodesic(out.R, ref.R))
     assert ang.max() < 1e-3
     np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), atol=1e-3)
+
+
+def test_robust_solver_resists_false_closure():
+    """A wrong closure edge warps the plain least-squares solution. A
+    convex Huber only caps its influence (the warped solution can stay
+    cheaper when the bad edge is heavily weighted); the redescending
+    Tukey kernel zeroes gross outliers and must stay near ground truth."""
+    P = 14
+    gt = _circle_trajectory(P)
+    edges = [(k, k + 1) for k in range(P - 1)] + [(0, P // 2)]
+    graph = _graph_from_gt(gt, edges, meas_noise=0.005, seed=11)
+    # corrupt the closure: point it at a pose 2m off
+    t_bad = np.asarray(graph.t_z).copy()
+    t_bad[-1] += np.array([2.0, -1.5, 0.7], np.float32)
+    graph = graph._replace(
+        t_z=jnp.asarray(t_bad),
+        weight=jnp.concatenate([jnp.ones(P - 1), jnp.asarray([5.0])]),
+    )
+    init = _perturb(gt, 0.03)
+
+    plain, _ = optimize_pose_graph(init, graph, iterations=20)
+    robust, _ = optimize_pose_graph(
+        init, graph, iterations=20, huber_delta=0.1, robust_kernel="tukey"
+    )
+
+    err_plain = float(jnp.abs(plain.t - gt.t).max())
+    err_robust = float(jnp.abs(robust.t - gt.t).max())
+    assert err_robust < 0.2 * err_plain, f"{err_plain:.3f} -> {err_robust:.3f}"
+    assert err_robust < 0.15
+    # the false edge ends with ~zero influence: its residual stays large
+    r = np.linalg.norm(np.asarray(edge_residuals(robust, graph)), axis=1)
+    assert r[-1] > 1.0 and r[:-1].max() < 0.1
+
+
+def test_huber_pcg_matches_dense():
+    P = 12
+    gt = _circle_trajectory(P)
+    edges = [(k, k + 1) for k in range(P - 1)] + [(P - 1, 0)]
+    graph = _graph_from_gt(gt, edges, meas_noise=0.01, seed=12)
+    init = _perturb(gt, 0.04)
+    dense, sd = optimize_pose_graph(
+        init, graph, iterations=15, solver="dense", huber_delta=0.05
+    )
+    pcg, sp = optimize_pose_graph(
+        init, graph, iterations=15, solver="pcg", cg_iterations=80,
+        huber_delta=0.05,
+    )
+    assert float(sp.cost) < 1.05 * float(sd.cost) + 1e-10
+    np.testing.assert_allclose(np.asarray(pcg.t), np.asarray(dense.t), atol=2e-3)
