@@ -304,10 +304,16 @@ def close_loops(
     closure_weight: float = 10.0,
     max_closure_residual: float = 0.1,
     dense_solver_max_poses: int = 64,
+    huber_delta: float = 0.0,
+    robust_kernel: str = "tukey",
 ) -> int:
     """Detect closures, optimize the keyframe pose graph, write poses back.
 
     Returns the number of accepted closures (0 = nothing changed).
+
+    ``huber_delta`` > 0 additionally arms the solver-level robust kernel
+    (default 'tukey': gross outlier edges get zero influence) underneath
+    the rejection loop below.
 
     False-positive protection: after a trial optimization, a closure is
     inconsistent if either its own residual stays above
@@ -347,7 +353,8 @@ def close_loops(
         w[n_odo : n_odo + n_clo][~active] = 0.0
         graph = graph0._replace(weight=jnp.asarray(w))
         opt, _ = optimize_pose_graph(
-            poses, graph, iterations=iterations, solver=solver
+            poses, graph, iterations=iterations, solver=solver,
+            huber_delta=huber_delta, robust_kernel=robust_kernel,
         )
         res = np.linalg.norm(np.asarray(edge_residuals(opt, graph)), axis=-1)
         odo_res, clo_res = res[:n_odo], res[n_odo : n_odo + n_clo]
@@ -480,7 +487,10 @@ def close_loops_sim3(
         w = w0.copy()
         w[n_odo : n_odo + n_clo][~active] = 0.0
         graph = graph0._replace(weight=jnp.asarray(w))
-        opt, stats = optimize_pose_graph_sim3(poses, graph, iterations=iterations)
+        opt, stats = optimize_pose_graph_sim3(
+            poses, graph, iterations=iterations,
+            huber_delta=huber_delta, robust_kernel=robust_kernel,
+        )
         if not bool(np.isfinite(float(stats.cost))):
             return 0
         res = np.linalg.norm(np.asarray(sim3_edge_residuals(opt, graph)), axis=-1)
