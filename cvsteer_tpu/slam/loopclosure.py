@@ -409,6 +409,8 @@ def close_loops_sim3(
     iterations: int = 20,
     closure_weight: float = 10.0,
     max_closure_residual: float = 0.1,
+    huber_delta: float = 0.0,
+    robust_kernel: str = "tukey",
 ) -> int:
     """Scale-drift-aware loop closure: Sim(3) pose graph over keyframes.
 
