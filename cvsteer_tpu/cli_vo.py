@@ -167,6 +167,7 @@ def _vo_config(cfg):
         loop_closure_sim3=cfg.slam.loop_closure_sim3,
         loop_min_gap=cfg.slam.loop_min_gap,
         loop_min_inliers=cfg.slam.loop_min_inliers,
+        loop_robust_delta=cfg.slam.loop_robust_delta,
         motion_model=cfg.slam.motion_model,
     )
 

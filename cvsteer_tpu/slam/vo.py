@@ -50,6 +50,9 @@ class VOConfig(NamedTuple):
     loop_closure_sim3: bool = False
     loop_min_gap: int = 6  # keyframes of separation before closures apply
     loop_min_inliers: int = 25
+    # solver-level robust kernel width for the closure pose graph (0 = off;
+    # loopclosure defaults the kernel to redescending tukey)
+    loop_robust_delta: float = 0.0
     # constant-velocity PnP initialization: helps under fast motion, but the
     # extrapolation amplifies tracking noise on easy sequences — opt-in
     motion_model: bool = False
@@ -795,6 +798,7 @@ def _keyframe_epilogue(state: VOState) -> None:
             state,
             min_gap=state.config.loop_min_gap,
             min_inliers=state.config.loop_min_inliers,
+            huber_delta=state.config.loop_robust_delta,
         )
         state.track_version += 1  # closure may rewrite poses + landmarks
     kf = state.keyframes[-1]

@@ -95,6 +95,7 @@ class SlamConfig:
     loop_closure_sim3: bool = False
     loop_min_gap: int = 6
     loop_min_inliers: int = 25
+    loop_robust_delta: float = 0.0
     motion_model: bool = False
 
 
