@@ -285,6 +285,75 @@ def bench_vo():
     return (N_FRAMES - WARM) / dt, ate
 
 
+def bench_vo_device():
+    """Device-resident VO (slam.vo_device.DeviceVO) frames/s + ATE on the
+    same synthetic stream as bench_vo: the whole frame (track + keyframe
+    decision + fused promotion with windowed BA) is ONE dispatch + ONE
+    small fetch, so single-stream throughput sits at the tunnel's
+    1-RTT-per-frame bound instead of the host loop's 2-3 RTTs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvsteer_tpu.features.frontend import Features
+    from cvsteer_tpu.geometry.camera import Intrinsics
+    from cvsteer_tpu.slam import se3
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+    from cvsteer_tpu.slam.vo import VOConfig
+    from cvsteer_tpu.slam.vo_device import DeviceVO
+
+    K = Intrinsics(500.0, 500.0, 320.0, 240.0)
+    N_CAP, DESC_DIM, N_FRAMES, WARM = 256, 32, 60, 20
+    rng = np.random.default_rng(0)
+    X = rng.uniform([-4, -3, 4], [4, 3, 12], (400, 3)).astype(np.float32)
+    desc0 = rng.normal(size=(400, DESC_DIM)).astype(np.float32)
+    desc0 /= np.linalg.norm(desc0, axis=1, keepdims=True)
+
+    def gt_pose(k):
+        s = k / (N_FRAMES - 1)
+        Rwc = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.25 * s, 0.0])))
+        c = np.array([3.0 * s, 0.5 * np.sin(np.pi * s), 2.0 * s], np.float32)
+        R = Rwc.T.astype(np.float32)
+        return R, (-R @ c).astype(np.float32)
+
+    def render(R, t):
+        p = X @ R.T + t
+        uv = p[:, :2] / p[:, 2:3]
+        pix = np.stack([uv[:, 1] * K.fy + K.cy, uv[:, 0] * K.fx + K.cx], -1)
+        vis = (p[:, 2] > 0.5) & (pix[:, 0] > 5) & (pix[:, 0] < 475) \
+            & (pix[:, 1] > 5) & (pix[:, 1] < 635)
+        ids = np.nonzero(vis)[0][:N_CAP]
+        n = len(ids)
+        yx = np.zeros((N_CAP, 2), np.float32)
+        dsc = np.zeros((N_CAP, DESC_DIM), np.float32)
+        valid = np.zeros(N_CAP, bool)
+        yx[:n] = pix[ids] + rng.normal(0, 0.2, (n, 2))
+        d = desc0[ids] + rng.normal(0, 0.05, (n, DESC_DIM)).astype(np.float32)
+        dsc[:n] = d / np.linalg.norm(d, axis=1, keepdims=True)
+        valid[:n] = True
+        return Features(
+            yx=jnp.asarray(yx), score=jnp.asarray(valid, jnp.float32),
+            theta=jnp.zeros(N_CAP), level=jnp.zeros(N_CAP, jnp.int32),
+            desc=jnp.asarray(dsc), valid=jnp.asarray(valid),
+        )
+
+    gt = [gt_pose(k) for k in range(N_FRAMES)]
+    frames = [render(R, t) for R, t in gt]
+    vo = DeviceVO(VOConfig(intrinsics=K, kf_max_gap=5, window=8,
+                           track_min_landmarks=30))
+    for k in range(WARM):
+        vo.process_frame(frames[k])
+    t0 = time.perf_counter()
+    for k in range(WARM, N_FRAMES):
+        vo.process_frame(frames[k])
+    dt = time.perf_counter() - t0
+    state = vo.finalize()
+    Rs, ts = state.poses()
+    ate = float(ate_rmse(Rs, ts, np.stack([g[0] for g in gt]),
+                         np.stack([g[1] for g in gt]), align_scale=True))
+    return (N_FRAMES - WARM) / dt, ate
+
+
 def bench_vo_server(n_streams: int = 8):
     """Aggregate VO frames/s serving ``n_streams`` independent synthetic
     streams (slam.vo_server.VOServer): every step issues all streams'
@@ -471,6 +540,15 @@ def main() -> int:
             print(f"vo bench failed: {e}", file=sys.stderr)
     else:
         print("vo bench skipped (soft deadline)", file=sys.stderr)
+    if time.perf_counter() - _T_START < 340.0:
+        try:
+            # device-resident VO: the whole frame (track + fused keyframe
+            # promotion) in ONE dispatch + ONE fetch -> 1 RTT/frame
+            dv_fps, dv_ate = bench_vo_device()
+            extra["vo_device_frames_per_s_synthetic"] = round(dv_fps, 2)
+            extra["vo_device_ate_rmse_m_synthetic"] = round(dv_ate, 4)
+        except Exception as e:
+            print(f"vo device bench failed: {e}", file=sys.stderr)
     if time.perf_counter() - _T_START < 360.0:
         try:
             # server-style batched VO: the per-step fetch RTT amortizes

@@ -1,0 +1,497 @@
+"""Device-resident monocular VO: ONE dispatch + ONE small fetch per frame.
+
+The host-driven VO loop (slam.vo) keeps the map (landmarks + per-keyframe
+observation tables) in host numpy and pays 2-3 blocking tunnel round-trips
+per frame: one for the fused tracking step and one more per keyframe for
+the fused triangulation+BA dispatch. On a remote/tunneled TPU each
+blocking fetch costs a full RTT (~33 ms measured), so the host design is
+RTT-bound at ~12 f/s single-stream regardless of device speed.
+
+This module is the redesign docs/DESIGN.md files under "device-resident
+landmark store": the ENTIRE mutable VO state becomes a device pytree
+(:class:`DeviceMap`) carried frame to frame —
+
+- a fixed-capacity landmark store ``X [Lmax, 3]`` + ``lm_valid [Lmax]``
+  with masked ring reuse of culled slots (prefix-sum free-slot
+  compaction — the same masked-compaction idiom the RANSAC/BA grids use);
+- a keyframe ring ``[W, ...]`` holding each window keyframe's normalized
+  pixels, feature validity, observation table (feature -> landmark slot)
+  and pose, plus the latest keyframe's descriptors for matching;
+
+and the per-frame step (:func:`_device_step`) fuses EVERYTHING into one
+dispatch: match + PnP tracking, the keyframe decision (``lax.cond``), and
+— on promotion — landmark-id inheritance, DLT triangulation of fresh
+matches, cheirality/bounds/capacity gating, slot allocation, windowed
+Schur BA over the ring's landmark union, and reprojection-error culling.
+The fetch returns only poses, counters and the small mirror tables
+(~20 KB), so steady-state AND keyframe frames cost exactly 1 RTT.
+
+Rare events stay host-side at event cadence: two-view bootstrap,
+relocalization after tracking loss, and loop closure — each syncs the
+device state down, runs the battle-tested host logic (slam.vo /
+slam.loopclosure), and uploads the corrected state back.
+
+Reference analog: the per-image pipeline example/steer.cpp:69-124 which
+SURVEY.md's north star turns into BASELINE config 4; the host twin is
+regression-tested against it in tests/test_vo.py, and this engine is
+tested against the host twin in tests/test_vo_device.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cvsteer_tpu.features.frontend import Features
+from cvsteer_tpu.features.matching import match_descriptors
+from cvsteer_tpu.geometry.camera import Intrinsics, undistort_normalized
+from cvsteer_tpu.geometry.pose import triangulate
+from cvsteer_tpu.slam import vo as hostvo
+from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust, refine_pose
+from cvsteer_tpu.slam.ba import residuals as ba_residuals
+from cvsteer_tpu.slam.vo import Keyframe, VOConfig, VOState, init_vo
+
+
+class DeviceMap(NamedTuple):
+    """The fully device-resident VO state, carried frame to frame.
+
+    X        [Lmax, 3]   landmark positions (slot-indexed; slots == the
+                         host mirror's landmark ids).
+    lm_valid [Lmax]      slot occupancy (culled slots are reused).
+    kf_uv    [W, N, 2]   window keyframes' normalized (undistorted) pixels.
+    kf_fvalid[W, N]      feature validity per window keyframe.
+    kf_obs   [W, N]      feature -> landmark slot (-1 = none), int32.
+    kf_R     [W, 3, 3]   window keyframe rotations (world->camera).
+    kf_t     [W, 3]      window keyframe translations.
+    kf_live  [W]         ring slot holds a real keyframe (reals are
+                         contiguous at the END of the ring; newest = W-1).
+    kf_desc  [N, D]      latest keyframe's descriptors (matching target).
+    """
+
+    X: jax.Array
+    lm_valid: jax.Array
+    kf_uv: jax.Array
+    kf_fvalid: jax.Array
+    kf_obs: jax.Array
+    kf_R: jax.Array
+    kf_t: jax.Array
+    kf_live: jax.Array
+    kf_desc: jax.Array
+
+
+class StepOut(NamedTuple):
+    """Per-frame fetch: everything the host mirror needs, nothing more."""
+
+    R: jax.Array  # [3, 3] tracked pose of this frame
+    t: jax.Array  # [3]
+    n_tracked: jax.Array  # PnP inlier count
+    n_valid: jax.Array  # feature count of the frame
+    promoted: jax.Array  # bool: a keyframe was created on-device
+    lost: jax.Array  # bool: tracking lost -> host relocalizes
+    kf_R: jax.Array  # [W, 3, 3] (BA-refined on promotion)
+    kf_t: jax.Array  # [W, 3]
+    kf_obs: jax.Array  # [W, N] observation-table mirror
+    lm_valid: jax.Array  # [Lmax] occupancy mirror
+
+
+def _normalize(yx, K4, dist):
+    uv = jnp.stack([(yx[:, 1] - K4[2]) / K4[0], (yx[:, 0] - K4[3]) / K4[1]], -1)
+    if any(float(d) != 0.0 for d in dist):  # static branch
+        uv = undistort_normalized(uv, dist)
+    return uv
+
+
+def _free_slots(lm_valid):
+    """(free_slots [Lmax], n_free): r-th entry = slot id of the r-th free
+    slot. Prefix-sum compaction — no sort, no dynamic shapes."""
+    Lmax = lm_valid.shape[0]
+    free = ~lm_valid
+    rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # [Lmax]
+    slots = jnp.full((Lmax,), Lmax, jnp.int32)
+    slots = slots.at[jnp.where(free, rank, Lmax)].set(
+        jnp.arange(Lmax, dtype=jnp.int32), mode="drop"
+    )
+    return slots, jnp.sum(free.astype(jnp.int32))
+
+
+def _window_ba(m: DeviceMap, *, iterations, huber_delta):
+    """Windowed Schur BA over the ring's landmark-slot union.
+
+    Columns are the SORTED flattened observation tables ([W*N] entries,
+    invalid -> Lmax sentinel); duplicate slots keep only their first
+    occurrence (searchsorted maps every observation there), so the grid is
+    compile-once static at [W, W*N] with dead columns masked. Returns the
+    updated map (+ the union bookkeeping for culling)."""
+    W, N = m.kf_obs.shape
+    Lmax = m.X.shape[0]
+    WN = W * N
+
+    obs_ok = m.kf_live[:, None] & m.kf_fvalid & (m.kf_obs >= 0)
+    flat = jnp.where(obs_ok, m.kf_obs, Lmax).reshape(-1)  # [W*N]
+    sorted_slots = jnp.sort(flat)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_slots[1:] != sorted_slots[:-1]]
+    )
+    col_ok = first & (sorted_slots < Lmax)
+
+    col_of = jnp.searchsorted(sorted_slots, m.kf_obs).astype(jnp.int32)
+    cam = jnp.arange(W)[:, None]
+    tgt = jnp.where(obs_ok, col_of, WN)  # WN = dump column
+    uv_grid = jnp.zeros((W, WN + 1, 2), m.kf_uv.dtype)
+    uv_grid = uv_grid.at[cam, tgt].set(m.kf_uv)[:, :WN]
+    mask = jnp.zeros((W, WN + 1), bool).at[cam, tgt].set(obs_ok)[:, :WN]
+    mask = mask & col_ok[None, :]
+
+    X_cols = jnp.where(
+        col_ok[:, None], m.X[jnp.minimum(sorted_slots, Lmax - 1)], 0.0
+    )
+
+    # Gauge: padding ring slots held fixed; the two oldest REAL keyframes
+    # pin rotation/translation and monocular scale (matches slam.vo).
+    n_live = jnp.sum(m.kf_live.astype(jnp.int32))
+    first_real = W - n_live
+    w_idx = jnp.arange(W)
+    fixed = (~m.kf_live) | (w_idx < first_real + 2)
+
+    problem = BAProblem(
+        uv=uv_grid, mask=mask, fixed_cameras=fixed, huber_delta=huber_delta
+    )
+    final, _ = bundle_adjust(
+        BAState(R=m.kf_R, t=m.kf_t, X=X_cols), problem, iterations=iterations
+    )
+
+    # Under-constrained window (< 8 landmark columns): keep the raw state —
+    # the host twin declines such BA solves the same way.
+    ba_ok = jnp.sum(col_ok.astype(jnp.int32)) >= 8
+    kf_R = jnp.where(ba_ok, final.R, m.kf_R)
+    kf_t = jnp.where(ba_ok, final.t, m.kf_t)
+    X_pad = jnp.concatenate([m.X, jnp.zeros((1, 3), m.X.dtype)])
+    wb = ba_ok & col_ok
+    X = X_pad.at[jnp.where(wb, sorted_slots, Lmax)].set(
+        jnp.where(wb[:, None], final.X, 0.0)
+    )[:Lmax]
+
+    # Cull columns the optimizer could not reconcile: mask-weighted mean
+    # reprojection error beyond 3x the Huber width (matches slam.vo).
+    r, _w = ba_residuals(final, problem)
+    rn = jnp.linalg.norm(r, axis=-1)
+    mf = mask.astype(rn.dtype)
+    nobs = mf.sum(0)
+    mean_err = jnp.where(nobs > 0, (rn * mf).sum(0) / jnp.maximum(nobs, 1.0), 0.0)
+    bar = 3.0 * max(float(huber_delta), 1e-4)
+    bad = ba_ok & col_ok & (nobs > 0) & (mean_err > bar)
+    culled = jnp.zeros((Lmax + 1,), bool)
+    culled = culled.at[jnp.where(bad, sorted_slots, Lmax)].set(bad)[:Lmax]
+
+    lm_valid = m.lm_valid & ~culled
+    obs_culled = (m.kf_obs >= 0) & culled[jnp.maximum(m.kf_obs, 0)]
+    kf_obs = jnp.where(obs_culled, -1, m.kf_obs)
+    return m._replace(
+        X=X, lm_valid=lm_valid, kf_obs=kf_obs, kf_R=kf_R, kf_t=kf_t
+    )
+
+
+def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, R, t,
+             *, iterations, huber_delta):
+    """On-device keyframe promotion: inheritance, triangulation + gating +
+    slot allocation, ring shift, windowed BA, culling."""
+    N = uv_new.shape[0]
+    Lmax = m.X.shape[0]
+    obs_last = m.kf_obs[-1]
+    matched = idx >= 0
+    idx0 = jnp.maximum(idx, 0)
+
+    # --- landmark-id inheritance onto the new frame's feature slots.
+    inherit = matched & (obs_last >= 0)
+    obs_new = jnp.full((N + 1,), -1, jnp.int32)
+    obs_new = obs_new.at[jnp.where(inherit, idx0, N)].set(
+        jnp.where(inherit, obs_last, -1)
+    )[:N]
+
+    # --- fresh candidates: matched keyframe features with no landmark.
+    fresh = matched & (obs_last < 0) & m.kf_fvalid[-1] & fvalid[idx0]
+    enough = jnp.sum(fresh.astype(jnp.int32)) >= 8  # host skip_tri rule
+    P1 = jnp.concatenate([m.kf_R[-1], m.kf_t[-1][:, None]], 1)
+    P2 = jnp.concatenate([R, t[:, None]], 1)
+    x_prev = m.kf_uv[-1]
+    x_new = uv_new[idx0]
+    Xc = triangulate(P1, P2, x_prev, x_new)  # [N, 3]
+    z1 = Xc @ P1[2, :3] + P1[2, 3]
+    z2 = Xc @ P2[2, :3] + P2[2, 3]
+    ok = fresh & enough & (z1 > 1e-3) & (z2 > 1e-3) & (jnp.abs(Xc) < 1e4).all(1)
+
+    # --- capacity + slot allocation: ring reuse of culled/free slots.
+    free, n_free = _free_slots(m.lm_valid)
+    ok = ok & (jnp.cumsum(ok.astype(jnp.int32)) <= n_free)
+    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    slot = jnp.where(ok, free[jnp.clip(rank, 0, Lmax - 1)], -1)
+
+    X_pad = jnp.concatenate([m.X, jnp.zeros((1, 3), m.X.dtype)])
+    X = X_pad.at[jnp.where(ok, slot, Lmax)].set(
+        jnp.where(ok[:, None], Xc, 0.0)
+    )[:Lmax]
+    lm_valid = jnp.concatenate([m.lm_valid, jnp.zeros((1,), bool)])
+    lm_valid = lm_valid.at[jnp.where(ok, slot, Lmax)].set(ok)[:Lmax]
+
+    # the previous keyframe observes the new landmarks too
+    obs_prev = jnp.where(ok, slot, obs_last)
+    # ... and the new frame's feature slots pick them up
+    obs_new = obs_new.at[jnp.where(ok, idx0, N)].set(
+        jnp.where(ok, slot, -1), mode="drop"
+    )
+
+    # --- shift the ring, insert the new keyframe at W-1.
+    def shift(a, new_row):
+        return jnp.roll(a, -1, axis=0).at[-1].set(new_row)
+
+    m = m._replace(
+        X=X,
+        lm_valid=lm_valid,
+        kf_uv=shift(m.kf_uv, uv_new),
+        kf_fvalid=shift(m.kf_fvalid, fvalid),
+        kf_obs=shift(m.kf_obs.at[-1].set(obs_prev), obs_new),
+        kf_R=shift(m.kf_R, R),
+        kf_t=shift(m.kf_t, t),
+        kf_live=shift(m.kf_live, jnp.asarray(True)),
+        kf_desc=desc,
+    )
+    return _window_ba(m, iterations=iterations, huber_delta=huber_delta)
+
+
+def _device_step_body(
+    m: DeviceMap, yx, desc, fvalid, Rp, tp, force_kf,
+    *, K, ratio, track_iters, huber_delta, min_track, dual_init,
+    ba_iterations,
+):
+    """The whole VO frame in one dispatch; see module docstring."""
+    K4 = (float(K.fx), float(K.fy), float(K.cx), float(K.cy))
+    uv_new = _normalize(yx, K4, K.dist)
+
+    # --- tracking: match to the latest keyframe, motion-only PnP.
+    idx = match_descriptors(
+        m.kf_desc, m.kf_fvalid[-1], desc, fvalid, ratio=ratio
+    ).index
+    obs_last = m.kf_obs[-1]
+    use = (idx >= 0) & (obs_last >= 0)
+    X_slots = jnp.where(
+        (obs_last >= 0)[:, None], m.X[jnp.maximum(obs_last, 0)], 0.0
+    )
+    uv = jnp.where(use[:, None], uv_new[jnp.maximum(idx, 0)], 0.0)
+    R, t, inl = refine_pose(
+        X_slots, uv, use, Rp, tp,
+        iterations=track_iters, huber_delta=huber_delta, lam0=1e-4,
+    )
+    n = jnp.sum(inl)
+    if dual_init:  # static: also try from the keyframe pose, pick on-device
+        Rb, tb, ib = refine_pose(
+            X_slots, uv, use, m.kf_R[-1], m.kf_t[-1],
+            iterations=track_iters, huber_delta=huber_delta, lam0=1e-4,
+        )
+        nb = jnp.sum(ib)
+        pick_b = (n < min_track) & (nb > n)
+        R = jnp.where(pick_b, Rb, R)
+        t = jnp.where(pick_b, tb, t)
+        n = jnp.where(pick_b, nb, n)
+
+    n_valid = jnp.sum(fvalid.astype(jnp.int32))
+    lost = n < 8
+    promote = (~lost) & ((n < min_track) | force_kf) & (n_valid >= 16)
+
+    m2 = lax.cond(
+        promote,
+        lambda mm: _promote(
+            mm, uv_new, desc, fvalid, idx, R, t,
+            iterations=ba_iterations, huber_delta=huber_delta,
+        ),
+        lambda mm: mm,
+        m,
+    )
+    out = StepOut(
+        R=R, t=t, n_tracked=n, n_valid=n_valid, promoted=promote, lost=lost,
+        kf_R=m2.kf_R, kf_t=m2.kf_t, kf_obs=m2.kf_obs, lm_valid=m2.lm_valid,
+    )
+    return m2, out
+
+
+# NOTE: no buffer donation — DeviceMap.kf_desc aliases the promoted frame's
+# ``features.desc``, which the host keyframe mirror keeps referencing for
+# relocalization signatures; donating it would invalidate that array.
+_device_step = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "ratio", "track_iters", "huber_delta", "min_track",
+        "dual_init", "ba_iterations",
+    ),
+)(_device_step_body)
+
+
+class DeviceVO:
+    """Host wrapper around the device-resident VO step.
+
+    Keeps a full host :class:`~cvsteer_tpu.slam.vo.VOState` MIRROR in sync
+    from each frame's small fetch (poses, observation tables, occupancy),
+    so relocalization, loop closure and evaluation reuse the host engine
+    unchanged; landmark POSITIONS are synced only at event cadence
+    (:meth:`sync_host`). Two-view bootstrap runs entirely host-side; once
+    initialized the state uploads and every subsequent frame is one
+    dispatch + one fetch.
+    """
+
+    def __init__(self, config: VOConfig = VOConfig()):
+        self.state: VOState = init_vo(config)
+        self.map: Optional[DeviceMap] = None
+        self._host_dirty = False  # device holds newer landmark positions
+
+    @property
+    def initialized(self) -> bool:
+        return self.state.initialized
+
+    # ------------------------------------------------------------------
+    # host <-> device state transfer (event cadence only)
+
+    def _upload(self) -> None:
+        st = self.state
+        cfg = st.config
+        W = cfg.window
+        kf_last = st.keyframes[-1]
+        N = int(kf_last.features.yx.shape[0])
+        live = st.keyframes[-min(len(st.keyframes), W):]
+        uv = np.zeros((W, N, 2), np.float32)
+        fv = np.zeros((W, N), bool)
+        obs = np.full((W, N), -1, np.int32)
+        Rw = np.broadcast_to(np.eye(3, dtype=np.float32), (W, 3, 3)).copy()
+        tw = np.zeros((W, 3), np.float32)
+        lv = np.zeros((W,), bool)
+        for w, kf in zip(range(W - len(live), W), live):
+            x, v = hostvo._kf_host_cache(st, kf)
+            uv[w], fv[w] = x, v
+            obs[w] = kf.landmark_ids.astype(np.int32)
+            Rw[w], tw[w] = kf.R, kf.t
+            lv[w] = True
+        self.map = DeviceMap(
+            X=jnp.asarray(st.landmarks),
+            lm_valid=jnp.asarray(st.landmark_valid),
+            kf_uv=jnp.asarray(uv),
+            kf_fvalid=jnp.asarray(fv),
+            kf_obs=jnp.asarray(obs),
+            kf_R=jnp.asarray(Rw),
+            kf_t=jnp.asarray(tw),
+            kf_live=jnp.asarray(lv),
+            kf_desc=kf_last.features.desc,
+        )
+        self._host_dirty = False
+
+    def sync_host(self) -> VOState:
+        """Pull landmark positions down into the host mirror (event
+        cadence: relocalization, loop closure, evaluation)."""
+        if self.map is not None and self._host_dirty:
+            X, lm_valid = jax.device_get((self.map.X, self.map.lm_valid))
+            self.state.landmarks[:] = X
+            self.state.landmark_valid[:] = lm_valid
+            self.state.num_landmarks = int(lm_valid.sum())
+            self._host_dirty = False
+        return self.state
+
+    def _mirror_window(self, kf_R, kf_t, kf_obs) -> None:
+        st = self.state
+        W = st.config.window
+        live = st.keyframes[-min(len(st.keyframes), W):]
+        for w, kf in zip(range(W - len(live), W), live):
+            kf.R, kf.t = kf_R[w].copy(), kf_t[w].copy()
+            kf.landmark_ids = kf_obs[w].astype(np.int64)
+            kf.track_cache = None  # poses/ids moved
+        st.track_version += 1
+
+    # ------------------------------------------------------------------
+
+    def process_frame(self, feats: Features) -> None:
+        st = self.state
+        if self.map is None:
+            hostvo.process_frame(st, feats)
+            if st.initialized:
+                self._upload()
+            return
+
+        cfg = st.config
+        kf = st.keyframes[-1]
+        gap = st.frame_count - kf.index
+        Rp, tp = (
+            hostvo._predict_pose(st) if cfg.motion_model else (kf.R, kf.t)
+        )
+        dual = cfg.motion_model and not (
+            np.array_equal(Rp, kf.R) and np.array_equal(tp, kf.t)
+        )
+        K = cfg.intrinsics
+        self.map, out = _device_step(
+            self.map, feats.yx, feats.desc, feats.valid,
+            jnp.asarray(Rp), jnp.asarray(tp),
+            jnp.asarray(gap >= cfg.kf_max_gap),
+            K=K, ratio=cfg.match_ratio, track_iters=10,
+            huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
+            dual_init=dual, ba_iterations=cfg.ba_iterations,
+        )
+        fetched: StepOut = jax.device_get(out)
+        self._host_dirty = True
+
+        if bool(fetched.lost):
+            self._handle_lost(feats)
+            return
+
+        R, t = np.asarray(fetched.R), np.asarray(fetched.t)
+        if not (np.isfinite(R).all() and np.isfinite(t).all()):
+            self._handle_lost(feats)
+            return
+        st.trajectory.append((st.frame_count, R, t))
+
+        if bool(fetched.promoted):
+            kf_R = np.asarray(fetched.kf_R)
+            kf_t = np.asarray(fetched.kf_t)
+            kf_obs = np.asarray(fetched.kf_obs)
+            st.landmark_valid[:] = np.asarray(fetched.lm_valid)
+            st.num_landmarks = int(st.landmark_valid.sum())
+            st.keyframes.append(
+                Keyframe(
+                    st.frame_count, feats, kf_R[-1].copy(), kf_t[-1].copy(),
+                    kf_obs[-1].astype(np.int64),
+                )
+            )
+            self._mirror_window(kf_R, kf_t, kf_obs)
+            st.trajectory[-1] = (st.frame_count, kf_R[-1].copy(), kf_t[-1].copy())
+            if cfg.loop_closure:
+                self._closure()
+        st.frame_count += 1
+
+    def _handle_lost(self, feats: Features) -> None:
+        """Tracking loss: sync down, run the host relocalize/track path for
+        this frame, upload the (possibly corrected) state back."""
+        st = self.sync_host()
+        res = hostvo._track(st, feats)
+        hostvo._post_track(st, feats, *res)
+        self._upload()
+
+    def _closure(self) -> None:
+        from cvsteer_tpu.slam.loopclosure import close_loops, close_loops_sim3
+
+        st = self.sync_host()
+        cfg = st.config
+        closer = close_loops_sim3 if cfg.loop_closure_sim3 else close_loops
+        closer(
+            st,
+            min_gap=cfg.loop_min_gap,
+            min_inliers=cfg.loop_min_inliers,
+            huber_delta=cfg.loop_robust_delta,
+        )
+        st.track_version += 1
+        # refresh the latest trajectory entry from the corrected keyframe
+        kf = st.keyframes[-1]
+        st.trajectory[-1] = (st.frame_count, kf.R.copy(), kf.t.copy())
+        self._upload()
+
+    def finalize(self) -> VOState:
+        """Sync + propagate final keyframe refinements into the trajectory."""
+        return hostvo.finalize(self.sync_host())

@@ -79,6 +79,9 @@ def vo():
     agg = bench.bench_vo_server(8)
     print(f"vo_server: {agg:.1f} frames/s aggregate over 8 streams "
           f"(2 batched round-trips/step)", flush=True)
+    dv_fps, dv_ate = bench.bench_vo_device()
+    print(f"vo_device: {dv_fps:.1f} frames/s, ate {dv_ate:.4f} m "
+          f"(device-resident map: 1 RTT/frame)", flush=True)
 
 
 def main():

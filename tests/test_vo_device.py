@@ -1,0 +1,186 @@
+"""Device-resident VO engine (slam.vo_device) vs the host twin (slam.vo).
+
+Same synthetic world/stream as tests/test_vo.py. The device engine is not
+bit-identical to the host loop (its window BA optimizes the full ring
+landmark union instead of the host's bucket-capped set, and freed slots
+are ring-reused), but it must match the host twin's accuracy on the same
+stream and hit the same structural invariants: initialization, keyframe
+cadence, landmark registration, cm-level ATE, recovery after blackout,
+and zero recompiles after warmup.
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cvsteer_tpu.features.frontend import Features
+from cvsteer_tpu.slam.evaluate import ate_rmse
+from cvsteer_tpu.slam.vo import VOConfig
+from cvsteer_tpu.slam.vo_device import DeviceVO
+
+from tests.test_vo import (
+    DESC_DIM,
+    K,
+    N_CAP,
+    _gt_pose,
+    _make_world,
+    _render_features,
+)
+
+
+def _run_stream(cfg, n_frames=30, seed=42, blackout=()):
+    X, desc = _make_world()
+    rng = np.random.default_rng(seed)
+    vo = DeviceVO(cfg)
+    gt = []
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        gt.append((R, t))
+        if k in blackout:
+            feats = Features(
+                yx=jnp.zeros((N_CAP, 2)),
+                score=jnp.zeros(N_CAP),
+                theta=jnp.zeros(N_CAP),
+                level=jnp.zeros(N_CAP, jnp.int32),
+                desc=jnp.zeros((N_CAP, DESC_DIM)),
+                valid=jnp.zeros(N_CAP, bool),
+            )
+        else:
+            feats = _render_features(X, desc, R, t, rng)
+        vo.process_frame(feats)
+    state = vo.finalize()
+    return vo, state, gt
+
+
+@pytest.fixture(scope="module")
+def device_vo_run():
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    return _run_stream(cfg)
+
+
+def test_device_vo_initializes_and_tracks(device_vo_run):
+    vo, state, gt = device_vo_run
+    assert state.initialized
+    assert vo.map is not None  # device path actually engaged
+    assert len(state.keyframes) >= 3
+    assert state.num_landmarks > 100
+    assert len(state.trajectory) == 30
+
+
+def test_device_vo_trajectory_accuracy(device_vo_run):
+    _, state, gt = device_vo_run
+    Rs, ts = state.poses()
+    gt_R = np.stack([g[0] for g in gt])
+    gt_t = np.stack([g[1] for g in gt])
+    ate = ate_rmse(Rs, ts, gt_R, gt_t, align_scale=True)
+    # same bar as the host twin (tests/test_vo.py): cm-level on clean data
+    assert ate < 0.05, f"ATE {ate:.4f} m"
+
+
+def test_device_vo_landmarks_synced(device_vo_run):
+    """sync_host must pull coherent positions: every valid landmark finite
+    and (after Sim(3) alignment via the trajectory) inside the padded true
+    volume, as in the host twin's landmark test."""
+    from cvsteer_tpu.slam.evaluate import camera_centers, umeyama
+
+    _, state, gt = device_vo_run
+    X = state.landmarks[state.landmark_valid]
+    assert X.shape[0] > 100
+    assert np.isfinite(X).all()
+    Rs, ts = state.poses()
+    gt_R = np.stack([g[0] for g in gt])
+    gt_t = np.stack([g[1] for g in gt])
+    s, R, t = umeyama(camera_centers(Rs, ts), camera_centers(gt_R, gt_t))
+    X_aligned = s * X @ R.T + t
+    lo, hi = np.array([-5, -4, 3]), np.array([5, 4, 13])
+    frac_inside = ((X_aligned > lo) & (X_aligned < hi)).all(1).mean()
+    assert frac_inside > 0.9, f"only {frac_inside:.2f} of landmarks in volume"
+
+
+def test_device_vo_matches_host_twin(device_vo_run):
+    """The engines differ in window-landmark selection and slot reuse, but
+    on a clean stream their trajectories must agree to sub-cm RMSE."""
+    from cvsteer_tpu.slam.vo import finalize, init_vo, process_frame
+
+    _, dstate, gt = device_vo_run
+    X, desc = _make_world()
+    rng = np.random.default_rng(42)
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    hstate = init_vo(cfg)
+    for k in range(30):
+        R, t = _gt_pose(k, 30)
+        feats = _render_features(X, desc, R, t, rng)
+        hstate = process_frame(hstate, feats)
+    hstate = finalize(hstate)
+    hR, ht = hstate.poses()
+    dR, dt = dstate.poses()
+    assert ate_rmse(dR, dt, hR, ht, align_scale=True) < 0.01
+
+
+def test_device_vo_recovers_after_blackout():
+    """Mid-stream featureless frames drive n_tracked < 8: the engine must
+    fall back to the host relocalization path and keep tracking after."""
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    vo, state, gt = _run_stream(cfg, blackout={15, 16})
+    assert len(state.trajectory) == 30
+    # post-recovery tail must still be accurate (ignore the blackout gap)
+    Rs, ts = state.poses()
+    gt_R = np.stack([g[0] for g in gt])
+    gt_t = np.stack([g[1] for g in gt])
+    tail = slice(20, 30)
+    ate = ate_rmse(Rs[tail], ts[tail], gt_R[tail], gt_t[tail], align_scale=True)
+    assert ate < 0.15, f"post-blackout ATE {ate:.4f} m"
+
+
+def test_device_vo_zero_recompiles_after_warmup():
+    """After the first keyframe promotion compiles both cond branches, the
+    rest of the run must never retrace the device step (the compile-once
+    property the 1-RTT claim rests on)."""
+    X, desc = _make_world()
+    rng = np.random.default_rng(7)
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    vo = DeviceVO(cfg)
+    n_frames = 30
+    frames = []
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        frames.append(_render_features(X, desc, R, t, rng))
+
+    warm = 12  # two-view init + first device promotions
+    for k in range(warm):
+        vo.process_frame(frames[k])
+    assert vo.map is not None
+
+    logger = logging.getLogger("jax._src.dispatch")
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture(level=logging.DEBUG)
+    logger.addHandler(handler)
+    old_level = logger.level
+    logger.setLevel(logging.DEBUG)
+    try:
+        for k in range(warm, n_frames):
+            vo.process_frame(frames[k])
+    finally:
+        logger.setLevel(old_level)
+        logger.removeHandler(handler)
+    compiles = [
+        m for m in records
+        if "Compiling" in m and "_device_step" in m
+    ]
+    assert not compiles, f"device step recompiled: {compiles}"
