@@ -354,6 +354,41 @@ def bench_vo_device():
     return (N_FRAMES - WARM) / dt, ate
 
 
+def bench_vo_device_server(n_streams: int = 8):
+    """Aggregate frames/s for a DeviceVOServer fleet: every stream's whole
+    frame is one dispatch, the fleet pays ONE fetch per step."""
+    import numpy as np
+
+    from cvsteer_tpu.geometry.camera import Intrinsics
+    from cvsteer_tpu.slam.vo import VOConfig
+    from cvsteer_tpu.slam.vo_device import DeviceVOServer
+
+    import os
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.test_vo import _gt_pose, _make_world, _render_features
+
+    K = Intrinsics(500.0, 500.0, 320.0, 240.0)
+    N_FRAMES, WARM = 60, 20
+    cfg = VOConfig(intrinsics=K, kf_max_gap=5, window=8,
+                   track_min_landmarks=30)
+    worlds = [_make_world(seed=10 + s) for s in range(n_streams)]
+    rngs = [np.random.default_rng(20 + s) for s in range(n_streams)]
+    frames = [
+        [_render_features(worlds[s][0], worlds[s][1], R, t, rngs[s])
+         for s in range(n_streams)]
+        for R, t in (_gt_pose(k, N_FRAMES) for k in range(N_FRAMES))
+    ]
+    srv = DeviceVOServer(cfg, n_streams=n_streams)
+    for k in range(WARM):
+        srv.step(frames[k])
+    t0 = time.perf_counter()
+    for k in range(WARM, N_FRAMES):
+        srv.step(frames[k])
+    dt = time.perf_counter() - t0
+    return n_streams * (N_FRAMES - WARM) / dt
+
+
 def bench_vo_server(n_streams: int = 8):
     """Aggregate VO frames/s serving ``n_streams`` independent synthetic
     streams (slam.vo_server.VOServer): every step issues all streams'
@@ -547,6 +582,10 @@ def main() -> int:
             dv_fps, dv_ate = bench_vo_device()
             extra["vo_device_frames_per_s_synthetic"] = round(dv_fps, 2)
             extra["vo_device_ate_rmse_m_synthetic"] = round(dv_ate, 4)
+            # fleet: one fetch per step for all streams (warm jits reused)
+            extra["vo_device_server_frames_per_s_8_streams"] = round(
+                bench_vo_device_server(8), 2
+            )
         except Exception as e:
             print(f"vo device bench failed: {e}", file=sys.stderr)
     if time.perf_counter() - _T_START < 360.0:

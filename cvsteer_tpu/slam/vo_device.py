@@ -410,13 +410,21 @@ class DeviceVO:
     # ------------------------------------------------------------------
 
     def process_frame(self, feats: Features) -> None:
-        st = self.state
         if self.map is None:
+            st = self.state
             hostvo.process_frame(st, feats)
             if st.initialized:
                 self._upload()
             return
+        out = self.issue(feats)
+        self.complete(feats, jax.device_get(out))
 
+    def issue(self, feats: Features) -> StepOut:
+        """Dispatch the fused device step WITHOUT fetching (async); the
+        carry advances immediately. Pair with :meth:`complete`. Requires
+        an initialized engine (``self.map is not None``) — the fleet
+        server routes bootstrap frames through the host path instead."""
+        st = self.state
         cfg = st.config
         kf = st.keyframes[-1]
         gap = st.frame_count - kf.index
@@ -435,9 +443,13 @@ class DeviceVO:
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             dual_init=dual, ba_iterations=cfg.ba_iterations,
         )
-        fetched: StepOut = jax.device_get(out)
         self._host_dirty = True
+        return out
 
+    def complete(self, feats: Features, fetched: StepOut) -> None:
+        """Host-mirror tail of the step from a FETCHED result."""
+        st = self.state
+        cfg = st.config
         if bool(fetched.lost):
             self._handle_lost(feats)
             return
@@ -495,3 +507,41 @@ class DeviceVO:
     def finalize(self) -> VOState:
         """Sync + propagate final keyframe refinements into the trajectory."""
         return hostvo.finalize(self.sync_host())
+
+
+class DeviceVOServer:
+    """Fleet of :class:`DeviceVO` engines stepped with ONE fetch per tick.
+
+    The host VOServer (slam.vo_server) pays 2 batched round-trips per step
+    (tracks, then the promoted frames' fused BA). With the device-resident
+    engine the ENTIRE frame — promotion included — is a single dispatch,
+    so the fleet needs exactly one ``jax.device_get`` per step regardless
+    of how many streams promote a keyframe: aggregate throughput is
+    bounded by device compute + 1 RTT/step, not by per-stream RTTs.
+    Bootstrap (two-view init) and rare events (relocalization, closure)
+    run per-stream through the host path, exactly as in DeviceVO.
+    """
+
+    def __init__(self, config: VOConfig = VOConfig(), n_streams: int = 8):
+        self.engines = [DeviceVO(config) for _ in range(n_streams)]
+
+    @property
+    def states(self):
+        return [e.state for e in self.engines]
+
+    def step(self, frames) -> None:
+        """Advance every stream by one frame (``frames[i]`` may be None)."""
+        assert len(frames) == len(self.engines)
+        pending = {}
+        for i, (eng, feats) in enumerate(zip(self.engines, frames)):
+            if feats is None:
+                continue
+            if eng.map is None:
+                eng.process_frame(feats)  # bootstrap: host path (rare)
+                continue
+            pending[i] = eng.issue(feats)
+        if not pending:
+            return
+        fetched = jax.device_get(pending)  # ONE round-trip for the fleet
+        for i, res in fetched.items():
+            self.engines[i].complete(frames[i], res)

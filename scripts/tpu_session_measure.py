@@ -82,6 +82,9 @@ def vo():
     dv_fps, dv_ate = bench.bench_vo_device()
     print(f"vo_device: {dv_fps:.1f} frames/s, ate {dv_ate:.4f} m "
           f"(device-resident map: 1 RTT/frame)", flush=True)
+    agg = bench.bench_vo_device_server(8)
+    print(f"vo_device_server: {agg:.1f} frames/s aggregate over 8 streams "
+          f"(1 round-trip/step)", flush=True)
 
 
 def main():

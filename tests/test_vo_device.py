@@ -141,6 +141,63 @@ def test_device_vo_recovers_after_blackout():
     assert ate < 0.15, f"post-blackout ATE {ate:.4f} m"
 
 
+def test_device_vo_server_single_stream_matches_engine():
+    """A 1-stream DeviceVOServer must be step-for-step identical to a
+    sequential DeviceVO on the same frames."""
+    from cvsteer_tpu.slam.vo_device import DeviceVOServer
+
+    X, desc = _make_world()
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    rng_a = np.random.default_rng(5)
+    rng_b = np.random.default_rng(5)
+    seq = DeviceVO(cfg)
+    srv = DeviceVOServer(cfg, n_streams=1)
+    n_frames = 25
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        fa = _render_features(X, desc, R, t, rng_a)
+        fb = _render_features(X, desc, R, t, rng_b)
+        seq.process_frame(fa)
+        srv.step([fb])
+    sa, sb = seq.state, srv.engines[0].state
+    assert len(sa.trajectory) == len(sb.trajectory)
+    for (fa_, Ra, ta), (fb_, Rb, tb) in zip(sa.trajectory, sb.trajectory):
+        assert fa_ == fb_
+        np.testing.assert_allclose(Ra, Rb, atol=1e-6)
+        np.testing.assert_allclose(ta, tb, atol=1e-6)
+
+
+def test_device_vo_server_parallel_streams():
+    """4 independent streams (different worlds) all track accurately."""
+    from cvsteer_tpu.slam.vo_device import DeviceVOServer
+
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    n_streams, n_frames = 4, 25
+    worlds = [_make_world(seed=10 + s) for s in range(n_streams)]
+    rngs = [np.random.default_rng(20 + s) for s in range(n_streams)]
+    srv = DeviceVOServer(cfg, n_streams=n_streams)
+    gt = []
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        gt.append((R, t))
+        srv.step([
+            _render_features(worlds[s][0], worlds[s][1], R, t, rngs[s])
+            for s in range(n_streams)
+        ])
+    gt_R = np.stack([g[0] for g in gt])
+    gt_t = np.stack([g[1] for g in gt])
+    for s in range(n_streams):
+        state = srv.engines[s].finalize()
+        assert state.initialized
+        Rs, ts = state.poses()
+        ate = ate_rmse(Rs, ts, gt_R, gt_t, align_scale=True)
+        assert ate < 0.08, f"stream {s}: ATE {ate:.4f} m"
+
+
 def test_device_vo_zero_recompiles_after_warmup():
     """After the first keyframe promotion compiles both cond branches, the
     rest of the run must never retrace the device step (the compile-once
