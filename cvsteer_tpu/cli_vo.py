@@ -15,6 +15,11 @@ stepped with two fetch round-trips total (the production many-streams-
 one-accelerator deployment; see BENCH_NOTES.md for throughput):
 
   python -m cvsteer_tpu.cli_vo --input seqA,seqB,seqC --output traj.txt
+
+``--engine device`` switches either mode to the device-resident engine
+(slam.vo_device): the whole map lives on the accelerator and every frame
+— keyframe promotion included — is one dispatch + one small fetch
+(1 RTT/frame sequential; 1 RTT/tick for the whole serving fleet).
 """
 
 from __future__ import annotations
@@ -34,6 +39,12 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--set", nargs="*", default=[], help="dotted overrides k=v")
     ap.add_argument("--output", default="", help="trajectory output (TUM format)")
+    ap.add_argument(
+        "--engine", choices=("host", "device"), default="host",
+        help="VO engine: 'host' = host-driven loop (slam.vo), 'device' = "
+             "device-resident map, one dispatch + one fetch per frame "
+             "(slam.vo_device; fastest on remote/tunneled accelerators)",
+    )
     ap.add_argument("--checkpoint-dir", default="")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--verbose", action="store_true")
@@ -69,7 +80,14 @@ def main(argv=None) -> int:
         print("no images found", file=sys.stderr)
         return 1
 
-    state = init_vo(_vo_config(cfg))
+    engine = None
+    if args.engine == "device":
+        from cvsteer_tpu.slam.vo_device import DeviceVO
+
+        engine = DeviceVO(_vo_config(cfg))
+        state = engine.state
+    else:
+        state = init_vo(_vo_config(cfg))
 
     ckpt = None
     start = 0
@@ -79,6 +97,8 @@ def main(argv=None) -> int:
         ckpt = SlamCheckpointer(cfg.checkpoint_dir)
         if ckpt.latest_step() is not None:
             state = ckpt.restore(state)
+            if engine is not None:
+                engine.adopt(state)
             start = state.frame_count
             if args.verbose:
                 print(f"resumed at frame {start}", file=sys.stderr)
@@ -98,7 +118,11 @@ def main(argv=None) -> int:
             state.frame_count += 1
             continue
         with timer.span("vo"):
-            state = process_image(state, img)
+            if engine is not None:
+                engine.process_image(img)
+                state = engine.state
+            else:
+                state = process_image(state, img)
         metrics.frame()
         if len(state.keyframes) != last_kf_count:
             metrics.count("keyframes", len(state.keyframes) - last_kf_count)
@@ -107,12 +131,14 @@ def main(argv=None) -> int:
                 last_kf_count % cfg.checkpoint_every == 0
             ):
                 with timer.span("checkpoint"):
+                    if engine is not None:
+                        engine.sync_host()  # checkpoints need positions
                     ckpt.save(last_kf_count, state)
         if args.verbose and cfg.log_every and (k + 1) % cfg.log_every == 0:
             metrics.gauge("landmarks", state.num_landmarks)
             metrics.log(step=k + 1, **timer.means_ms())
 
-    state = finalize(state)
+    state = engine.finalize() if engine is not None else finalize(state)
     if ckpt is not None:
         ckpt.save(len(state.keyframes), state)
         ckpt.close()
@@ -235,7 +261,14 @@ def _run_server(args, cfg, roots) -> int:
             print(f"no images found in {r}", file=sys.stderr)
             return 1
     n = len(seqs)
-    srv = VOServer(vo_cfg, n_streams=n)
+    if args.engine == "device":
+        from cvsteer_tpu.slam.vo_device import DeviceVOServer
+
+        srv = DeviceVOServer(vo_cfg, n_streams=n)
+        engines = srv.engines
+    else:
+        srv = VOServer(vo_cfg, n_streams=n)
+        engines = None
     pool = ThreadPoolExecutor(max_workers=min(8, n))
     extract = jax.jit(lambda imgs: extract_features(imgs, cfg=vo_cfg.frontend))
 
@@ -253,8 +286,12 @@ def _run_server(args, cfg, roots) -> int:
                 os.path.join(cfg.checkpoint_dir, f"stream{i}")
             )
             if ckpts[i].latest_step() is not None:
-                srv.states[i] = ckpts[i].restore(srv.states[i])
-                start[i] = srv.states[i].frame_count
+                restored = ckpts[i].restore(srv.states[i])
+                if engines is not None:
+                    engines[i].adopt(restored)
+                else:
+                    srv.states[i] = restored
+                start[i] = restored.frame_count
                 if args.verbose:
                     print(f"stream {i}: resumed at frame {start[i]}",
                           file=sys.stderr)
@@ -303,12 +340,17 @@ def _run_server(args, cfg, roots) -> int:
                 if ckpts[i] is not None and cfg.checkpoint_every and (
                     nk % cfg.checkpoint_every == 0
                 ):
+                    if engines is not None:
+                        engines[i].sync_host()  # checkpoint needs positions
                     ckpts[i].save(nk, st)
     dt = time.perf_counter() - t0
 
     for i, (root, seq) in enumerate(zip(roots, seqs)):
-        st = finalize(srv.states[i])
-        srv.states[i] = st
+        if engines is not None:
+            st = engines[i].finalize()
+        else:
+            st = finalize(srv.states[i])
+            srv.states[i] = st
         if ckpts[i] is not None:
             ckpts[i].save(len(st.keyframes), st)
             ckpts[i].close()

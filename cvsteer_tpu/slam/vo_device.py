@@ -504,6 +504,21 @@ class DeviceVO:
         st.trajectory[-1] = (st.frame_count, kf.R.copy(), kf.t.copy())
         self._upload()
 
+    def process_image(self, image: jax.Array) -> None:
+        """Image seam: extract features (compile-once jit), then step."""
+        self.process_frame(
+            hostvo._extract_features_jit(image, self.state.config.frontend)
+        )
+
+    def adopt(self, state: VOState) -> None:
+        """Take over a host VOState (e.g. a checkpoint restore): becomes
+        the mirror; uploads to device if the state is past bootstrap."""
+        self.state = state
+        self.map = None
+        self._host_dirty = False
+        if state.initialized and state.keyframes:
+            self._upload()
+
     def finalize(self) -> VOState:
         """Sync + propagate final keyframe refinements into the trajectory."""
         return hostvo.finalize(self.sync_host())

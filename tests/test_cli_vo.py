@@ -136,6 +136,39 @@ def test_cli_vo_end_to_end(tum_dataset, tmp_path):
     assert len(lines[0].split()) == 8  # TUM format
 
 
+def test_cli_vo_device_engine(tum_dataset, tmp_path):
+    """--engine device runs the device-resident map through the full CLI
+    pipeline (parser -> codec -> front-end -> DeviceVO -> ATE/trajectory)
+    and must land within a few cm of the host engine on the same data."""
+    from cvsteer_tpu import cli_vo
+
+    out = str(tmp_path / "traj_dev.txt")
+    rc = cli_vo.main(
+        [
+            "--input", str(tum_dataset),
+            "--output", out,
+            "--engine", "device",
+            "--set",
+            f"camera.fx={FX}", f"camera.fy={FY}",
+            f"camera.cx={CX}", f"camera.cy={CY}",
+            "frontend.levels=2",
+            "frontend.keypoints_per_level=128",
+            "frontend.threshold=0.5",
+            "slam.kf_max_gap=3",
+            "slam.window=6",
+            "slam.min_parallax=0.01",
+            "slam.init_min_inliers=15",
+            "slam.track_min_landmarks=15",
+            "slam.huber_delta=0.01",
+            "--verbose",
+        ]
+    )
+    assert rc == 0
+    lines = [l for l in open(out).read().splitlines() if l.strip()]
+    assert len(lines) == N_FRAMES
+    assert len(lines[0].split()) == 8
+
+
 def test_kitti_parser(tmp_path):
     """KITTI odometry layout: sequences/<seq>/image_0 + poses/<seq>.txt."""
     import numpy as np
@@ -258,10 +291,12 @@ def test_cli_vo_on_kitti_layout_fixture(tmp_path):
     np.testing.assert_allclose(kitti.gt_t, tum.gt_t, atol=1e-5)
 
 
-def test_cli_vo_serving_mode(tmp_path):
-    """Comma-separated --input serves sequences concurrently via VOServer:
-    two copies of the real-image fixture must produce identical
-    trajectories and one output file per stream."""
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_cli_vo_serving_mode(tmp_path, engine):
+    """Comma-separated --input serves sequences concurrently (VOServer or,
+    with --engine device, DeviceVOServer): two copies of the real-image
+    fixture must produce identical trajectories and one output file per
+    stream."""
     import pathlib
 
     from cvsteer_tpu.cli_vo import main
@@ -270,6 +305,7 @@ def test_cli_vo_serving_mode(tmp_path):
     out = tmp_path / "traj.txt"
     rc = main([
         "--input", f"{fixture},{fixture}",
+        "--engine", engine,
         "--set", "camera.fx=300", "camera.fy=300", "camera.cx=160",
         "camera.cy=120", "slam.min_parallax=0.005", "slam.kf_max_gap=2",
         "slam.window=6",
