@@ -354,14 +354,17 @@ def bench_vo_device():
     return (N_FRAMES - WARM) / dt, ate
 
 
-def bench_vo_device_server(n_streams: int = 8):
-    """Aggregate frames/s for a DeviceVOServer fleet: every stream's whole
-    frame is one dispatch, the fleet pays ONE fetch per step."""
+def bench_vo_device_server(n_streams: int = 8, fleet: bool = True):
+    """Aggregate frames/s for a device-resident serving fleet.
+
+    ``fleet=True``: DeviceVOFleet — stacked maps, ONE vmapped dispatch +
+    ONE fetch per tick for all streams. ``fleet=False``: DeviceVOServer —
+    per-stream dispatches, one shared fetch."""
     import numpy as np
 
     from cvsteer_tpu.geometry.camera import Intrinsics
     from cvsteer_tpu.slam.vo import VOConfig
-    from cvsteer_tpu.slam.vo_device import DeviceVOServer
+    from cvsteer_tpu.slam.vo_device import DeviceVOFleet, DeviceVOServer
 
     import os
     import sys as _sys
@@ -379,7 +382,8 @@ def bench_vo_device_server(n_streams: int = 8):
          for s in range(n_streams)]
         for R, t in (_gt_pose(k, N_FRAMES) for k in range(N_FRAMES))
     ]
-    srv = DeviceVOServer(cfg, n_streams=n_streams)
+    cls = DeviceVOFleet if fleet else DeviceVOServer
+    srv = cls(cfg, n_streams=n_streams)
     for k in range(WARM):
         srv.step(frames[k])
     t0 = time.perf_counter()
@@ -582,9 +586,9 @@ def main() -> int:
             dv_fps, dv_ate = bench_vo_device()
             extra["vo_device_frames_per_s_synthetic"] = round(dv_fps, 2)
             extra["vo_device_ate_rmse_m_synthetic"] = round(dv_ate, 4)
-            # fleet: one fetch per step for all streams (warm jits reused)
-            extra["vo_device_server_frames_per_s_8_streams"] = round(
-                bench_vo_device_server(8), 2
+            # vmapped fleet: one dispatch + one fetch per tick, all streams
+            extra["vo_device_fleet_frames_per_s_8_streams"] = round(
+                bench_vo_device_server(8, fleet=True), 2
             )
         except Exception as e:
             print(f"vo device bench failed: {e}", file=sys.stderr)

@@ -262,9 +262,11 @@ def _run_server(args, cfg, roots) -> int:
             return 1
     n = len(seqs)
     if args.engine == "device":
-        from cvsteer_tpu.slam.vo_device import DeviceVOServer
+        # the vmapped fleet: ONE dispatch + ONE fetch per tick for the
+        # whole fleet (all streams share vo_cfg, as the CLI guarantees)
+        from cvsteer_tpu.slam.vo_device import DeviceVOFleet
 
-        srv = DeviceVOServer(vo_cfg, n_streams=n)
+        srv = DeviceVOFleet(vo_cfg, n_streams=n)
         engines = srv.engines
     else:
         srv = VOServer(vo_cfg, n_streams=n)
@@ -341,13 +343,13 @@ def _run_server(args, cfg, roots) -> int:
                     nk % cfg.checkpoint_every == 0
                 ):
                     if engines is not None:
-                        engines[i].sync_host()  # checkpoint needs positions
+                        srv.sync_host(i)  # checkpoint needs positions
                     ckpts[i].save(nk, st)
     dt = time.perf_counter() - t0
 
     for i, (root, seq) in enumerate(zip(roots, seqs)):
         if engines is not None:
-            st = engines[i].finalize()
+            st = srv.finalize(i)
         else:
             st = finalize(srv.states[i])
             srv.states[i] = st

@@ -19,5 +19,9 @@ from cvsteer_tpu.slam.posegraph_sim3 import (  # noqa: F401
     optimize_pose_graph_sim3,
 )
 from cvsteer_tpu.slam.vo import VOConfig, init_vo, process_frame, process_image  # noqa: F401
-from cvsteer_tpu.slam.vo_device import DeviceVO, DeviceVOServer  # noqa: F401
+from cvsteer_tpu.slam.vo_device import (  # noqa: F401
+    DeviceVO,
+    DeviceVOFleet,
+    DeviceVOServer,
+)
 from cvsteer_tpu.slam.vo_server import VOServer  # noqa: F401

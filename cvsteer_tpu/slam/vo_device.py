@@ -85,7 +85,12 @@ class DeviceMap(NamedTuple):
 
 
 class StepOut(NamedTuple):
-    """Per-frame fetch: everything the host mirror needs, nothing more."""
+    """Per-frame fetch: ~2 KB — only what the host needs EVERY frame.
+
+    Full observation-table / occupancy mirrors are refreshed at event
+    cadence by DeviceVO.sync_host (relocalization, closure, finalize);
+    fetching them per frame measurably slowed the batched fleet (the
+    tunnel moves ~20 KB/stream/tick otherwise)."""
 
     R: jax.Array  # [3, 3] tracked pose of this frame
     t: jax.Array  # [3]
@@ -95,8 +100,8 @@ class StepOut(NamedTuple):
     lost: jax.Array  # bool: tracking lost -> host relocalizes
     kf_R: jax.Array  # [W, 3, 3] (BA-refined on promotion)
     kf_t: jax.Array  # [W, 3]
-    kf_obs: jax.Array  # [W, N] observation-table mirror
-    lm_valid: jax.Array  # [Lmax] occupancy mirror
+    obs_new: jax.Array  # [N] the NEW keyframe's obs table (post-culling)
+    lm_count: jax.Array  # occupied landmark slots
 
 
 def _normalize(yx, K4, dist):
@@ -313,7 +318,8 @@ def _device_step_body(
     )
     out = StepOut(
         R=R, t=t, n_tracked=n, n_valid=n_valid, promoted=promote, lost=lost,
-        kf_R=m2.kf_R, kf_t=m2.kf_t, kf_obs=m2.kf_obs, lm_valid=m2.lm_valid,
+        kf_R=m2.kf_R, kf_t=m2.kf_t, obs_new=m2.kf_obs[-1],
+        lm_count=jnp.sum(m2.lm_valid.astype(jnp.int32)),
     )
     return m2, out
 
@@ -328,6 +334,45 @@ _device_step = functools.partial(
         "dual_init", "ba_iterations",
     ),
 )(_device_step_body)
+
+
+def _fleet_step_body(
+    ms, active, yx, desc, fvalid, Rp, tp, force_kf,
+    *, K, ratio, track_iters, huber_delta, min_track, dual_init,
+    ba_iterations,
+):
+    """vmapped fleet step over stacked DeviceMaps.
+
+    ``active [S]`` masks streams whose slot holds live state — inactive
+    slots' carries pass through unchanged (their outputs are garbage and
+    ignored host-side). Under vmap the promotion ``lax.cond`` lowers to a
+    select that evaluates BOTH branches for the whole batch, so the fleet
+    pays the windowed-BA compute every tick; that is the deliberate trade:
+    device compute is cheap next to the per-stream dispatch/fetch RPCs the
+    batching removes."""
+
+    def one(m, a, yx1, d1, fv1, Rp1, tp1, f1):
+        m2, out = _device_step_body(
+            m, yx1, d1, fv1, Rp1, tp1, f1,
+            K=K, ratio=ratio, track_iters=track_iters,
+            huber_delta=huber_delta, min_track=min_track,
+            dual_init=dual_init, ba_iterations=ba_iterations,
+        )
+        m2 = jax.tree.map(
+            lambda new, old: jnp.where(a, new, old), m2, m
+        )
+        return m2, out
+
+    return jax.vmap(one)(ms, active, yx, desc, fvalid, Rp, tp, force_kf)
+
+
+_fleet_step = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "ratio", "track_iters", "huber_delta", "min_track",
+        "dual_init", "ba_iterations",
+    ),
+)(_fleet_step_body)
 
 
 class DeviceVO:
@@ -387,23 +432,30 @@ class DeviceVO:
         self._host_dirty = False
 
     def sync_host(self) -> VOState:
-        """Pull landmark positions down into the host mirror (event
-        cadence: relocalization, loop closure, evaluation)."""
+        """Pull the full device state down into the host mirror (event
+        cadence: relocalization, loop closure, checkpoint, evaluation):
+        landmark positions/occupancy AND the window keyframes' refined
+        poses + post-culling observation tables."""
         if self.map is not None and self._host_dirty:
-            X, lm_valid = jax.device_get((self.map.X, self.map.lm_valid))
+            X, lm_valid, kf_R, kf_t, kf_obs = jax.device_get((
+                self.map.X, self.map.lm_valid,
+                self.map.kf_R, self.map.kf_t, self.map.kf_obs,
+            ))
             self.state.landmarks[:] = X
             self.state.landmark_valid[:] = lm_valid
             self.state.num_landmarks = int(lm_valid.sum())
+            self._mirror_window(kf_R, kf_t, kf_obs)
             self._host_dirty = False
         return self.state
 
-    def _mirror_window(self, kf_R, kf_t, kf_obs) -> None:
+    def _mirror_window(self, kf_R, kf_t, kf_obs=None) -> None:
         st = self.state
         W = st.config.window
         live = st.keyframes[-min(len(st.keyframes), W):]
         for w, kf in zip(range(W - len(live), W), live):
             kf.R, kf.t = kf_R[w].copy(), kf_t[w].copy()
-            kf.landmark_ids = kf_obs[w].astype(np.int64)
+            if kf_obs is not None:
+                kf.landmark_ids = kf_obs[w].astype(np.int64)
             kf.track_cache = None  # poses/ids moved
         st.track_version += 1
 
@@ -463,16 +515,16 @@ class DeviceVO:
         if bool(fetched.promoted):
             kf_R = np.asarray(fetched.kf_R)
             kf_t = np.asarray(fetched.kf_t)
-            kf_obs = np.asarray(fetched.kf_obs)
-            st.landmark_valid[:] = np.asarray(fetched.lm_valid)
-            st.num_landmarks = int(st.landmark_valid.sum())
+            st.num_landmarks = int(fetched.lm_count)
             st.keyframes.append(
                 Keyframe(
                     st.frame_count, feats, kf_R[-1].copy(), kf_t[-1].copy(),
-                    kf_obs[-1].astype(np.int64),
+                    np.asarray(fetched.obs_new).astype(np.int64),
                 )
             )
-            self._mirror_window(kf_R, kf_t, kf_obs)
+            # poses refresh every promote; the OLDER window keyframes'
+            # observation tables refresh lazily at the next sync_host
+            self._mirror_window(kf_R, kf_t)
             st.trajectory[-1] = (st.frame_count, kf_R[-1].copy(), kf_t[-1].copy())
             if cfg.loop_closure:
                 self._closure()
@@ -544,6 +596,12 @@ class DeviceVOServer:
     def states(self):
         return [e.state for e in self.engines]
 
+    def sync_host(self, i: int):
+        return self.engines[i].sync_host()
+
+    def finalize(self, i: int):
+        return self.engines[i].finalize()
+
     def step(self, frames) -> None:
         """Advance every stream by one frame (``frames[i]`` may be None)."""
         assert len(frames) == len(self.engines)
@@ -560,3 +618,156 @@ class DeviceVOServer:
         fetched = jax.device_get(pending)  # ONE round-trip for the fleet
         for i, res in fetched.items():
             self.engines[i].complete(frames[i], res)
+
+
+class DeviceVOFleet:
+    """vmapped fleet: ONE dispatch + ONE fetch per tick for ALL streams.
+
+    DeviceVOServer still pays one dispatch (and its feature uploads) per
+    stream per tick — ~4 ms of RPC overhead each on a tunneled device.
+    The fleet stacks every engine's DeviceMap into one ``[S, ...]`` pytree
+    and vmaps the fused step over it, so a tick is exactly one device
+    dispatch + one batched fetch no matter the stream count. The cost is
+    that the promotion cond becomes a batched select (the window BA runs
+    every tick for the whole fleet) — cheap device compute traded for
+    per-stream RPCs. All streams share one VOConfig.
+
+    Stream lifecycle: engines bootstrap host-side; an initialized engine's
+    map is scattered into the stack (``active[i]=True``). Rare events
+    (tracking loss, loop closure) gather the row out, run the host path,
+    and scatter back — event cadence only.
+    """
+
+    def __init__(self, config: VOConfig = VOConfig(), n_streams: int = 8):
+        self.config = config
+        self.engines = [DeviceVO(config) for _ in range(n_streams)]
+        self.stack: Optional[DeviceMap] = None
+        self.active = np.zeros(n_streams, bool)
+
+    @property
+    def states(self):
+        return [e.state for e in self.engines]
+
+    # -- stack management ------------------------------------------------
+
+    def _ensure_stack(self, template: DeviceMap) -> None:
+        if self.stack is None:
+            S = len(self.engines)
+            self.stack = jax.tree.map(
+                lambda x: jnp.zeros((S,) + x.shape, x.dtype), template
+            )
+
+    def _scatter_in(self, i: int) -> None:
+        eng = self.engines[i]
+        self._ensure_stack(eng.map)
+        self.stack = jax.tree.map(
+            lambda s, x: s.at[i].set(x), self.stack, eng.map
+        )
+        eng.map = None  # fleet-managed from here on
+        self.active[i] = True
+
+    def _gather_out(self, i: int) -> None:
+        """Materialize stream i's row as the engine's own map (for host
+        event paths that sync/upload)."""
+        self.engines[i].map = jax.tree.map(lambda s: s[i], self.stack)
+        self.engines[i]._host_dirty = True
+        self.active[i] = False
+
+    def sync_host(self, i: int):
+        """Pull stream i's landmark positions into its host mirror."""
+        if self.active[i]:
+            self._gather_out(i)
+            state = self.engines[i].sync_host()
+            self._scatter_in(i)
+            return state
+        return self.engines[i].sync_host()
+
+    def finalize(self, i: int):
+        """Finalized VOState of stream i."""
+        self.sync_host(i)
+        return hostvo.finalize(self.engines[i].state)
+
+    # -- the tick --------------------------------------------------------
+
+    def step(self, frames) -> None:
+        """Advance every stream by one frame (``frames[i]`` may be None)."""
+        S = len(self.engines)
+        assert len(frames) == S
+        cfg = self.config
+        # bootstrap / (re)entry: host path until an engine has a map; a
+        # stream that initializes here already consumed this tick's frame
+        consumed = set()
+        for i, (eng, feats) in enumerate(zip(self.engines, frames)):
+            if self.active[i] or feats is None:
+                continue
+            if eng.map is not None:
+                # adopted/restored state waiting to enter the stack; it
+                # has NOT consumed this tick's frame
+                self._scatter_in(i)
+                continue
+            eng.process_frame(feats)
+            consumed.add(i)
+            if eng.map is not None:
+                self._scatter_in(i)
+        if self.stack is None or not self.active.any():
+            return
+
+        tick = self.active.copy()
+        for i, feats in enumerate(frames):
+            if feats is None or i in consumed:
+                tick[i] = False
+        if not tick.any():
+            return
+
+        # assemble batched inputs (zeros for inactive slots)
+        N = self.stack.kf_uv.shape[2]
+        D = self.stack.kf_desc.shape[2]
+        yx = [jnp.zeros((N, 2), jnp.float32)] * S
+        dsc = [jnp.zeros((N, D), jnp.float32)] * S
+        fv = [jnp.zeros((N,), bool)] * S
+        Rp = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
+        tp = np.zeros((S, 3), np.float32)
+        force = np.zeros(S, bool)
+        for i, feats in enumerate(frames):
+            if not tick[i]:
+                continue
+            yx[i], dsc[i], fv[i] = feats.yx, feats.desc, feats.valid
+            st = self.engines[i].state
+            kf = st.keyframes[-1]
+            if cfg.motion_model:
+                Rp[i], tp[i] = hostvo._predict_pose(st)
+            else:
+                Rp[i], tp[i] = kf.R, kf.t
+            force[i] = (st.frame_count - kf.index) >= cfg.kf_max_gap
+
+        self.stack, out = _fleet_step(
+            self.stack, jnp.asarray(tick),
+            jnp.stack(yx), jnp.stack(dsc), jnp.stack(fv),
+            jnp.asarray(Rp), jnp.asarray(tp), jnp.asarray(force),
+            K=cfg.intrinsics, ratio=cfg.match_ratio, track_iters=10,
+            huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
+            dual_init=cfg.motion_model, ba_iterations=cfg.ba_iterations,
+        )
+        fetched: StepOut = jax.device_get(out)  # ONE round-trip, all streams
+
+        for i in range(S):
+            if not tick[i]:
+                continue
+            res = jax.tree.map(lambda a, i=i: a[i], fetched)
+            eng = self.engines[i]
+            needs_map = (
+                bool(res.lost)
+                or not (np.isfinite(res.R).all() and np.isfinite(res.t).all())
+                or (bool(res.promoted) and cfg.loop_closure)
+            )
+            if needs_map:
+                # event path (reloc / closure): hand the row to the engine,
+                # let the host logic run, then take the result back
+                self._gather_out(i)
+                eng.complete(frames[i], res)
+                if eng.map is not None:
+                    self._scatter_in(i)
+                # else: engine fell back to bootstrap; re-enters when ready
+            else:
+                eng._host_dirty = True
+                eng.complete(frames[i], res)
