@@ -271,6 +271,33 @@ def test_sim3_closure_end_to_end_scale_drift(loop_world):
     )
 
 
+def test_device_vo_runs_with_sim3_closure_enabled(loop_world):
+    """The device-resident engine takes its closure event path (gather the
+    device row, run close_loops_sim3 host-side, re-upload) without
+    breaking the run — same loop as the host wiring test below."""
+    from cvsteer_tpu.slam.vo_device import DeviceVO
+
+    X, desc = loop_world
+    rng = np.random.default_rng(12)
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=4, window=6, track_min_landmarks=40,
+        min_parallax=0.01, loop_closure=True, loop_closure_sim3=True,
+        loop_min_gap=6, loop_min_inliers=20,
+    )
+    vo = DeviceVO(cfg)
+    n_frames = 40
+    for k in range(n_frames):
+        a = 2 * np.pi * (k / (n_frames - 1))
+        c = np.array([7.0 * np.sin(a), 0.0, -7.0 * np.cos(a)])
+        R, t = _lookat_pose(c)
+        vo.process_frame(_render_features(X, desc, R, t, rng, pix_noise=0.1))
+    state = vo.finalize()
+    assert state.initialized
+    assert vo.map is not None  # engine ran (and re-uploaded after closures)
+    assert len(state.trajectory) == n_frames
+    assert all(np.isfinite(kf.t).all() for kf in state.keyframes)
+
+
 def test_vo_runs_with_sim3_closure_enabled(loop_world):
     """The VOConfig.loop_closure_sim3 wiring drives close_loops_sim3 inside
     process_frame without breaking the run."""
