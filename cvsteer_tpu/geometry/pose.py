@@ -1,8 +1,8 @@
 """Pose recovery from an essential matrix + DLT triangulation.
 
-Fixed-shape cheirality voting over the 4 (R, t) candidates; triangulation is
-a vmapped 4x4 eigh (smallest eigenvector of A^T A), masked for invalid
-correspondences.
+Fixed-shape cheirality voting over the 4 (R, t) candidates; triangulation
+is closed-form inhomogeneous DLT (3x3 normal equations via the adjugate),
+masked for invalid correspondences.
 """
 
 from __future__ import annotations
@@ -37,22 +37,50 @@ def triangulate(
     P1: jax.Array, P2: jax.Array, x1: jax.Array, x2: jax.Array
 ) -> jax.Array:
     """DLT triangulation: points [N, 3] (euclidean) from [N, 2] normalized
-    image coordinates under projections P1/P2 [3, 4]."""
+    image coordinates under projections P1/P2 [3, 4].
 
-    def one(u1, u2):
-        A = jnp.stack(
-            [
-                u1[0] * P1[2] - P1[0],
-                u1[1] * P1[2] - P1[1],
-                u2[0] * P2[2] - P2[0],
-                u2[1] * P2[2] - P2[1],
-            ]
-        )  # [4, 4]
-        _, v = jnp.linalg.eigh(A.T @ A)
-        X = v[:, 0]
-        return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-12, X[3], 1e-12)
-
-    return jax.vmap(one)(x1, x2)
+    Inhomogeneous DLT, solved in closed form: the 4 DLT rows give the
+    least-squares system ``A[:, :3] X = -A[:, 3]`` (homogeneous w fixed
+    to 1), whose 3x3 normal equations invert via the adjugate — pure VPU
+    algebra. The earlier homogeneous form (smallest eigenvector of A^T A)
+    lowered to a vmapped 4x4 eigh custom call that alone cost 10 ms/tick
+    in the 16-stream VO fleet (traced 2026-08-18). Points near infinity
+    (true w ~ 0) come out with huge |X| and are culled by the callers'
+    bounds/cheirality gates, exactly as the eigh form's w-division was.
+    """
+    # DLT rows [N, 4, 4]: two per view.
+    rows = jnp.stack(
+        [
+            x1[..., 0:1] * P1[2] - P1[0],
+            x1[..., 1:2] * P1[2] - P1[1],
+            x2[..., 0:1] * P2[2] - P2[0],
+            x2[..., 1:2] * P2[2] - P2[1],
+        ],
+        axis=-2,
+    )
+    B = rows[..., :3]  # [N, 4, 3]
+    c = rows[..., 3]  # [N, 4]
+    # HIGHEST precision: the TPU default routes these contractions through
+    # the MXU as bf16, which visibly degrades triangulated points (fleet
+    # ATE 0.06 -> 0.21 measured when left at default)
+    hp = jax.lax.Precision.HIGHEST
+    M = jnp.einsum("...ij,...ik->...jk", B, B, precision=hp)  # [N, 3, 3]
+    r = -jnp.einsum("...ij,...i->...j", B, c, precision=hp)  # [N, 3]
+    a, b_, cc = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    e, f = M[..., 1, 1], M[..., 1, 2]
+    i = M[..., 2, 2]
+    A_ = e * i - f * f
+    Bc = cc * f - b_ * i
+    Cc = b_ * f - cc * e
+    E_ = a * i - cc * cc
+    F_ = cc * b_ - a * f
+    I_ = a * e - b_ * b_
+    det = a * A_ + b_ * Bc + cc * Cc
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    x = (A_ * r[..., 0] + Bc * r[..., 1] + Cc * r[..., 2]) * inv_det
+    y = (Bc * r[..., 0] + E_ * r[..., 1] + F_ * r[..., 2]) * inv_det
+    z = (Cc * r[..., 0] + F_ * r[..., 1] + I_ * r[..., 2]) * inv_det
+    return jnp.stack([x, y, z], axis=-1)
 
 
 class TwoViewPose(NamedTuple):

@@ -220,10 +220,12 @@ def test_device_vo_fleet_single_stream_matches_engine():
         flt.step([fb])
     sa, sb = seq.state, flt.engines[0].state
     assert len(sa.trajectory) == len(sb.trajectory)
+    # vmapped-select vs lax.cond paths reduce in different orders (e.g.
+    # the triangulation einsums), so agreement is to float noise, not bits
     for (fa_, Ra, ta), (fb_, Rb, tb) in zip(sa.trajectory, sb.trajectory):
         assert fa_ == fb_
-        np.testing.assert_allclose(Ra, Rb, atol=1e-5)
-        np.testing.assert_allclose(ta, tb, atol=1e-5)
+        np.testing.assert_allclose(Ra, Rb, atol=1e-4)
+        np.testing.assert_allclose(ta, tb, atol=1e-4)
 
 
 def test_device_vo_fleet_parallel_streams():
