@@ -638,11 +638,32 @@ class DeviceVOFleet:
     and scatter back — event cadence only.
     """
 
-    def __init__(self, config: VOConfig = VOConfig(), n_streams: int = 8):
+    def __init__(
+        self,
+        config: VOConfig = VOConfig(),
+        n_streams: int = 8,
+        mesh=None,
+        mesh_axis: str = "data",
+    ):
+        """``mesh``: optional jax.sharding.Mesh — shards the stream axis of
+        the stacked state (and each tick's inputs) over ``mesh_axis``, so
+        the fleet serves across chips. The vmapped step has NO cross-stream
+        dataflow, so XLA partitions it with zero collectives: serving
+        scales linearly with chips (pure data parallelism)."""
         self.config = config
         self.engines = [DeviceVO(config) for _ in range(n_streams)]
         self.stack: Optional[DeviceMap] = None
         self.active = np.zeros(n_streams, bool)
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if n_streams % mesh.shape[mesh_axis] != 0:
+                raise ValueError(
+                    f"n_streams={n_streams} must divide over "
+                    f"mesh axis {mesh_axis}={mesh.shape[mesh_axis]}"
+                )
+            self._sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
 
     @property
     def states(self):
@@ -656,6 +677,8 @@ class DeviceVOFleet:
             self.stack = jax.tree.map(
                 lambda x: jnp.zeros((S,) + x.shape, x.dtype), template
             )
+            if self._sharding is not None:
+                self.stack = jax.device_put(self.stack, self._sharding)
 
     def _scatter_in(self, i: int) -> None:
         eng = self.engines[i]
@@ -740,10 +763,15 @@ class DeviceVOFleet:
                 Rp[i], tp[i] = kf.R, kf.t
             force[i] = (st.frame_count - kf.index) >= cfg.kf_max_gap
 
-        self.stack, out = _fleet_step(
-            self.stack, jnp.asarray(tick),
+        inputs = (
+            jnp.asarray(tick),
             jnp.stack(yx), jnp.stack(dsc), jnp.stack(fv),
             jnp.asarray(Rp), jnp.asarray(tp), jnp.asarray(force),
+        )
+        if self._sharding is not None:
+            inputs = jax.device_put(inputs, self._sharding)
+        self.stack, out = _fleet_step(
+            self.stack, *inputs,
             K=cfg.intrinsics, ratio=cfg.match_ratio, track_iters=10,
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             dual_init=cfg.motion_model, ba_iterations=cfg.ba_iterations,

@@ -306,6 +306,43 @@ def test_device_vo_fleet_recovers_after_blackout():
     assert ate < 0.15, f"post-blackout ATE {ate:.4f} m"
 
 
+def test_device_vo_fleet_sharded_matches_unsharded():
+    """An 8-stream fleet sharded over the 8-device 'data' mesh axis must
+    produce the same per-stream trajectories as the unsharded fleet —
+    stream data-parallelism is pure sharding annotation, zero collectives."""
+    import jax
+
+    from cvsteer_tpu.parallel import make_mesh
+    from cvsteer_tpu.slam.vo_device import DeviceVOFleet
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh({"data": 8})
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    n_streams, n_frames = 8, 20
+    worlds = [_make_world(seed=50 + s) for s in range(n_streams)]
+
+    def run(fleet):
+        rngs = [np.random.default_rng(60 + s) for s in range(n_streams)]
+        for k in range(n_frames):
+            R, t = _gt_pose(k, n_frames)
+            fleet.step([
+                _render_features(worlds[s][0], worlds[s][1], R, t, rngs[s])
+                for s in range(n_streams)
+            ])
+        return [fleet.finalize(s) for s in range(n_streams)]
+
+    plain = run(DeviceVOFleet(cfg, n_streams=n_streams))
+    sharded = run(DeviceVOFleet(cfg, n_streams=n_streams, mesh=mesh))
+    for s in range(n_streams):
+        Ra, ta = plain[s].poses()
+        Rb, tb = sharded[s].poses()
+        np.testing.assert_allclose(Ra, Rb, atol=1e-5)
+        np.testing.assert_allclose(ta, tb, atol=1e-5)
+
+
 def test_device_vo_checkpoint_roundtrip(tmp_path):
     """Mid-run checkpoint from the device engine (sync_host first) and a
     restore into a FRESH engine (adopt -> re-upload) must continue
