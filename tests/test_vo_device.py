@@ -14,6 +14,7 @@ import logging
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from cvsteer_tpu.features.frontend import Features
@@ -304,6 +305,78 @@ def test_device_vo_fleet_recovers_after_blackout():
     tail = slice(20, 30)
     ate = ate_rmse(Rs[tail], ts[tail], gt_R[tail], gt_t[tail], align_scale=True)
     assert ate < 0.15, f"post-blackout ATE {ate:.4f} m"
+
+
+def test_free_slot_compaction():
+    """_free_slots enumerates invalid slot ids in order (prefix-sum
+    compaction), the device-side allocation primitive."""
+    from cvsteer_tpu.slam.vo_device import _free_slots
+
+    lm_valid = jnp.asarray(
+        [True, False, True, False, False, True, False, True]
+    )
+    free, n_free = _free_slots(lm_valid)
+    assert int(n_free) == 4
+    np.testing.assert_array_equal(np.asarray(free[:4]), [1, 3, 4, 6])
+    assert (np.asarray(free[4:]) == 8).all()  # sentinel beyond the free set
+
+
+def test_window_ba_refines_map_and_culls():
+    """_window_ba on a hand-built 2-keyframe DeviceMap: perturbed landmark
+    positions converge back to ground truth; a bogus landmark (observations
+    pointing nowhere consistent) is culled and its obs entries cleared."""
+    from cvsteer_tpu.slam.vo_device import DeviceMap, _window_ba
+
+    rng = np.random.default_rng(3)
+    W, N, Lmax = 4, 32, 64
+    n_lm = 24
+    X_true = rng.uniform([-2, -2, 4], [2, 2, 10], (n_lm, 3)).astype(np.float32)
+
+    kf_R = np.broadcast_to(np.eye(3, dtype=np.float32), (W, 3, 3)).copy()
+    kf_t = np.zeros((W, 3), np.float32)
+    kf_uv = np.zeros((W, N, 2), np.float32)
+    kf_fvalid = np.zeros((W, N), bool)
+    kf_obs = np.full((W, N), -1, np.int32)
+    kf_live = np.zeros(W, bool)
+    for w in (2, 3):  # two real keyframes at the end of the ring
+        kf_live[w] = True
+        kf_t[w] = [0.6 * (w - 2), 0.0, 0.0]
+        p = X_true @ kf_R[w].T + kf_t[w]
+        kf_uv[w, :n_lm] = p[:, :2] / p[:, 2:3]
+        kf_fvalid[w, :n_lm] = True
+        kf_obs[w, :n_lm] = np.arange(n_lm)
+
+    # bogus landmark in slot 40: both keyframes "observe" inconsistent rays
+    bogus = 40
+    for w in (2, 3):
+        kf_obs[w, n_lm] = bogus
+        kf_fvalid[w, n_lm] = True
+        kf_uv[w, n_lm] = [0.3 - 0.6 * (w - 2), -0.4 + 0.8 * (w - 2)]
+
+    X = np.zeros((Lmax, 3), np.float32)
+    X[:n_lm] = X_true + rng.normal(0, 0.05, (n_lm, 3)).astype(np.float32)
+    X[bogus] = [0.0, 0.0, 6.0]
+    lm_valid = np.zeros(Lmax, bool)
+    lm_valid[:n_lm] = True
+    lm_valid[bogus] = True
+
+    m = DeviceMap(
+        X=jnp.asarray(X), lm_valid=jnp.asarray(lm_valid),
+        kf_uv=jnp.asarray(kf_uv), kf_fvalid=jnp.asarray(kf_fvalid),
+        kf_obs=jnp.asarray(kf_obs), kf_R=jnp.asarray(kf_R),
+        kf_t=jnp.asarray(kf_t), kf_live=jnp.asarray(kf_live),
+        kf_desc=jnp.zeros((N, 8)),
+    )
+    out = jax.jit(
+        lambda mm: _window_ba(mm, iterations=15, huber_delta=0.05)
+    )(m)
+    X_out = np.asarray(out.X)
+    # both cameras fixed (first two real) -> landmarks must move to truth
+    np.testing.assert_allclose(X_out[:n_lm], X_true, atol=2e-2)
+    # the irreconcilable landmark is culled everywhere
+    assert not bool(out.lm_valid[bogus])
+    obs_out = np.asarray(out.kf_obs)
+    assert (obs_out != bogus).all()
 
 
 def test_device_vo_fleet_sharded_matches_unsharded():
