@@ -391,8 +391,11 @@ def close_loops(
 
 
 def _landmark_anchors(state: VOState) -> np.ndarray:
-    """[num_landmarks] first-observer keyframe index per landmark (-1 = none)."""
-    n_lm = state.num_landmarks
+    """[capacity] first-observer keyframe index per landmark slot (-1 =
+    none). Sized by the full slot capacity, NOT num_landmarks: under the
+    device engine's slot reuse, occupied slots are not a contiguous prefix
+    and num_landmarks is an occupancy count."""
+    n_lm = state.landmarks.shape[0]
     anchor = np.full(n_lm, -1, np.int64)
     for k in reversed(range(len(state.keyframes))):  # first observer wins
         ids = state.keyframes[k].landmark_ids

@@ -65,6 +65,11 @@ class Keyframe:
     R: np.ndarray  # [3, 3] world->camera
     t: np.ndarray  # [3]
     landmark_ids: np.ndarray  # [N] int64, -1 = feature has no landmark
+    # slot-generation stamps paired with landmark_ids (device engine only:
+    # slam.vo_device reuses culled slots, and a stamp mismatch marks an id
+    # whose slot now holds a DIFFERENT landmark). None on host-engine
+    # keyframes — the host loop clears culled ids synchronously instead.
+    landmark_gens: Optional[np.ndarray] = None
     # lazily computed global descriptor (loopclosure.keyframe_signature);
     # lives on the keyframe so its lifetime is tied to the owning object
     signature: Optional[np.ndarray] = None
@@ -274,13 +279,15 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
     if n_new < state.config.init_min_inliers:
         return False
 
-    # register landmarks
+    # register landmarks into the first free slots (for a fresh host state
+    # that is the contiguous tail, so ids match the old monotone counter;
+    # under the device engine's slot reuse it is the correct allocator)
     lm_ids_kf0 = kf0.landmark_ids.copy()
     feat_ids0 = np.nonzero(good)[0]
-    new_ids = np.arange(state.num_landmarks, state.num_landmarks + n_new)
+    new_ids = np.nonzero(~state.landmark_valid)[0][:n_new]
     state.landmarks[new_ids] = X[feat_ids0]
     state.landmark_valid[new_ids] = True
-    state.num_landmarks += n_new
+    state.num_landmarks = int(state.landmark_valid.sum())
     lm_ids_kf0[feat_ids0] = new_ids
     kf0.landmark_ids = lm_ids_kf0
 
@@ -693,13 +700,15 @@ def _kf_fused_complete(state: VOState, fetched, ctx):
     ok_slots = np.nonzero(ok)[0]
     new_ids = np.empty(0, np.int64)
     if ok_slots.size:
-        new_ids = np.arange(
-            state.num_landmarks, state.num_landmarks + ok_slots.size
-        )
+        # first free slots (== the old arange(num_landmarks, ...) on a pure
+        # host state; correct when culled slots have left holes — VOState
+        # mirrors of the device engine reuse slots, so num_landmarks is an
+        # occupancy COUNT, not an allocation watermark)
+        new_ids = np.nonzero(~state.landmark_valid)[0][: ok_slots.size]
         src = X[Lp + ok_slots] if ba_valid else Xc[ok_slots]
         state.landmarks[new_ids] = src
         state.landmark_valid[new_ids] = True
-        state.num_landmarks += ok_slots.size
+        state.num_landmarks = int(state.landmark_valid.sum())
         kf_prev.landmark_ids[ok_slots] = new_ids
         lm_ids[np.maximum(idx, 0)[ok_slots]] = new_ids
 

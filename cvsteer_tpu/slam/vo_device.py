@@ -49,7 +49,7 @@ from jax import lax
 
 from cvsteer_tpu.features.frontend import Features
 from cvsteer_tpu.features.matching import match_descriptors
-from cvsteer_tpu.geometry.camera import Intrinsics, undistort_normalized
+from cvsteer_tpu.geometry.camera import normalize_pixels
 from cvsteer_tpu.geometry.pose import triangulate
 from cvsteer_tpu.slam import vo as hostvo
 from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust, refine_pose
@@ -63,6 +63,12 @@ class DeviceMap(NamedTuple):
     X        [Lmax, 3]   landmark positions (slot-indexed; slots == the
                          host mirror's landmark ids).
     lm_valid [Lmax]      slot occupancy (culled slots are reused).
+    lm_gen   [Lmax]      slot generation (int32), bumped when the slot's
+                         landmark is CULLED: an observation stamped with
+                         an older generation refers to a previous tenant
+                         of the slot and must not be trusted (out-of-ring
+                         host keyframes are invalidated against this at
+                         sync cadence).
     kf_uv    [W, N, 2]   window keyframes' normalized (undistorted) pixels.
     kf_fvalid[W, N]      feature validity per window keyframe.
     kf_obs   [W, N]      feature -> landmark slot (-1 = none), int32.
@@ -75,6 +81,7 @@ class DeviceMap(NamedTuple):
 
     X: jax.Array
     lm_valid: jax.Array
+    lm_gen: jax.Array
     kf_uv: jax.Array
     kf_fvalid: jax.Array
     kf_obs: jax.Array
@@ -101,14 +108,10 @@ class StepOut(NamedTuple):
     kf_R: jax.Array  # [W, 3, 3] (BA-refined on promotion)
     kf_t: jax.Array  # [W, 3]
     obs_new: jax.Array  # [N] the NEW keyframe's obs table (post-culling)
+    obs_gen: jax.Array  # [N] generation stamps paired with obs_new
     lm_count: jax.Array  # occupied landmark slots
 
 
-def _normalize(yx, K4, dist):
-    uv = jnp.stack([(yx[:, 1] - K4[2]) / K4[0], (yx[:, 0] - K4[3]) / K4[1]], -1)
-    if any(float(d) != 0.0 for d in dist):  # static branch
-        uv = undistort_normalized(uv, dist)
-    return uv
 
 
 def _free_slots(lm_valid):
@@ -127,14 +130,17 @@ def _free_slots(lm_valid):
 def _window_ba(m: DeviceMap, *, iterations, huber_delta):
     """Windowed Schur BA over the ring's landmark-slot union.
 
-    Columns are the SORTED flattened observation tables ([W*N] entries,
-    invalid -> Lmax sentinel); duplicate slots keep only their first
-    occurrence (searchsorted maps every observation there), so the grid is
-    compile-once static at [W, W*N] with dead columns masked. Returns the
-    updated map (+ the union bookkeeping for culling)."""
+    The union comes from SORTING the flattened observation tables ([W*N]
+    entries, invalid -> Lmax sentinel) and keeping first occurrences, then
+    COMPACTING those to the front by prefix-sum rank: the grid is
+    compile-once static at [W, min(W*N, Lmax)] columns. The compaction is
+    lossless — there can never be more distinct live slots than Lmax —
+    and matters for large feature capacities (the default frontend's
+    W*N = 10240 raw columns vs a 4096-slot map). Returns the updated map."""
     W, N = m.kf_obs.shape
     Lmax = m.X.shape[0]
     WN = W * N
+    L_cap = min(WN, Lmax)
 
     obs_ok = m.kf_live[:, None] & m.kf_fvalid & (m.kf_obs >= 0)
     flat = jnp.where(obs_ok, m.kf_obs, Lmax).reshape(-1)  # [W*N]
@@ -142,19 +148,27 @@ def _window_ba(m: DeviceMap, *, iterations, huber_delta):
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_slots[1:] != sorted_slots[:-1]]
     )
-    col_ok = first & (sorted_slots < Lmax)
+    uniq = first & (sorted_slots < Lmax)
+    rank = jnp.cumsum(uniq.astype(jnp.int32)) - 1  # [WN], < Lmax always
 
-    col_of = jnp.searchsorted(sorted_slots, m.kf_obs).astype(jnp.int32)
+    # compacted column -> slot id (Lmax sentinel for dead columns)
+    comp = jnp.full((L_cap + 1,), Lmax, jnp.int32)
+    comp = comp.at[jnp.where(uniq, rank, L_cap)].set(
+        sorted_slots.astype(jnp.int32)
+    )[:L_cap]
+    col_ok = comp < Lmax
+
+    # per-observation compacted column: first-occurrence rank of its slot
+    p = jnp.searchsorted(sorted_slots, m.kf_obs).astype(jnp.int32)
+    col_of = rank[p]
     cam = jnp.arange(W)[:, None]
-    tgt = jnp.where(obs_ok, col_of, WN)  # WN = dump column
-    uv_grid = jnp.zeros((W, WN + 1, 2), m.kf_uv.dtype)
-    uv_grid = uv_grid.at[cam, tgt].set(m.kf_uv)[:, :WN]
-    mask = jnp.zeros((W, WN + 1), bool).at[cam, tgt].set(obs_ok)[:, :WN]
+    tgt = jnp.where(obs_ok, col_of, L_cap)  # L_cap = dump column
+    uv_grid = jnp.zeros((W, L_cap + 1, 2), m.kf_uv.dtype)
+    uv_grid = uv_grid.at[cam, tgt].set(m.kf_uv)[:, :L_cap]
+    mask = jnp.zeros((W, L_cap + 1), bool).at[cam, tgt].set(obs_ok)[:, :L_cap]
     mask = mask & col_ok[None, :]
 
-    X_cols = jnp.where(
-        col_ok[:, None], m.X[jnp.minimum(sorted_slots, Lmax - 1)], 0.0
-    )
+    X_cols = jnp.where(col_ok[:, None], m.X[jnp.minimum(comp, Lmax - 1)], 0.0)
 
     # Gauge: padding ring slots held fixed; the two oldest REAL keyframes
     # pin rotation/translation and monocular scale (matches slam.vo).
@@ -177,7 +191,7 @@ def _window_ba(m: DeviceMap, *, iterations, huber_delta):
     kf_t = jnp.where(ba_ok, final.t, m.kf_t)
     X_pad = jnp.concatenate([m.X, jnp.zeros((1, 3), m.X.dtype)])
     wb = ba_ok & col_ok
-    X = X_pad.at[jnp.where(wb, sorted_slots, Lmax)].set(
+    X = X_pad.at[jnp.where(wb, comp, Lmax)].set(
         jnp.where(wb[:, None], final.X, 0.0)
     )[:Lmax]
 
@@ -191,13 +205,17 @@ def _window_ba(m: DeviceMap, *, iterations, huber_delta):
     bar = 3.0 * max(float(huber_delta), 1e-4)
     bad = ba_ok & col_ok & (nobs > 0) & (mean_err > bar)
     culled = jnp.zeros((Lmax + 1,), bool)
-    culled = culled.at[jnp.where(bad, sorted_slots, Lmax)].set(bad)[:Lmax]
+    culled = culled.at[jnp.where(bad, comp, Lmax)].set(bad)[:Lmax]
 
     lm_valid = m.lm_valid & ~culled
+    # bump the culled slots' generation: future tenants are distinguishable
+    # from stale out-of-ring observations of the dead landmark
+    lm_gen = m.lm_gen + culled.astype(jnp.int32)
     obs_culled = (m.kf_obs >= 0) & culled[jnp.maximum(m.kf_obs, 0)]
     kf_obs = jnp.where(obs_culled, -1, m.kf_obs)
     return m._replace(
-        X=X, lm_valid=lm_valid, kf_obs=kf_obs, kf_R=kf_R, kf_t=kf_t
+        X=X, lm_valid=lm_valid, lm_gen=lm_gen, kf_obs=kf_obs,
+        kf_R=kf_R, kf_t=kf_t,
     )
 
 
@@ -274,8 +292,9 @@ def _device_step_body(
     ba_iterations,
 ):
     """The whole VO frame in one dispatch; see module docstring."""
-    K4 = (float(K.fx), float(K.fy), float(K.cx), float(K.cy))
-    uv_new = _normalize(yx, K4, K.dist)
+    # K is static here, so the shared camera helper applies directly (its
+    # distortion branch is compile-time) — no third copy of the formula
+    uv_new = normalize_pixels(yx, K)
 
     # --- tracking: match to the latest keyframe, motion-only PnP.
     idx = match_descriptors(
@@ -316,9 +335,11 @@ def _device_step_body(
         lambda mm: mm,
         m,
     )
+    obs_new = m2.kf_obs[-1]
     out = StepOut(
         R=R, t=t, n_tracked=n, n_valid=n_valid, promoted=promote, lost=lost,
-        kf_R=m2.kf_R, kf_t=m2.kf_t, obs_new=m2.kf_obs[-1],
+        kf_R=m2.kf_R, kf_t=m2.kf_t, obs_new=obs_new,
+        obs_gen=m2.lm_gen[jnp.maximum(obs_new, 0)],
         lm_count=jnp.sum(m2.lm_valid.astype(jnp.int32)),
     )
     return m2, out
@@ -391,6 +412,9 @@ class DeviceVO:
         self.state: VOState = init_vo(config)
         self.map: Optional[DeviceMap] = None
         self._host_dirty = False  # device holds newer landmark positions
+        # host mirror of the slot-generation array (fetched at sync
+        # cadence; zeros before the first upload)
+        self._lm_gen = np.zeros(config.max_landmarks, np.int32)
 
     @property
     def initialized(self) -> bool:
@@ -418,9 +442,19 @@ class DeviceVO:
             obs[w] = kf.landmark_ids.astype(np.int32)
             Rw[w], tw[w] = kf.R, kf.t
             lv[w] = True
+        # host-path keyframes (bootstrap/relocalization promotions) carry
+        # no generation stamps yet; their ids are live RIGHT NOW, so the
+        # current mirror generations are the correct stamps
+        for kf in st.keyframes:
+            if kf.landmark_gens is None:
+                ids = kf.landmark_ids
+                kf.landmark_gens = np.where(
+                    ids >= 0, self._lm_gen[np.maximum(ids, 0)], 0
+                ).astype(np.int32)
         self.map = DeviceMap(
             X=jnp.asarray(st.landmarks),
             lm_valid=jnp.asarray(st.landmark_valid),
+            lm_gen=jnp.asarray(self._lm_gen),
             kf_uv=jnp.asarray(uv),
             kf_fvalid=jnp.asarray(fv),
             kf_obs=jnp.asarray(obs),
@@ -434,16 +468,32 @@ class DeviceVO:
     def sync_host(self) -> VOState:
         """Pull the full device state down into the host mirror (event
         cadence: relocalization, loop closure, checkpoint, evaluation):
-        landmark positions/occupancy AND the window keyframes' refined
-        poses + post-culling observation tables."""
+        landmark positions/occupancy/generations, the window keyframes'
+        refined poses + post-culling observation tables, and — via the
+        generation stamps — invalidation of any OUT-of-window keyframe
+        observation whose slot was culled (and possibly reused) since the
+        keyframe left the ring."""
         if self.map is not None and self._host_dirty:
-            X, lm_valid, kf_R, kf_t, kf_obs = jax.device_get((
-                self.map.X, self.map.lm_valid,
+            X, lm_valid, lm_gen, kf_R, kf_t, kf_obs = jax.device_get((
+                self.map.X, self.map.lm_valid, self.map.lm_gen,
                 self.map.kf_R, self.map.kf_t, self.map.kf_obs,
             ))
             self.state.landmarks[:] = X
             self.state.landmark_valid[:] = lm_valid
             self.state.num_landmarks = int(lm_valid.sum())
+            self._lm_gen = lm_gen
+            for kf in self.state.keyframes:
+                ids = kf.landmark_ids
+                live = ids >= 0
+                if not live.any():
+                    continue
+                ids0 = np.maximum(ids, 0)
+                stale = live & ~lm_valid[ids0]
+                if kf.landmark_gens is not None:
+                    stale |= live & (lm_gen[ids0] != kf.landmark_gens)
+                if stale.any():
+                    kf.landmark_ids = np.where(stale, -1, ids)
+                    kf.track_cache = None
             self._mirror_window(kf_R, kf_t, kf_obs)
             self._host_dirty = False
         return self.state
@@ -455,7 +505,13 @@ class DeviceVO:
         for w, kf in zip(range(W - len(live), W), live):
             kf.R, kf.t = kf_R[w].copy(), kf_t[w].copy()
             if kf_obs is not None:
-                kf.landmark_ids = kf_obs[w].astype(np.int64)
+                ids = kf_obs[w].astype(np.int64)
+                kf.landmark_ids = ids
+                # ring tables are authoritative (culls already cleared):
+                # restamp with the current generations
+                kf.landmark_gens = np.where(
+                    ids >= 0, self._lm_gen[np.maximum(ids, 0)], 0
+                ).astype(np.int32)
             kf.track_cache = None  # poses/ids moved
         st.track_version += 1
 
@@ -516,10 +572,14 @@ class DeviceVO:
             kf_R = np.asarray(fetched.kf_R)
             kf_t = np.asarray(fetched.kf_t)
             st.num_landmarks = int(fetched.lm_count)
+            obs_new = np.asarray(fetched.obs_new).astype(np.int64)
             st.keyframes.append(
                 Keyframe(
                     st.frame_count, feats, kf_R[-1].copy(), kf_t[-1].copy(),
-                    np.asarray(fetched.obs_new).astype(np.int64),
+                    obs_new,
+                    landmark_gens=np.where(
+                        obs_new >= 0, np.asarray(fetched.obs_gen), 0
+                    ).astype(np.int32),
                 )
             )
             # poses refresh every promote; the OLDER window keyframes'
@@ -564,10 +624,15 @@ class DeviceVO:
 
     def adopt(self, state: VOState) -> None:
         """Take over a host VOState (e.g. a checkpoint restore): becomes
-        the mirror; uploads to device if the state is past bootstrap."""
+        the mirror; uploads to device if the state is past bootstrap.
+        Generation history does not survive a restore — every surviving
+        id is live at adoption, so stamps restart from zero."""
         self.state = state
         self.map = None
         self._host_dirty = False
+        self._lm_gen = np.zeros(state.config.max_landmarks, np.int32)
+        for kf in state.keyframes:
+            kf.landmark_gens = None  # restamped by _upload
         if state.initialized and state.keyframes:
             self._upload()
 

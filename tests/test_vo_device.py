@@ -225,8 +225,8 @@ def test_device_vo_fleet_single_stream_matches_engine():
     # the triangulation einsums), so agreement is to float noise, not bits
     for (fa_, Ra, ta), (fb_, Rb, tb) in zip(sa.trajectory, sb.trajectory):
         assert fa_ == fb_
-        np.testing.assert_allclose(Ra, Rb, atol=1e-4)
-        np.testing.assert_allclose(ta, tb, atol=1e-4)
+        np.testing.assert_allclose(Ra, Rb, rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(ta, tb, rtol=2e-4, atol=1e-4)
 
 
 def test_device_vo_fleet_parallel_streams():
@@ -362,6 +362,7 @@ def test_window_ba_refines_map_and_culls():
 
     m = DeviceMap(
         X=jnp.asarray(X), lm_valid=jnp.asarray(lm_valid),
+        lm_gen=jnp.zeros(Lmax, jnp.int32),
         kf_uv=jnp.asarray(kf_uv), kf_fvalid=jnp.asarray(kf_fvalid),
         kf_obs=jnp.asarray(kf_obs), kf_R=jnp.asarray(kf_R),
         kf_t=jnp.asarray(kf_t), kf_live=jnp.asarray(kf_live),
@@ -373,10 +374,42 @@ def test_window_ba_refines_map_and_culls():
     X_out = np.asarray(out.X)
     # both cameras fixed (first two real) -> landmarks must move to truth
     np.testing.assert_allclose(X_out[:n_lm], X_true, atol=2e-2)
-    # the irreconcilable landmark is culled everywhere
+    # the irreconcilable landmark is culled everywhere, and its slot's
+    # generation bumps so stale out-of-ring observations are detectable
     assert not bool(out.lm_valid[bogus])
     obs_out = np.asarray(out.kf_obs)
     assert (obs_out != bogus).all()
+    gen_out = np.asarray(out.lm_gen)
+    assert gen_out[bogus] == 1
+    assert (np.delete(gen_out, bogus) == 0).all()
+
+
+def test_sync_host_invalidates_stale_generation_ids():
+    """An out-of-window keyframe whose generation stamps disagree with the
+    device's slot generations (i.e. its slots were culled/reused after it
+    left the ring) must have those ids cleared at sync — the guard that
+    keeps relocalization and loop closure off dangling 2D-3D pairs."""
+    X, desc = _make_world()
+    rng = np.random.default_rng(21)
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=2, window=6, track_min_landmarks=30
+    )
+    vo = DeviceVO(cfg)
+    n_frames = 30
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        vo.process_frame(_render_features(X, desc, R, t, rng))
+    st = vo.sync_host()
+    out_of_window = st.keyframes[: -cfg.window]
+    assert out_of_window, "run too short to age a keyframe out of the ring"
+    kf = next(k for k in out_of_window if (k.landmark_ids >= 0).sum() >= 4)
+    assert kf.landmark_gens is not None
+    live_before = kf.landmark_ids >= 0
+    # pretend the keyframe observed the slots one generation EARLIER
+    kf.landmark_gens = (kf.landmark_gens - 1).astype(np.int32)
+    vo._host_dirty = True
+    vo.sync_host()
+    assert (kf.landmark_ids[live_before] == -1).all()
 
 
 def test_device_vo_fleet_sharded_matches_unsharded():
