@@ -56,6 +56,12 @@ class VOConfig(NamedTuple):
     # constant-velocity PnP initialization: helps under fast motion, but the
     # extrapolation amplifies tracking noise on easy sequences — opt-in
     motion_model: bool = False
+    # track against the device-resident per-landmark descriptor store
+    # instead of only the last keyframe's features (slam.vo_device only):
+    # landmarks observed by ANY window keyframe stay trackable, which
+    # survives feature dropout and viewpoint change that break
+    # single-keyframe matching. The host engine ignores this flag.
+    track_local_map: bool = False
 
 
 @dataclasses.dataclass

@@ -7,7 +7,7 @@ the fused triangulation+BA dispatch. On a remote/tunneled TPU each
 blocking fetch costs a full RTT (~33 ms measured), so the host design is
 RTT-bound at ~12 f/s single-stream regardless of device speed.
 
-This module is the redesign docs/DESIGN.md files under "device-resident
+This module is the redesign docs/DESIGN.md filed under "device-resident
 landmark store": the ENTIRE mutable VO state becomes a device pytree
 (:class:`DeviceMap`) carried frame to frame —
 
@@ -23,8 +23,9 @@ dispatch: match + PnP tracking, the keyframe decision (``lax.cond``), and
 — on promotion — landmark-id inheritance, DLT triangulation of fresh
 matches, cheirality/bounds/capacity gating, slot allocation, windowed
 Schur BA over the ring's landmark union, and reprojection-error culling.
-The fetch returns only poses, counters and the small mirror tables
-(~20 KB), so steady-state AND keyframe frames cost exactly 1 RTT.
+The fetch returns only poses, counters, and the new keyframe's stamped
+observation row (~2 KB), so steady-state AND keyframe frames cost
+exactly 1 RTT; full mirrors sync at event cadence.
 
 Rare events stay host-side at event cadence: two-view bootstrap,
 relocalization after tracking loss, and loop closure — each syncs the
@@ -77,6 +78,10 @@ class DeviceMap(NamedTuple):
     kf_live  [W]         ring slot holds a real keyframe (reals are
                          contiguous at the END of the ring; newest = W-1).
     kf_desc  [N, D]      latest keyframe's descriptors (matching target).
+    lm_desc  [Lmax, D]   per-landmark descriptor (most recent keyframe
+                         observation wins) — the matching target of the
+                         opt-in local-map tracking mode
+                         (VOConfig.track_local_map).
     """
 
     X: jax.Array
@@ -89,6 +94,7 @@ class DeviceMap(NamedTuple):
     kf_t: jax.Array
     kf_live: jax.Array
     kf_desc: jax.Array
+    lm_desc: jax.Array
 
 
 class StepOut(NamedTuple):
@@ -219,25 +225,29 @@ def _window_ba(m: DeviceMap, *, iterations, huber_delta):
     )
 
 
-def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, R, t,
+def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, obs_pre, R, t,
              *, iterations, huber_delta):
     """On-device keyframe promotion: inheritance, triangulation + gating +
-    slot allocation, ring shift, windowed BA, culling."""
+    slot allocation, ring shift, windowed BA, culling.
+
+    ``obs_pre [N]``: the new frame's inherited landmark associations,
+    computed by the step body (from the keyframe match in classic mode or
+    the local-map match in track_local_map mode). ``idx`` is always the
+    keyframe match — fresh-landmark triangulation needs a second view."""
     N = uv_new.shape[0]
     Lmax = m.X.shape[0]
     obs_last = m.kf_obs[-1]
     matched = idx >= 0
     idx0 = jnp.maximum(idx, 0)
+    obs_new = obs_pre
 
-    # --- landmark-id inheritance onto the new frame's feature slots.
-    inherit = matched & (obs_last >= 0)
-    obs_new = jnp.full((N + 1,), -1, jnp.int32)
-    obs_new = obs_new.at[jnp.where(inherit, idx0, N)].set(
-        jnp.where(inherit, obs_last, -1)
-    )[:N]
-
-    # --- fresh candidates: matched keyframe features with no landmark.
-    fresh = matched & (obs_last < 0) & m.kf_fvalid[-1] & fvalid[idx0]
+    # --- fresh candidates: matched keyframe features with no landmark on
+    # either side (obs_pre may carry local-map associations the keyframe
+    # table does not know about — never triangulate a duplicate).
+    fresh = (
+        matched & (obs_last < 0) & m.kf_fvalid[-1] & fvalid[idx0]
+        & (obs_new[idx0] < 0)
+    )
     enough = jnp.sum(fresh.astype(jnp.int32)) >= 8  # host skip_tri rule
     P1 = jnp.concatenate([m.kf_R[-1], m.kf_t[-1][:, None]], 1)
     P2 = jnp.concatenate([R, t[:, None]], 1)
@@ -268,6 +278,12 @@ def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, R, t,
         jnp.where(ok, slot, -1), mode="drop"
     )
 
+    # --- refresh the landmark descriptor store: the new keyframe's
+    # descriptor becomes each observed landmark's matching target.
+    D = desc.shape[1]
+    lmd = jnp.concatenate([m.lm_desc, jnp.zeros((1, D), m.lm_desc.dtype)])
+    lm_desc = lmd.at[jnp.where(obs_new >= 0, obs_new, Lmax)].set(desc)[:Lmax]
+
     # --- shift the ring, insert the new keyframe at W-1.
     def shift(a, new_row):
         return jnp.roll(a, -1, axis=0).at[-1].set(new_row)
@@ -282,6 +298,7 @@ def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, R, t,
         kf_t=shift(m.kf_t, t),
         kf_live=shift(m.kf_live, jnp.asarray(True)),
         kf_desc=desc,
+        lm_desc=lm_desc,
     )
     return _window_ba(m, iterations=iterations, huber_delta=huber_delta)
 
@@ -289,31 +306,55 @@ def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, R, t,
 def _device_step_body(
     m: DeviceMap, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
-    ba_iterations,
+    ba_iterations, local_map=False,
 ):
     """The whole VO frame in one dispatch; see module docstring."""
+    N = yx.shape[0]
+    Lmax = m.X.shape[0]
     # K is static here, so the shared camera helper applies directly (its
     # distortion branch is compile-time) — no third copy of the formula
     uv_new = normalize_pixels(yx, K)
 
-    # --- tracking: match to the latest keyframe, motion-only PnP.
+    # --- the keyframe match (always needed: fresh-landmark triangulation
+    # at promotion requires associations to the PREVIOUS view).
     idx = match_descriptors(
         m.kf_desc, m.kf_fvalid[-1], desc, fvalid, ratio=ratio
     ).index
     obs_last = m.kf_obs[-1]
-    use = (idx >= 0) & (obs_last >= 0)
-    X_slots = jnp.where(
-        (obs_last >= 0)[:, None], m.X[jnp.maximum(obs_last, 0)], 0.0
-    )
-    uv = jnp.where(use[:, None], uv_new[jnp.maximum(idx, 0)], 0.0)
+
+    if local_map:  # static: match the frame against the landmark store
+        idx_lm = match_descriptors(
+            m.lm_desc, m.lm_valid, desc, fvalid, ratio=ratio
+        ).index  # [Lmax] -> new-frame feature
+        use = idx_lm >= 0
+        X_t = m.X
+        uv_t = jnp.where(use[:, None], uv_new[jnp.maximum(idx_lm, 0)], 0.0)
+        # inherited associations for a potential promotion
+        obs_pre = jnp.full((N + 1,), -1, jnp.int32)
+        obs_pre = obs_pre.at[jnp.where(use, idx_lm, N)].set(
+            jnp.where(use, jnp.arange(Lmax, dtype=jnp.int32), -1)
+        )[:N]
+    else:
+        use = (idx >= 0) & (obs_last >= 0)
+        X_t = jnp.where(
+            (obs_last >= 0)[:, None], m.X[jnp.maximum(obs_last, 0)], 0.0
+        )
+        uv_t = jnp.where(use[:, None], uv_new[jnp.maximum(idx, 0)], 0.0)
+        idx0 = jnp.maximum(idx, 0)
+        inherit = (idx >= 0) & (obs_last >= 0)
+        obs_pre = jnp.full((N + 1,), -1, jnp.int32)
+        obs_pre = obs_pre.at[jnp.where(inherit, idx0, N)].set(
+            jnp.where(inherit, obs_last, -1)
+        )[:N]
+
     R, t, inl = refine_pose(
-        X_slots, uv, use, Rp, tp,
+        X_t, uv_t, use, Rp, tp,
         iterations=track_iters, huber_delta=huber_delta, lam0=1e-4,
     )
     n = jnp.sum(inl)
     if dual_init:  # static: also try from the keyframe pose, pick on-device
         Rb, tb, ib = refine_pose(
-            X_slots, uv, use, m.kf_R[-1], m.kf_t[-1],
+            X_t, uv_t, use, m.kf_R[-1], m.kf_t[-1],
             iterations=track_iters, huber_delta=huber_delta, lam0=1e-4,
         )
         nb = jnp.sum(ib)
@@ -329,7 +370,7 @@ def _device_step_body(
     m2 = lax.cond(
         promote,
         lambda mm: _promote(
-            mm, uv_new, desc, fvalid, idx, R, t,
+            mm, uv_new, desc, fvalid, idx, obs_pre, R, t,
             iterations=ba_iterations, huber_delta=huber_delta,
         ),
         lambda mm: mm,
@@ -352,7 +393,7 @@ _device_step = functools.partial(
     jax.jit,
     static_argnames=(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
-        "dual_init", "ba_iterations",
+        "dual_init", "ba_iterations", "local_map",
     ),
 )(_device_step_body)
 
@@ -360,7 +401,7 @@ _device_step = functools.partial(
 def _fleet_step_body(
     ms, active, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
-    ba_iterations,
+    ba_iterations, local_map=False,
 ):
     """vmapped fleet step over stacked DeviceMaps.
 
@@ -378,6 +419,7 @@ def _fleet_step_body(
             K=K, ratio=ratio, track_iters=track_iters,
             huber_delta=huber_delta, min_track=min_track,
             dual_init=dual_init, ba_iterations=ba_iterations,
+            local_map=local_map,
         )
         m2 = jax.tree.map(
             lambda new, old: jnp.where(a, new, old), m2, m
@@ -391,7 +433,7 @@ _fleet_step = functools.partial(
     jax.jit,
     static_argnames=(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
-        "dual_init", "ba_iterations",
+        "dual_init", "ba_iterations", "local_map",
     ),
 )(_fleet_step_body)
 
@@ -436,12 +478,20 @@ class DeviceVO:
         Rw = np.broadcast_to(np.eye(3, dtype=np.float32), (W, 3, 3)).copy()
         tw = np.zeros((W, 3), np.float32)
         lv = np.zeros((W,), bool)
+        D = int(kf_last.features.desc.shape[-1])
+        lm_desc = np.zeros((cfg.max_landmarks, D), np.float32)
         for w, kf in zip(range(W - len(live), W), live):
             x, v = hostvo._kf_host_cache(st, kf)
             uv[w], fv[w] = x, v
             obs[w] = kf.landmark_ids.astype(np.int32)
             Rw[w], tw[w] = kf.R, kf.t
             lv[w] = True
+            # landmark descriptor store: newest window observation wins
+            # (iteration runs oldest -> newest)
+            ids = kf.landmark_ids
+            sel = ids >= 0
+            if sel.any():
+                lm_desc[ids[sel]] = np.asarray(kf.features.desc)[sel]
         # host-path keyframes (bootstrap/relocalization promotions) carry
         # no generation stamps yet; their ids are live RIGHT NOW, so the
         # current mirror generations are the correct stamps
@@ -462,6 +512,7 @@ class DeviceVO:
             kf_t=jnp.asarray(tw),
             kf_live=jnp.asarray(lv),
             kf_desc=kf_last.features.desc,
+            lm_desc=jnp.asarray(lm_desc),
         )
         self._host_dirty = False
 
@@ -550,6 +601,7 @@ class DeviceVO:
             K=K, ratio=cfg.match_ratio, track_iters=10,
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             dual_init=dual, ba_iterations=cfg.ba_iterations,
+            local_map=cfg.track_local_map,
         )
         self._host_dirty = True
         return out
@@ -840,6 +892,7 @@ class DeviceVOFleet:
             K=cfg.intrinsics, ratio=cfg.match_ratio, track_iters=10,
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             dual_init=cfg.motion_model, ba_iterations=cfg.ba_iterations,
+            local_map=cfg.track_local_map,
         )
         fetched: StepOut = jax.device_get(out)  # ONE round-trip, all streams
 

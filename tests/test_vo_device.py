@@ -366,7 +366,7 @@ def test_window_ba_refines_map_and_culls():
         kf_uv=jnp.asarray(kf_uv), kf_fvalid=jnp.asarray(kf_fvalid),
         kf_obs=jnp.asarray(kf_obs), kf_R=jnp.asarray(kf_R),
         kf_t=jnp.asarray(kf_t), kf_live=jnp.asarray(kf_live),
-        kf_desc=jnp.zeros((N, 8)),
+        kf_desc=jnp.zeros((N, 8)), lm_desc=jnp.zeros((Lmax, 8)),
     )
     out = jax.jit(
         lambda mm: _window_ba(mm, iterations=15, huber_delta=0.05)
@@ -382,6 +382,48 @@ def test_window_ba_refines_map_and_culls():
     gen_out = np.asarray(out.lm_gen)
     assert gen_out[bogus] == 1
     assert (np.delete(gen_out, bogus) == 0).all()
+
+
+def test_device_vo_local_map_tracking():
+    """track_local_map=True matches frames against the per-landmark
+    descriptor store instead of only the last keyframe. On the clean
+    stream it must be as accurate as classic tracking; under heavy random
+    feature DROPOUT (the failure mode single-keyframe matching is weakest
+    against — shared features between consecutive views shrink
+    quadratically) it must keep tracking where accuracy bars still hold."""
+    X, desc = _make_world()
+    cfg_lm = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30,
+        track_local_map=True,
+    )
+
+    def run(cfg, drop=0.0, seed=42):
+        rng = np.random.default_rng(seed)
+        drop_rng = np.random.default_rng(1000 + seed)
+        vo = DeviceVO(cfg)
+        gt = []
+        n_frames = 30
+        for k in range(n_frames):
+            R, t = _gt_pose(k, n_frames)
+            gt.append((R, t))
+            feats = _render_features(X, desc, R, t, rng)
+            if drop > 0.0 and k > 6:  # keep the bootstrap clean
+                keep = drop_rng.random(N_CAP) > drop
+                feats = feats._replace(
+                    valid=feats.valid & jnp.asarray(keep)
+                )
+            vo.process_frame(feats)
+        state = vo.finalize()
+        gt_R = np.stack([g[0] for g in gt])
+        gt_t = np.stack([g[1] for g in gt])
+        Rs, ts = state.poses()
+        return float(ate_rmse(Rs, ts, gt_R, gt_t, align_scale=True))
+
+    # clean stream: local-map mode holds the same cm-level bar
+    assert run(cfg_lm) < 0.05
+    # 50% random dropout: local-map tracking stays accurate
+    ate_lm = run(cfg_lm, drop=0.5)
+    assert ate_lm < 0.1, f"local-map dropout ATE {ate_lm:.4f} m"
 
 
 def test_device_vo_motion_model_and_distortion():
