@@ -195,6 +195,7 @@ def _vo_config(cfg):
         loop_min_inliers=cfg.slam.loop_min_inliers,
         loop_robust_delta=cfg.slam.loop_robust_delta,
         motion_model=cfg.slam.motion_model,
+        track_local_map=cfg.slam.track_local_map,
     )
 
 

@@ -97,6 +97,10 @@ class SlamConfig:
     loop_min_inliers: int = 25
     loop_robust_delta: float = 0.0
     motion_model: bool = False
+    # device engine (--engine device) only: track against the per-landmark
+    # descriptor store instead of only the last keyframe (robust to
+    # feature dropout / viewpoint change)
+    track_local_map: bool = False
 
 
 @dataclasses.dataclass
