@@ -384,6 +384,45 @@ def test_window_ba_refines_map_and_culls():
     assert (np.delete(gen_out, bogus) == 0).all()
 
 
+def test_device_vo_capacity_pressure_soak():
+    """A tiny landmark budget (192 slots vs ~256 features/frame) keeps the
+    allocator under constant capacity pressure — every promotion hits the
+    cumsum capacity gate and culling/reuse churns slots. The run must stay
+    finite and coherent: ids always in range, generation stamps consistent
+    after sync, and the trajectory still tracks."""
+    X, desc = _make_world()
+    rng = np.random.default_rng(13)
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=3, window=6, track_min_landmarks=30,
+        max_landmarks=192,
+    )
+    vo = DeviceVO(cfg)
+    n_frames = 45
+    gt = []
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        gt.append((R, t))
+        vo.process_frame(_render_features(X, desc, R, t, rng))
+    state = vo.finalize()
+    assert state.initialized
+    assert len(state.trajectory) == n_frames
+    assert 0 < state.num_landmarks <= 192
+    lm_gen = vo._lm_gen
+    for kf in state.keyframes:
+        ids = kf.landmark_ids
+        assert ((ids >= -1) & (ids < 192)).all()
+        live = ids >= 0
+        if kf.landmark_gens is not None and live.any():
+            # post-sync invariant: surviving ids carry current generations
+            assert (lm_gen[ids[live]] == kf.landmark_gens[live]).all()
+            assert state.landmark_valid[ids[live]].all()
+    Rs, ts = state.poses()
+    gt_R = np.stack([g[0] for g in gt])
+    gt_t = np.stack([g[1] for g in gt])
+    ate = ate_rmse(Rs, ts, gt_R, gt_t, align_scale=True)
+    assert np.isfinite(ate) and ate < 0.3, f"soak ATE {ate:.4f} m"
+
+
 def test_device_vo_local_map_tracking():
     """track_local_map=True matches frames against the per-landmark
     descriptor store instead of only the last keyframe. On the clean
