@@ -303,12 +303,30 @@ def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, obs_pre, R, t,
     return _window_ba(m, iterations=iterations, huber_delta=huber_delta)
 
 
-def _device_step_body(
+class _TrackOut(NamedTuple):
+    """Track-phase intermediates the promotion phase consumes (plus the
+    per-frame flags). Split out so the fleet can vmap tracking every tick
+    but run the (much heavier) promotion under a SCALAR ``lax.cond`` on
+    "any stream promotes" — under vmap a per-stream cond lowers to a
+    select that executes the window BA for the whole batch every tick."""
+
+    uv_new: jax.Array  # [N, 2] normalized pixels of this frame
+    idx: jax.Array  # [N] keyframe match (landmark triangulation pairs)
+    obs_pre: jax.Array  # [N] inherited landmark associations
+    R: jax.Array
+    t: jax.Array
+    n: jax.Array  # PnP inlier count
+    n_valid: jax.Array
+    lost: jax.Array
+    promote: jax.Array
+
+
+def _track_phase(
     m: DeviceMap, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
-    ba_iterations, local_map=False,
-):
-    """The whole VO frame in one dispatch; see module docstring."""
+    local_map=False,
+) -> _TrackOut:
+    """Match + PnP tracking + the keyframe decision. Pure read of ``m``."""
     N = yx.shape[0]
     Lmax = m.X.shape[0]
     # K is static here, so the shared camera helper applies directly (its
@@ -366,11 +384,28 @@ def _device_step_body(
     n_valid = jnp.sum(fvalid.astype(jnp.int32))
     lost = n < 8
     promote = (~lost) & ((n < min_track) | force_kf) & (n_valid >= 16)
+    return _TrackOut(
+        uv_new=uv_new, idx=idx, obs_pre=obs_pre, R=R, t=t,
+        n=n, n_valid=n_valid, lost=lost, promote=promote,
+    )
 
+
+def _device_step_body(
+    m: DeviceMap, yx, desc, fvalid, Rp, tp, force_kf,
+    *, K, ratio, track_iters, huber_delta, min_track, dual_init,
+    ba_iterations, local_map=False,
+):
+    """The whole VO frame in one dispatch; see module docstring."""
+    tr = _track_phase(
+        m, yx, desc, fvalid, Rp, tp, force_kf,
+        K=K, ratio=ratio, track_iters=track_iters,
+        huber_delta=huber_delta, min_track=min_track,
+        dual_init=dual_init, local_map=local_map,
+    )
     m2 = lax.cond(
-        promote,
+        tr.promote,
         lambda mm: _promote(
-            mm, uv_new, desc, fvalid, idx, obs_pre, R, t,
+            mm, tr.uv_new, desc, fvalid, tr.idx, tr.obs_pre, tr.R, tr.t,
             iterations=ba_iterations, huber_delta=huber_delta,
         ),
         lambda mm: mm,
@@ -378,7 +413,8 @@ def _device_step_body(
     )
     obs_new = m2.kf_obs[-1]
     out = StepOut(
-        R=R, t=t, n_tracked=n, n_valid=n_valid, promoted=promote, lost=lost,
+        R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
+        promoted=tr.promote, lost=tr.lost,
         kf_R=m2.kf_R, kf_t=m2.kf_t, obs_new=obs_new,
         obs_gen=m2.lm_gen[jnp.maximum(obs_new, 0)],
         lm_count=jnp.sum(m2.lm_valid.astype(jnp.int32)),
@@ -407,26 +443,53 @@ def _fleet_step_body(
 
     ``active [S]`` masks streams whose slot holds live state — inactive
     slots' carries pass through unchanged (their outputs are garbage and
-    ignored host-side). Under vmap the promotion ``lax.cond`` lowers to a
-    select that evaluates BOTH branches for the whole batch, so the fleet
-    pays the windowed-BA compute every tick; that is the deliberate trade:
-    device compute is cheap next to the per-stream dispatch/fetch RPCs the
-    batching removes."""
+    ignored host-side). Tracking vmaps every tick, but the (much heavier)
+    promotion — triangulation + slot allocation + windowed BA + culling —
+    runs under a SCALAR ``lax.cond`` on "any active stream promotes": a
+    per-stream cond under vmap would lower to a select that executes the
+    window BA for the whole batch EVERY tick, whereas keyframes are sparse
+    (a few percent of ticks). When at least one stream promotes, the
+    batched promotion runs once for the fleet with per-stream masking."""
 
-    def one(m, a, yx1, d1, fv1, Rp1, tp1, f1):
-        m2, out = _device_step_body(
+    tr = jax.vmap(
+        lambda m, yx1, d1, fv1, Rp1, tp1, f1: _track_phase(
             m, yx1, d1, fv1, Rp1, tp1, f1,
             K=K, ratio=ratio, track_iters=track_iters,
             huber_delta=huber_delta, min_track=min_track,
-            dual_init=dual_init, ba_iterations=ba_iterations,
-            local_map=local_map,
+            dual_init=dual_init, local_map=local_map,
         )
-        m2 = jax.tree.map(
-            lambda new, old: jnp.where(a, new, old), m2, m
-        )
-        return m2, out
+    )(ms, yx, desc, fvalid, Rp, tp, force_kf)
 
-    return jax.vmap(one)(ms, active, yx, desc, fvalid, Rp, tp, force_kf)
+    do_promote = tr.promote & active  # [S]
+
+    def promote_all(ms_in):
+        def one(m, p, uv1, d1, fv1, i1, o1, R1, t1):
+            m2 = _promote(
+                m, uv1, d1, fv1, i1, o1, R1, t1,
+                iterations=ba_iterations, huber_delta=huber_delta,
+            )
+            return jax.tree.map(
+                lambda new, old: jnp.where(p, new, old), m2, m
+            )
+
+        return jax.vmap(one)(
+            ms_in, do_promote, tr.uv_new, desc, fvalid,
+            tr.idx, tr.obs_pre, tr.R, tr.t,
+        )
+
+    ms2 = lax.cond(jnp.any(do_promote), promote_all, lambda x: x, ms)
+
+    obs_new = ms2.kf_obs[:, -1]  # [S, N]
+    out = StepOut(
+        R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
+        promoted=tr.promote, lost=tr.lost,
+        kf_R=ms2.kf_R, kf_t=ms2.kf_t, obs_new=obs_new,
+        obs_gen=jnp.take_along_axis(
+            ms2.lm_gen, jnp.maximum(obs_new, 0), axis=1
+        ),
+        lm_count=jnp.sum(ms2.lm_valid.astype(jnp.int32), axis=1),
+    )
+    return ms2, out
 
 
 _fleet_step = functools.partial(
