@@ -360,12 +360,15 @@ def bench_vo_device():
     return (N_FRAMES - WARM) / dt, ate
 
 
-def bench_vo_device_server(n_streams: int = 8, fleet: bool = True):
+def bench_vo_device_server(n_streams: int = 8, fleet: bool = True,
+                           pipeline: bool = False):
     """Aggregate frames/s for a device-resident serving fleet.
 
     ``fleet=True``: DeviceVOFleet — stacked maps, ONE vmapped dispatch +
     ONE fetch per tick for all streams. ``fleet=False``: DeviceVOServer —
-    per-stream dispatches, one shared fetch."""
+    per-stream dispatches, one shared fetch. ``pipeline=True``: the fleet
+    fetches with one-tick lag (device-side pose prediction), hiding the
+    tunnel RTT behind device compute."""
     import numpy as np
 
     from cvsteer_tpu.geometry.camera import Intrinsics
@@ -388,8 +391,10 @@ def bench_vo_device_server(n_streams: int = 8, fleet: bool = True):
          for s in range(n_streams)]
         for R, t in (_gt_pose(k, N_FRAMES) for k in range(N_FRAMES))
     ]
-    cls = DeviceVOFleet if fleet else DeviceVOServer
-    srv = cls(cfg, n_streams=n_streams)
+    if fleet:
+        srv = DeviceVOFleet(cfg, n_streams=n_streams, pipeline=pipeline)
+    else:
+        srv = DeviceVOServer(cfg, n_streams=n_streams)
     for k in range(WARM):
         srv.step(frames[k])
     t0 = time.perf_counter()

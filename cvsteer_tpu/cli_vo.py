@@ -45,6 +45,12 @@ def main(argv=None) -> int:
              "device-resident map, one dispatch + one fetch per frame "
              "(slam.vo_device; fastest on remote/tunneled accelerators)",
     )
+    ap.add_argument(
+        "--pipeline", action="store_true",
+        help="serving mode + --engine device: fetch with one-tick lag "
+             "(device-side pose prediction) so the tunnel RTT hides "
+             "behind device compute; host mirrors update one tick late",
+    )
     ap.add_argument("--checkpoint-dir", default="")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--verbose", action="store_true")
@@ -267,7 +273,7 @@ def _run_server(args, cfg, roots) -> int:
         # whole fleet (all streams share vo_cfg, as the CLI guarantees)
         from cvsteer_tpu.slam.vo_device import DeviceVOFleet
 
-        srv = DeviceVOFleet(vo_cfg, n_streams=n)
+        srv = DeviceVOFleet(vo_cfg, n_streams=n, pipeline=args.pipeline)
         engines = srv.engines
     else:
         srv = VOServer(vo_cfg, n_streams=n)

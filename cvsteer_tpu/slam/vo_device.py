@@ -501,6 +501,150 @@ _fleet_step = functools.partial(
 )(_fleet_step_body)
 
 
+class _FleetAux(NamedTuple):
+    """Per-stream DEVICE-side control state for the pipelined fleet.
+
+    The classic fleet tick reads host-mirror state (constant-velocity
+    pose prediction, the keyframe-gap force flag) before every dispatch,
+    so dispatch k cannot be issued until tick k-1's fetch has landed —
+    the tick is serialized on the tunnel RTT. Holding this state on
+    device makes a tick's dispatch depend ONLY on that tick's features,
+    which lets the fleet fetch with one-tick lag (dispatch k, then fetch
+    k-1) and hide the RTT behind device compute.
+
+    R1/t1    [S,3,3]/[S,3]  pose at the last tracked frame.
+    R0/t0                   pose one frame before that.
+    traj_n   [S] int32      how many of those are real (0..2).
+    since_kf [S] int32      frames since the last keyframe (host
+                            convention: frame_count - kf.index).
+    block    [S] bool       the PREVIOUS tick promoted or lost: promotion
+                            is suppressed for one tick so a ring mutation
+                            can never outrun the (lagged) host mirror —
+                            the host processes tick k-1's events after
+                            tick k was already dispatched.
+    """
+
+    R1: jax.Array
+    t1: jax.Array
+    R0: jax.Array
+    t0: jax.Array
+    traj_n: jax.Array
+    since_kf: jax.Array
+    block: jax.Array
+
+
+def _predict_pose_dev(R1, t1, R0, t0, traj_n, kfR, kft):
+    """Device mirror of hostvo._predict_pose (slam/vo.py:314-335):
+    constant-velocity extrapolation with the same finiteness and
+    plausibility guards, falling back to the keyframe pose."""
+    R_rel = R1 @ R0.T
+    t_rel = t1 - R_rel @ t0
+    cos = jnp.clip(0.5 * (jnp.trace(R_rel) - 1.0), -1.0, 1.0)
+    fin = (
+        jnp.isfinite(R1).all() & jnp.isfinite(t1).all()
+        & jnp.isfinite(R0).all() & jnp.isfinite(t0).all()
+    )
+    ok = (
+        (traj_n >= 2) & fin
+        & (jnp.degrees(jnp.arccos(cos)) <= 30.0)
+        & (jnp.linalg.norm(t_rel) <= 10.0)
+    )
+    Rp = jnp.where(ok, R_rel @ R1, kfR)
+    tp = jnp.where(ok, R_rel @ t1 + t_rel, kft)
+    return Rp, tp
+
+
+def _fleet_step_pipe_body(
+    ms, aux: _FleetAux, active, yx, desc, fvalid,
+    *, K, ratio, track_iters, huber_delta, min_track, kf_max_gap,
+    motion_model, ba_iterations, local_map=False,
+):
+    """Pipelined fleet tick: like _fleet_step_body, but pose prediction
+    and the keyframe-gap force flag come from device-side ``aux`` instead
+    of host inputs, and promotion is additionally suppressed for one tick
+    after a promote/lost (``aux.block``) so the lagged host mirror never
+    falls more than one ring mutation behind."""
+
+    def one_track(m, ax, yx1, d1, fv1):
+        kfR, kft = m.kf_R[-1], m.kf_t[-1]
+        if motion_model:  # static
+            Rp, tp = _predict_pose_dev(
+                ax.R1, ax.t1, ax.R0, ax.t0, ax.traj_n, kfR, kft
+            )
+        else:
+            Rp, tp = kfR, kft
+        force = ax.since_kf >= kf_max_gap
+        return _track_phase(
+            m, yx1, d1, fv1, Rp, tp, force,
+            K=K, ratio=ratio, track_iters=track_iters,
+            huber_delta=huber_delta, min_track=min_track,
+            dual_init=motion_model, local_map=local_map,
+        )
+
+    tr = jax.vmap(one_track)(ms, aux, yx, desc, fvalid)
+    do_promote = tr.promote & active & ~aux.block
+
+    def promote_all(ms_in):
+        def one(m, p, uv1, d1, fv1, i1, o1, R1, t1):
+            m2 = _promote(
+                m, uv1, d1, fv1, i1, o1, R1, t1,
+                iterations=ba_iterations, huber_delta=huber_delta,
+            )
+            return jax.tree.map(
+                lambda new, old: jnp.where(p, new, old), m2, m
+            )
+
+        return jax.vmap(one)(
+            ms_in, do_promote, tr.uv_new, desc, fvalid,
+            tr.idx, tr.obs_pre, tr.R, tr.t,
+        )
+
+    ms2 = lax.cond(jnp.any(do_promote), promote_all, lambda x: x, ms)
+
+    obs_new = ms2.kf_obs[:, -1]
+    out = StepOut(
+        R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
+        promoted=do_promote, lost=tr.lost,
+        kf_R=ms2.kf_R, kf_t=ms2.kf_t, obs_new=obs_new,
+        obs_gen=jnp.take_along_axis(
+            ms2.lm_gen, jnp.maximum(obs_new, 0), axis=1
+        ),
+        lm_count=jnp.sum(ms2.lm_valid.astype(jnp.int32), axis=1),
+    )
+
+    # --- aux update (host-trajectory parity: a tracked frame appends its
+    # pose; a promoted frame's entry is the BA-refined keyframe pose).
+    fin = (
+        jnp.isfinite(tr.R).all(axis=(1, 2)) & jnp.isfinite(tr.t).all(axis=1)
+    )
+    upd = (~tr.lost) & fin & active
+    newR = jnp.where(do_promote[:, None, None], ms2.kf_R[:, -1], tr.R)
+    newt = jnp.where(do_promote[:, None], ms2.kf_t[:, -1], tr.t)
+    aux2 = _FleetAux(
+        R1=jnp.where(upd[:, None, None], newR, aux.R1),
+        t1=jnp.where(upd[:, None], newt, aux.t1),
+        R0=jnp.where(upd[:, None, None], aux.R1, aux.R0),
+        t0=jnp.where(upd[:, None], aux.t1, aux.t0),
+        traj_n=jnp.where(upd, jnp.minimum(aux.traj_n + 1, 2), aux.traj_n),
+        since_kf=jnp.where(
+            active,
+            jnp.where(do_promote, 1, aux.since_kf + 1),
+            aux.since_kf,
+        ),
+        block=jnp.where(active, do_promote | tr.lost, aux.block),
+    )
+    return ms2, aux2, out
+
+
+_fleet_step_pipe = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "ratio", "track_iters", "huber_delta", "min_track",
+        "kf_max_gap", "motion_model", "ba_iterations", "local_map",
+    ),
+)(_fleet_step_pipe_body)
+
+
 class DeviceVO:
     """Host wrapper around the device-resident VO step.
 
@@ -824,16 +968,29 @@ class DeviceVOFleet:
         n_streams: int = 8,
         mesh=None,
         mesh_axis: str = "data",
+        pipeline: bool = False,
     ):
         """``mesh``: optional jax.sharding.Mesh — shards the stream axis of
         the stacked state (and each tick's inputs) over ``mesh_axis``, so
         the fleet serves across chips. The vmapped step has NO cross-stream
         dataflow, so XLA partitions it with zero collectives: serving
-        scales linearly with chips (pure data parallelism)."""
+        scales linearly with chips (pure data parallelism).
+
+        ``pipeline=True``: fetch with one-tick lag — dispatch tick k, then
+        fetch tick k-1's result, hiding the tunnel RTT behind device
+        compute. Pose prediction and the keyframe-gap counter move into
+        device-side :class:`_FleetAux` so a dispatch needs no host-mirror
+        reads; host mirrors (trajectory, keyframes, events) update one
+        tick late. On an event (loss/closure) the already-in-flight next
+        tick for that stream is dropped and counted as a skipped frame."""
         self.config = config
         self.engines = [DeviceVO(config) for _ in range(n_streams)]
         self.stack: Optional[DeviceMap] = None
         self.active = np.zeros(n_streams, bool)
+        self._pipeline = bool(pipeline)
+        self.aux: Optional[_FleetAux] = None
+        # in-flight tick: [frames, tick_mask, StepOut (device), drop_set]
+        self._pending = None
         self._sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -859,6 +1016,34 @@ class DeviceVOFleet:
             )
             if self._sharding is not None:
                 self.stack = jax.device_put(self.stack, self._sharding)
+        if self._pipeline and self.aux is None:
+            S = len(self.engines)
+            eye = jnp.tile(jnp.eye(3, dtype=jnp.float32), (S, 1, 1))
+            self.aux = _FleetAux(
+                R1=eye, t1=jnp.zeros((S, 3), jnp.float32),
+                R0=eye, t0=jnp.zeros((S, 3), jnp.float32),
+                traj_n=jnp.zeros((S,), jnp.int32),
+                since_kf=jnp.zeros((S,), jnp.int32),
+                block=jnp.zeros((S,), bool),
+            )
+            if self._sharding is not None:
+                self.aux = jax.device_put(self.aux, self._sharding)
+
+    def _aux_row(self, eng: DeviceVO) -> _FleetAux:
+        """Device control state for a stream entering the stack, from its
+        host mirror (same reads the classic tick does per dispatch)."""
+        st = eng.state
+        kf = st.keyframes[-1]
+        traj = st.trajectory
+        R1, t1 = (traj[-1][1], traj[-1][2]) if traj else (kf.R, kf.t)
+        R0, t0 = (traj[-2][1], traj[-2][2]) if len(traj) >= 2 else (R1, t1)
+        return _FleetAux(
+            R1=np.asarray(R1, np.float32), t1=np.asarray(t1, np.float32),
+            R0=np.asarray(R0, np.float32), t0=np.asarray(t0, np.float32),
+            traj_n=np.int32(min(len(traj), 2)),
+            since_kf=np.int32(st.frame_count - kf.index),
+            block=np.bool_(False),
+        )
 
     def _scatter_in(self, i: int) -> None:
         eng = self.engines[i]
@@ -866,6 +1051,11 @@ class DeviceVOFleet:
         self.stack = jax.tree.map(
             lambda s, x: s.at[i].set(x), self.stack, eng.map
         )
+        if self._pipeline:
+            self.aux = jax.tree.map(
+                lambda s, x: s.at[i].set(jnp.asarray(x, s.dtype)),
+                self.aux, self._aux_row(eng),
+            )
         eng.map = None  # fleet-managed from here on
         self.active[i] = True
 
@@ -878,6 +1068,7 @@ class DeviceVOFleet:
 
     def sync_host(self, i: int):
         """Pull stream i's landmark positions into its host mirror."""
+        self._flush()
         if self.active[i]:
             self._gather_out(i)
             state = self.engines[i].sync_host()
@@ -894,6 +1085,11 @@ class DeviceVOFleet:
 
     def step(self, frames) -> None:
         """Advance every stream by one frame (``frames[i]`` may be None)."""
+        if self._pipeline:
+            return self._step_pipelined(frames)
+        return self._step_classic(frames)
+
+    def _step_classic(self, frames) -> None:
         S = len(self.engines)
         assert len(frames) == S
         cfg = self.config
@@ -977,6 +1173,109 @@ class DeviceVOFleet:
                 if eng.map is not None:
                     self._scatter_in(i)
                 # else: engine fell back to bootstrap; re-enters when ready
+            else:
+                eng._host_dirty = True
+                eng.complete(frames[i], res)
+
+    # -- the pipelined tick (RTT-hiding; see __init__) ---------------------
+
+    def _step_pipelined(self, frames) -> None:
+        S = len(self.engines)
+        assert len(frames) == S
+        cfg = self.config
+        # bootstrap / (re)entry — identical to the classic tick. These run
+        # host paths (their own fetches); rare by construction.
+        consumed = set()
+        for i, (eng, feats) in enumerate(zip(self.engines, frames)):
+            if self.active[i] or feats is None:
+                continue
+            if eng.map is not None:
+                self._scatter_in(i)
+                continue
+            eng.process_frame(feats)
+            consumed.add(i)
+            if eng.map is not None:
+                self._scatter_in(i)
+        if self.stack is None or not self.active.any():
+            self._flush()
+            return
+
+        tick = self.active.copy()
+        for i, feats in enumerate(frames):
+            if feats is None or i in consumed:
+                tick[i] = False
+        if not tick.any():
+            self._flush()
+            return
+
+        # assemble batched inputs: FEATURES ONLY — the device aux supplies
+        # pose prediction and the keyframe-gap flag, so this dispatch does
+        # not wait on the previous tick's fetch.
+        N = self.stack.kf_uv.shape[2]
+        D = self.stack.kf_desc.shape[2]
+        yx = [jnp.zeros((N, 2), jnp.float32)] * S
+        dsc = [jnp.zeros((N, D), jnp.float32)] * S
+        fv = [jnp.zeros((N,), bool)] * S
+        for i, feats in enumerate(frames):
+            if tick[i]:
+                yx[i], dsc[i], fv[i] = feats.yx, feats.desc, feats.valid
+        inputs = (
+            jnp.asarray(tick), jnp.stack(yx), jnp.stack(dsc), jnp.stack(fv),
+        )
+        if self._sharding is not None:
+            inputs = jax.device_put(inputs, self._sharding)
+        self.stack, self.aux, out = _fleet_step_pipe(
+            self.stack, self.aux, *inputs,
+            K=cfg.intrinsics, ratio=cfg.match_ratio, track_iters=10,
+            huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
+            kf_max_gap=cfg.kf_max_gap, motion_model=cfg.motion_model,
+            ba_iterations=cfg.ba_iterations, local_map=cfg.track_local_map,
+        )
+        prev, self._pending = self._pending, [frames, tick, out, set()]
+        self._process(prev)
+
+    def _flush(self) -> None:
+        """Drain the in-flight tick (pipelined mode; no-op otherwise)."""
+        prev, self._pending = self._pending, None
+        self._process(prev)
+
+    def _process(self, pending) -> None:
+        """Apply a fetched tick to the host mirrors — the lagged twin of
+        the classic tick's post-fetch loop. Streams in the tick's drop set
+        were rewritten by a host event AFTER this tick was dispatched:
+        their result is superseded; the frame counts as skipped."""
+        if pending is None:
+            return
+        frames, tick, out, drop = pending
+        fetched: StepOut = jax.device_get(out)  # the ONE blocking RTT
+        cfg = self.config
+        for i in range(len(self.engines)):
+            if not tick[i]:
+                continue
+            eng = self.engines[i]
+            if i in drop:
+                eng.state.frame_count += 1  # consumed; result superseded
+                continue
+            res = jax.tree.map(lambda a, i=i: a[i], fetched)
+            is_lost = bool(res.lost) or not (
+                np.isfinite(res.R).all() and np.isfinite(res.t).all()
+            )
+            needs_map = is_lost or (bool(res.promoted) and cfg.loop_closure)
+            if needs_map:
+                self._gather_out(i)
+                eng.complete(frames[i], res)
+                if eng.map is not None:
+                    self._scatter_in(i)
+                # After a LOSS the already-in-flight next tick tracked from
+                # garbage: drop its result (skipped frame). After a CLOSURE
+                # the in-flight tick is a plain track against the pre-
+                # closure map (the promote latch guarantees no ring
+                # mutation): keep it — its trajectory entry is one tick
+                # stale w.r.t. the correction, the standard async-closure
+                # trade — unless the engine fell back to bootstrap.
+                if is_lost or not self.active[i]:
+                    if self._pending is not None and self._pending[1][i]:
+                        self._pending[3].add(i)
             else:
                 eng._host_dirty = True
                 eng.complete(frames[i], res)

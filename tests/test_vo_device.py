@@ -686,3 +686,103 @@ def test_device_vo_zero_recompiles_after_warmup():
         if "Compiling" in m and "_device_step" in m
     ]
     assert not compiles, f"device step recompiled: {compiles}"
+
+
+def test_device_vo_fleet_pipelined_matches_classic():
+    """pipeline=True fetches with one-tick lag (device-side pose
+    prediction + keyframe-gap counter); on an event-free run it must
+    track as well as the classic fleet on the same frames."""
+    from cvsteer_tpu.slam.vo_device import DeviceVOFleet
+
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    n_streams, n_frames = 2, 25
+    worlds = [_make_world(seed=50 + s) for s in range(n_streams)]
+
+    def run(pipeline):
+        rngs = [np.random.default_rng(60 + s) for s in range(n_streams)]
+        flt = DeviceVOFleet(cfg, n_streams=n_streams, pipeline=pipeline)
+        gt = []
+        for k in range(n_frames):
+            R, t = _gt_pose(k, n_frames)
+            gt.append((R, t))
+            flt.step([
+                _render_features(worlds[s][0], worlds[s][1], R, t, rngs[s])
+                for s in range(n_streams)
+            ])
+        return [flt.finalize(s) for s in range(n_streams)], gt
+
+    states_p, gt = run(True)
+    states_c, _ = run(False)
+    gt_R = np.stack([g[0] for g in gt])
+    gt_t = np.stack([g[1] for g in gt])
+    for s in range(n_streams):
+        sp, sc = states_p[s], states_c[s]
+        assert sp.initialized
+        # every frame produced a trajectory entry (no events -> no drops)
+        assert len(sp.trajectory) == len(sc.trajectory)
+        ids = [p[0] for p in sp.trajectory]
+        Rs, ts = sp.poses()
+        ate_p = ate_rmse(Rs, ts, gt_R[ids], gt_t[ids], align_scale=True)
+        Rs, ts = sc.poses()
+        ate_c = ate_rmse(Rs, ts, gt_R[ids], gt_t[ids], align_scale=True)
+        assert ate_p < 0.08, f"stream {s}: pipelined ATE {ate_p:.4f} m"
+        # the one-tick promote latch may shift keyframe choices slightly;
+        # accuracy must stay in the classic run's regime
+        assert ate_p < max(2.5 * ate_c, 0.05), (
+            f"stream {s}: pipelined {ate_p:.4f} vs classic {ate_c:.4f}"
+        )
+        n_kf_p = len(sp.keyframes)
+        n_kf_c = len(sc.keyframes)
+        assert abs(n_kf_p - n_kf_c) <= 2, (n_kf_p, n_kf_c)
+
+
+def test_device_vo_fleet_pipelined_blackout_recovery():
+    """Event path under lag: a blacked-out stream relocalizes via the
+    host path; the already-in-flight next tick is dropped (skipped frame)
+    and the stream keeps tracking after."""
+    from cvsteer_tpu.slam.vo_device import DeviceVOFleet
+
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    worlds = [_make_world(seed=30 + s) for s in range(2)]
+    rngs = [np.random.default_rng(40 + s) for s in range(2)]
+    flt = DeviceVOFleet(cfg, n_streams=2, pipeline=True)
+    n_frames = 30
+    blank = Features(
+        yx=jnp.zeros((N_CAP, 2)),
+        score=jnp.zeros(N_CAP),
+        theta=jnp.zeros(N_CAP),
+        level=jnp.zeros(N_CAP, jnp.int32),
+        desc=jnp.zeros((N_CAP, DESC_DIM)),
+        valid=jnp.zeros(N_CAP, bool),
+    )
+    gt = []
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        gt.append((R, t))
+        f0 = blank if k in (15, 16) else _render_features(
+            worlds[0][0], worlds[0][1], R, t, rngs[0]
+        )
+        f1 = _render_features(worlds[1][0], worlds[1][1], R, t, rngs[1])
+        flt.step([f0, f1])
+    gt_R = np.stack([g[0] for g in gt])
+    gt_t = np.stack([g[1] for g in gt])
+    # healthy stream unaffected
+    s1 = flt.finalize(1)
+    ids = [p[0] for p in s1.trajectory]
+    Rs, ts = s1.poses()
+    assert ate_rmse(Rs, ts, gt_R[ids], gt_t[ids], align_scale=True) < 0.08
+    # blacked-out stream: frames stay aligned to the sequence (dropped
+    # frames advance frame_count without a trajectory entry)
+    s0 = flt.finalize(0)
+    assert s0.frame_count == n_frames
+    tail = [(f, R, t) for f, R, t in s0.trajectory if f >= 20]
+    assert len(tail) >= 8  # recovered and kept tracking
+    ids = [p[0] for p in tail]
+    Rs = np.stack([p[1] for p in tail])
+    ts = np.stack([p[2] for p in tail])
+    ate = ate_rmse(Rs, ts, gt_R[ids], gt_t[ids], align_scale=True)
+    assert ate < 0.15, f"post-blackout ATE {ate:.4f} m"
