@@ -91,9 +91,16 @@ def main(argv=None) -> int:
             if jax.default_backend() == "tpu":
                 # fused maps kernel: the CLI only writes the three maps, so
                 # skip the full-pipeline basis + elementwise chain entirely
+                import jax.numpy as jnp
+
                 from cvsteer_tpu.ops.pallas_frontend import g2_maps_pallas
 
-                edges, dark, bright = g2_maps_pallas(batch, bank.xtaps, bank.ytaps)
+                # bf16 maps: the CLI quantizes to u8 right after, where
+                # bf16's 2^-9 rounding is below the u8 step; halves the
+                # kernel's HBM write traffic (docs/ROOFLINE.md round 3)
+                edges, dark, bright = g2_maps_pallas(
+                    batch, bank.xtaps, bank.ytaps, out_dtype=jnp.bfloat16
+                )
                 return {"edges": edges, "lines_dark": dark, "lines_bright": bright}
             return steerable_pipeline_g2(batch, bank, method=method)
     else:
@@ -104,9 +111,13 @@ def main(argv=None) -> int:
         def pipeline(batch, bank=None, method="auto"):
             if jax.default_backend() == "tpu":
                 # fused G4 maps kernel (round 2): one kernel per image
+                import jax.numpy as jnp
+
                 from cvsteer_tpu.ops.pallas_frontend import g4_maps_pallas
 
-                edges, dark, bright = g4_maps_pallas(batch, bank.xtaps, bank.ytaps)
+                edges, dark, bright = g4_maps_pallas(
+                    batch, bank.xtaps, bank.ytaps, out_dtype=jnp.bfloat16
+                )
                 return {"edges": edges, "lines_dark": dark, "lines_bright": bright}
             m = steerable_pipeline_g4(batch, bank)
             # expose the same three output maps via the quadrature phase

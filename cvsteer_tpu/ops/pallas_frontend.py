@@ -525,22 +525,27 @@ def _g2_maps_tiled_kernel(
         g4sq_r = g4v * g4v
         mag2 = g4sq_r + h4sq
         inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
-        edges_ref[0] = h4sq * inv_mag
+        od = edges_ref.dtype
+        edges_ref[0] = (h4sq * inv_mag).astype(od)
         g4sq = g4sq_r * inv_mag
-        dark_ref[0] = jnp.where(g4v > 0.0, g4sq, 0.0)
-        bright_ref[0] = jnp.where(g4v < 0.0, g4sq, 0.0)
+        dark_ref[0] = jnp.where(g4v > 0.0, g4sq, 0.0).astype(od)
+        bright_ref[0] = jnp.where(g4v < 0.0, g4sq, 0.0).astype(od)
         return
 
     g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[k] for k in range(xtaps.shape[0])]
 
+    # s/d are shared with the steering tail below (g2a^2 - g2c^2 == s*d):
+    # two fewer band-sized VPU ops than the textbook form (round-3 probe).
+    s_gd = g2a + g2c
+    d_gd = g2a - g2c
     c2 = (
-        0.5 * (g2a * g2a - g2c * g2c)
+        0.5 * (s_gd * d_gd)
         + 0.46875 * (h2a * h2a - h2d * h2d)
         + 0.28125 * (h2b * h2b - h2c * h2c)
         + 0.1875 * (h2a * h2c - h2b * h2d)
     )
     c3 = (
-        -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
+        -(g2b * s_gd) - 0.9375 * (h2c * h2d + h2a * h2b)
         - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
     )
 
@@ -581,7 +586,7 @@ def _g2_maps_tiled_kernel(
     inv_rho = jnp.where(s2 > 0.0, jax.lax.rsqrt(s2), 0.0)
     u = jnp.where(s2 > 0.0, c2 * inv_rho, 1.0)
     v = c3 * inv_rho
-    g2v = 0.5 * ((g2a + g2c) + u * (g2a - g2c)) - v * g2b
+    g2v = 0.5 * (s_gd + u * d_gd) - v * g2b
     P = 0.5 * ((h2a + 3.0 * h2c) + u * (h2a - 3.0 * h2c))
     Q = 0.5 * ((3.0 * h2b + h2d) + u * (3.0 * h2b - h2d))
     PP, QQ = P * P, Q * Q
@@ -589,10 +594,11 @@ def _g2_maps_tiled_kernel(
     g2sq = g2v * g2v
     mag2 = g2sq + h2sq
     inv_mag = jnp.where(mag2 > 0.0, jax.lax.rsqrt(mag2), 0.0)
-    edges_ref[0] = h2sq * inv_mag
+    od = edges_ref.dtype
+    edges_ref[0] = (h2sq * inv_mag).astype(od)
     g2sq_over_mag = g2sq * inv_mag
-    dark_ref[0] = jnp.where(g2v > 0.0, g2sq_over_mag, 0.0)
-    bright_ref[0] = jnp.where(g2v < 0.0, g2sq_over_mag, 0.0)
+    dark_ref[0] = jnp.where(g2v > 0.0, g2sq_over_mag, 0.0).astype(od)
+    bright_ref[0] = jnp.where(g2v < 0.0, g2sq_over_mag, 0.0).astype(od)
 
 
 def _lane_shift(a, d: int):
@@ -641,6 +647,8 @@ def _g2_features_full_kernel(
     basis_ref[0] = basis[:, ext : ext + tile_h, :]
 
     g2a, g2b, g2c, h2a, h2b, h2c, h2d = [basis[k] for k in range(7)]
+    s_gd = g2a + g2c
+    d_gd = g2a - g2c
     c1 = (
         0.5 * (g2b * g2b)
         + 0.25 * (g2a * g2c)
@@ -650,13 +658,13 @@ def _g2_features_full_kernel(
         + 0.375 * (h2a * h2c + h2b * h2d)
     )
     c2 = (
-        0.5 * (g2a * g2a - g2c * g2c)
+        0.5 * (s_gd * d_gd)
         + 0.46875 * (h2a * h2a - h2d * h2d)
         + 0.28125 * (h2b * h2b - h2c * h2c)
         + 0.1875 * (h2a * h2c - h2b * h2d)
     )
     c3 = (
-        -(g2a * g2b) - g2b * g2c - 0.9375 * (h2c * h2d + h2a * h2b)
+        -(g2b * s_gd) - 0.9375 * (h2c * h2d + h2a * h2b)
         - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
     )
     rho = jnp.sqrt(c2 * c2 + c3 * c3)
@@ -728,14 +736,14 @@ def _g2_maps_reference_xla(image, xtaps, ytaps):
 
 
 def g2_maps_pallas(
-    image: jax.Array, xtaps, ytaps
+    image: jax.Array, xtaps, ytaps, *, out_dtype=jnp.float32
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused front-end: image [..., H, W] -> (edges, lines_dark, lines_bright).
 
     One HBM read of the image, three map writes; everything else VMEM-
     resident. Alias for the unified row-tiled kernel (the former whole-tile
     variant was removed in round 2 — one formulation, one tile policy)."""
-    return g2_maps_tiled_pallas(image, xtaps, ytaps)
+    return g2_maps_tiled_pallas(image, xtaps, ytaps, out_dtype=out_dtype)
 
 
 def _g2_feature_maps_reference_xla(image, xtaps, ytaps):
@@ -790,7 +798,7 @@ def _g4_maps_reference_xla(image, xtaps, ytaps):
 
 
 def g4_maps_pallas(
-    image: jax.Array, xtaps, ytaps
+    image: jax.Array, xtaps, ytaps, *, out_dtype=jnp.float32
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused G4/H4 front-end: image [..., H, W] -> (edges, dark, bright).
 
@@ -799,7 +807,7 @@ def g4_maps_pallas(
     c2/c3 (33 shared basis products), transcendental-free half-angle
     steering with binomial 4th/5th-degree weights, and the magnitude-based
     phase-selective maps (quirk C23 semantics, matching the CLI g4 path)."""
-    return g2_maps_tiled_pallas(image, xtaps, ytaps, mode="g4maps")
+    return g2_maps_tiled_pallas(image, xtaps, ytaps, mode="g4maps", out_dtype=out_dtype)
 
 
 def g2_feature_maps_pallas(
@@ -869,7 +877,7 @@ DEFAULT_TILE_H = 64
 
 def g2_maps_tiled_pallas(
     image: jax.Array, xtaps, ytaps, *, tile_h: int = DEFAULT_TILE_H,
-    mode: str = "maps",
+    mode: str = "maps", out_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Row-tiled fused front-end for images of any size.
 
@@ -878,6 +886,12 @@ def g2_maps_tiled_pallas(
     materialized); bands of ``tile_h`` rows (+ 2*radius overlap) are
     double-buffered into VMEM and the whole pipeline (bank conv -> energy ->
     half-angle steering -> phase-selective maps) runs per band.
+
+    ``out_dtype=jnp.bfloat16`` halves the HBM map-write traffic (3.15 ->
+    1.57 MB @512x512). Every shipped consumer (CLI PNG writes, the golden
+    test's 8-bit normalize) quantizes the maps to 8 bits, where bf16's
+    2^-9 relative rounding is below the u8 quantization step; fp32 stays
+    the default for library callers.
     """
     xtaps = np.asarray(xtaps, np.float32)
     ytaps = np.asarray(ytaps, np.float32)
@@ -899,7 +913,10 @@ def g2_maps_tiled_pallas(
             "features": _g2_feature_maps_reference_xla,
             "g4maps": _g4_maps_reference_xla,
         }.get(mode, _g2_maps_reference_xla)
-        return ref(image.astype(jnp.float32), xtaps, ytaps)
+        out = ref(image.astype(jnp.float32), xtaps, ytaps)
+        if mode != "features" and out_dtype != jnp.float32:
+            out = tuple(m.astype(out_dtype) for m in out)
+        return out
 
     wo = _round_up(w, 128)
     num_tiles = -(-h // tile_h)  # ceil: output rows >= h, cropped below
@@ -943,8 +960,9 @@ def g2_maps_tiled_pallas(
         reps=reps, slot_rep=slot_rep, s_last=h8 - band_h, mode=mode,
         xoff=xoff,
     )
+    map_dtype = jnp.float32 if mode == "features" else out_dtype
     spec = pl.BlockSpec((1, tile_h, wo), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)
+    shape = jax.ShapeDtypeStruct((n, ho, wo), map_dtype)
     edges, dark, bright = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
@@ -961,7 +979,7 @@ def g2_maps_tiled_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=n * ho * wo * (4 * K * T + 60),
-            bytes_accessed=n * (h * wp + 3 * ho * wo) * 4,
+            bytes_accessed=n * (h * wp * 4 + 3 * ho * wo * jnp.dtype(map_dtype).itemsize),
             transcendentals=0,
         ),
         interpret=_interpret(),

@@ -20,6 +20,7 @@ def normalize_minmax_u8(x: jax.Array, axes=None) -> jax.Array:
     per-image cv::normalize). For batched inputs pass the trailing image axes,
     e.g. ``axes=(-2, -1)``.
     """
+    x = x.astype(jnp.float32)  # bf16 maps: normalize math stays fp32-exact
     if axes is None:
         lo = jnp.min(x)
         hi = jnp.max(x)
@@ -33,7 +34,7 @@ def normalize_minmax_u8(x: jax.Array, axes=None) -> jax.Array:
 
 def convert_scale_u8(x: jax.Array, gain: float) -> jax.Array:
     """Fixed-gain conversion to uint8 with saturation (cv::Mat::convertTo)."""
-    return jnp.clip(jnp.rint(x * gain), 0, 255).astype(jnp.uint8)
+    return jnp.clip(jnp.rint(x.astype(jnp.float32) * gain), 0, 255).astype(jnp.uint8)
 
 
 def bgr_to_gray_f32(image_u8: jax.Array) -> jax.Array:

@@ -108,6 +108,26 @@ def test_tiled_maps_match_xla_pipeline(small_fish):
         assert diff.max() / scale < 5e-3, f"{name}: {diff.max()} vs scale {scale}"
 
 
+def test_tiled_maps_bf16_outputs(small_fish):
+    """out_dtype=bfloat16 (the CLI/bench path): same maps to within bf16
+    rounding of the fp32 kernel — consumers quantize to u8 where the
+    2^-9 step is invisible (docs/ROOFLINE.md round 3)."""
+    from cvsteer_tpu.ops.pallas_frontend import g2_maps_tiled_pallas
+
+    bank = g2_bank()
+    img = jnp.asarray(small_fish)
+    f32 = g2_maps_tiled_pallas(img, bank.xtaps, bank.ytaps, tile_h=16)
+    b16 = g2_maps_tiled_pallas(
+        img, bank.xtaps, bank.ytaps, tile_h=16, out_dtype=jnp.bfloat16
+    )
+    for a, b, name in zip(f32, b16, ["edges", "dark", "bright"]):
+        assert b.dtype == jnp.bfloat16, name
+        diff = np.abs(np.asarray(a) - np.asarray(b, np.float32))
+        # bf16 rounding of the fp32 value: <= 2^-9 relative to each pixel
+        bound = np.abs(np.asarray(a)) * 2.0 ** -8 + 1e-6
+        assert (diff <= bound).all(), f"{name}: {diff.max()}"
+
+
 def test_tiled_maps_batched(small_fish):
     from cvsteer_tpu.ops.pallas_frontend import g2_maps_tiled_pallas
 
