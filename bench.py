@@ -160,7 +160,7 @@ def bench_features() -> float:
 
     from cvsteer_tpu.features.frontend import FrontendConfig, extract_features
 
-    FB, FH, FW = 8, 480, 640
+    FB, FH, FW = 16, 480, 640  # b16 amortizes per-dispatch tunnel cost (r3)
     cfg = FrontendConfig()
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.uniform(0, 255, (FB, FH, FW)).astype("float32"))

@@ -60,8 +60,10 @@ def _rotated_grid_samples(
     dx = offsets[None, :, 0] * st[:, None] + offsets[None, :, 1] * ct[:, None]
     ys = keypoints.yx[:, 0:1] + dy
     xs = keypoints.yx[:, 1:2] + dx
+    # bf16 cast before the transpose: all table-building layout passes move
+    # 2-byte elements (the sampling path is bf16 regardless)
     samples = bilinear_sample_channels_last_pair_bf16(
-        jnp.moveaxis(basis, 0, -1), ys, xs
+        jnp.moveaxis(basis.astype(jnp.bfloat16), 0, -1), ys, xs
     )
     return samples, ct, st
 

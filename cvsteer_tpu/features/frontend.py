@@ -100,7 +100,9 @@ def extract_features(
     single = images.ndim == 2
     imgs = images[None] if single else images
     on_tpu = jax.default_backend() == "tpu"
-    if cfg.score == "corner" and on_tpu:
+    # The packed-pool selection is sound for pool=3 <= nms_radius + 1
+    # (one NMS survivor per 3x3 cell requires nms_radius >= 2).
+    if cfg.score == "corner" and on_tpu and cfg.nms_radius >= 2:
         with jax.named_scope("pyramid"):
             levels = gaussian_pyramid(imgs, cfg.levels)
         return _extract_features_tpu(levels, bank, cfg, single)
@@ -172,36 +174,37 @@ def _extract_features_generic(
 def _extract_features_tpu(levels, bank, cfg: FrontendConfig, single: bool):
     """TPU fast path: one fused kernel pass per level.
 
-    ops.pallas_frontend.g2_features_full_pallas produces basis + raw /
-    NMS-masked corner score + half-angle maps in a single kernel pass
-    (the old pipeline ran the bank twice plus an XLA reduce_window/mask
-    chain). Selection stays per level: a cross-level batched approx_max_k
-    over -inf-padded scores was tried and measured NO faster — approx_max_k
-    cost scales with total (padded) elements, not call count.
+    ops.pallas_frontend.g2_features_full_pallas produces basis + the
+    mantissa-packed pooled selection map + per-pixel subpixel offsets +
+    half-angle maps in a single kernel pass; selection is approx_max_k on
+    the 9x-reduced cell table plus ONE small payload gather
+    (keypoints.detect_keypoints_packed) — the round-2 XLA
+    pad/reshape/transpose/cells/shifted-table chain (~220 us/frame
+    @480x640 on the trace) is gone. Selection stays per level: a
+    cross-level batched approx_max_k over -inf-padded scores was tried
+    and measured NO faster — approx_max_k cost scales with total (padded)
+    elements, not call count.
     """
-    from cvsteer_tpu.features.keypoints import detect_keypoints_premasked
+    from cvsteer_tpu.features.keypoints import detect_keypoints_packed
     from cvsteer_tpu.ops.pallas_frontend import g2_features_full_pallas
 
     per = []
     for lvl, lv_imgs in enumerate(levels):
         with jax.named_scope(f"detmaps_l{lvl}"):
-            raw, masked, ctm, stm, basis = g2_features_full_pallas(
+            per.append(g2_features_full_pallas(
                 lv_imgs, bank.xtaps, bank.ytaps,
                 threshold=cfg.threshold, nms_radius=cfg.nms_radius,
-            )
-        per.append((raw, masked, ctm, stm, basis))
+            ))
 
     parts = []
-    for lvl, (raw, masked, ctm, stm, basis) in enumerate(per):
+    for lvl, (p3, dym, dxm, ctm, stm, basis) in enumerate(per):
         with jax.named_scope(f"detect_l{lvl}"):
             kp = jax.vmap(
-                lambda rw, mk, c, si: detect_keypoints_premasked(
-                    rw, mk, c, si,
+                lambda p, dy, dx, c, si: detect_keypoints_packed(
+                    p, dy, dx, c, si,
                     max_keypoints=cfg.keypoints_per_level,
-                    approx=True,
-                    pool=cfg.nms_radius + 1,
                 )
-            )(raw, masked, ctm, stm)
+            )(p3, dym, dxm, ctm, stm)
         with jax.named_scope(f"desc_l{lvl}"):
             desc = jax.vmap(
                 lambda b, k: phase_descriptors(

@@ -211,6 +211,60 @@ def refine_selected_cs(
     )
 
 
+def detect_keypoints_packed(
+    p3: jax.Array,
+    dy: jax.Array,
+    dx: jax.Array,
+    ct: jax.Array,
+    st: jax.Array,
+    *,
+    max_keypoints: int = 512,
+) -> Keypoints:
+    """Selection from the kernel's mantissa-packed pooled score map.
+
+    Pairs with ops.pallas_frontend.g2_features_full_pallas (round 3):
+    ``p3`` holds, at every pixel, the centered 3x3-window max of the
+    NMS/threshold/border-masked corner score, with the winning pixel's
+    (y%3)*3 + x%3 offset packed into the low 4 mantissa bits, so
+    ``p3[1::3, 1::3]`` is the non-overlapping 3x3-cell max table (sound
+    pooled top-k for nms_radius >= 2, see _select_and_refine) and the
+    winner's position decodes arithmetically — no cells materialization,
+    no winner gather, no full-res shifted-map subpixel table. ``dy/dx``
+    are per-pixel subpixel offsets and (ct, st) the half-angle maps; one
+    [H*W, 4] row gather fetches all per-keypoint payload.
+    """
+    H, W = p3.shape
+    cells = p3[1::3, 1::3]
+    Hc, Wc = cells.shape
+    kk = min(max_keypoints, Hc * Wc)
+    vals, cidx = lax.approx_max_k(cells.reshape(-1), kk, recall_target=0.99)
+    if kk < max_keypoints:
+        pad = max_keypoints - kk
+        vals = jnp.pad(vals, (0, pad), constant_values=-jnp.inf)
+        cidx = jnp.pad(cidx, (0, pad))
+    valid = jnp.isfinite(vals)
+    bits = lax.bitcast_convert_type(vals, jnp.int32)
+    off = bits & 15
+    score = lax.bitcast_convert_type(bits & ~15, jnp.float32)  # 2^-19-exact
+    yi = (cidx // Wc) * 3 + off // 3
+    xi = (cidx % Wc) * 3 + off % 3
+    flat_idx = jnp.minimum(yi * W + xi, H * W - 1)
+
+    tbl = jnp.stack([dy, dx, ct, st], -1).reshape(H * W, 4)
+    rows = tbl[flat_idx]  # [N, 4] — one row gather
+    yx = jnp.stack(
+        [yi.astype(jnp.float32) + rows[:, 0], xi.astype(jnp.float32) + rows[:, 1]],
+        axis=-1,
+    )
+    theta = jnp.arctan2(rows[:, 3], rows[:, 2])
+    return Keypoints(
+        yx=jnp.where(valid[:, None], yx, 0.0),
+        score=jnp.where(valid, score, 0.0),
+        theta=jnp.where(valid, theta, 0.0),
+        valid=valid,
+    )
+
+
 def detect_keypoints_premasked(
     raw: jax.Array,
     masked: jax.Array,

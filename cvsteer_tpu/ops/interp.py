@@ -70,9 +70,12 @@ def bilinear_sample_channels_last_pair_bf16(
     wy = (ys - y0.astype(ys.dtype))[:, None]
     wx = (xs - x0.astype(xs.dtype))[:, None]
 
-    # pair table: row (y, x) = [v(y, x) | v(y, min(x+1, W-1))], bf16
-    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-    tbl = jnp.concatenate([img, right], axis=-1).astype(jnp.bfloat16)
+    # pair table: row (y, x) = [v(y, x) | v(y, min(x+1, W-1))], bf16.
+    # Cast BEFORE the neighbor concat: the layout passes then move 2-byte
+    # elements (measured ~4 us/frame cheaper at 480x640 b8, round 3).
+    imgb = img.astype(jnp.bfloat16)
+    right = jnp.concatenate([imgb[:, 1:], imgb[:, -1:]], axis=1)
+    tbl = jnp.concatenate([imgb, right], axis=-1)
     tbl = tbl.reshape(H * W, 2 * C)
 
     rt = tbl[y0 * W + x0].astype(jnp.float32)  # [S, 2C]: (v00 | v01)

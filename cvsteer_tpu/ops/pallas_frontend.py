@@ -612,21 +612,34 @@ def _lane_shift(a, d: int):
 
 def _g2_features_full_kernel(
     img_hbm, chi_ref, clo_ref,
-    raw_ref, masked_ref, ct_ref, st_ref, basis_ref, band, sems,
+    p3_ref, dy_ref, dx_ref, ct_ref, st_ref, basis_ref, band, sems,
     *, xtaps, tile_h, wo, num_tiles, reps, slot_rep, s_last, xoff,
     ext, h, w, threshold, border,
 ):
-    """Whole feature front-end per band: basis + detector maps + fused NMS.
+    """Whole feature front-end per band: basis + detector maps + fused NMS
+    + pooled, mantissa-packed selection map + subpixel offsets.
 
     One pass produces everything ``features.frontend.extract_features``
-    needs per pyramid level: the 7 basis responses (for descriptors), the
-    raw corner score (for subpixel refinement), the NMS/threshold/border
-    -masked score (ready for top-k selection), and the half-angle (cos,
-    sin). The 5x5 NMS runs in-kernel on ``ext``-extended tile rows (the
-    extended column matrices reflect at image boundaries; border masking
-    at >= nms_radius + 1 makes the reflected context unobservable), so the
-    XLA reduce_window + mask chain and the second (basis-only) kernel pass
-    both disappear.
+    needs per pyramid level (round-3 detect rework — the old full-res
+    raw/masked maps fed an XLA pad/reshape/transpose/cells chain costing
+    ~220 us/frame @480x640):
+
+    - ``p3``: per-pixel 3x3-window max (centered) of the NMS/threshold/
+      border-masked corner score, with each candidate's (y%3)*3 + x%3
+      offset packed into the low 4 mantissa bits. ``p3[1::3, 1::3]`` is
+      then exactly the 3x3-cell max table: top-k runs on 9x fewer
+      elements and the winner's pixel position decodes from the mantissa
+      bits — no cells materialization, no winner gather. Packing
+      perturbs scores by <= 2^-19 relative (ties only).
+    - ``dy``/``dx``: the 1-D quadratic subpixel offsets at EVERY pixel
+      (the kernel owns the 5-point stencil), replacing the XLA
+      shifted-map stack + table gather.
+    - ``(ct, st)`` half-angle orientation and the 7 basis responses as
+      before.
+
+    The NMS + pooling run on ``ext = nms_radius + 1``-extended tile rows
+    (the extended column matrices reflect at image boundaries; border
+    masking at >= nms_radius + 1 makes reflected context unobservable).
     """
     padded = _band_prologue(
         img_hbm, band, sems, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
@@ -668,7 +681,7 @@ def _g2_features_full_kernel(
         - 1.6875 * h2b * h2c - 0.1875 * h2a * h2d
     )
     rho = jnp.sqrt(c2 * c2 + c3 * c3)
-    score = c1 - rho  # [tile_h + 2*ext, wo]
+    score = c1 - rho  # [tile_h + 2*ext, wo], ext = nms_radius + 1
 
     inv_rho = jnp.where(rho > 0.0, 1.0 / rho, 0.0)
     cos2t = jnp.where(rho > 0.0, c2 * inv_rho, 1.0)
@@ -678,26 +691,62 @@ def _g2_features_full_kernel(
     ct_ref[0] = ct[ext : ext + tile_h]
     st_ref[0] = st[ext : ext + tile_h]
 
+    nr = ext - 1  # NMS radius; 1 extra context row/col feeds the 3x3 pooling
     s_t = score[ext : ext + tile_h]
-    raw_ref[0] = s_t
 
-    # 5x5 NMS: lane-rolled x-max on the extended rows, then the row window.
-    m = score
-    for d in range(1, ext + 1):
-        m = jnp.maximum(m, jnp.maximum(_lane_shift(score, d), _lane_shift(score, -d)))
-    win = m[0:tile_h]
-    for d in range(1, 2 * ext + 1):
-        win = jnp.maximum(win, m[d : d + tile_h])
-    is_max = s_t >= win
-
-    b = ext + 1  # border = nms_radius + 1 (enforced by the wrapper)
+    # Subpixel quadratic offsets at every pixel (5-point stencil): replaces
+    # the XLA shifted-map table. Outer 1-px frame zeroed (lane shifts wrap;
+    # those pixels are border-masked from selection anyway, zeroing makes
+    # the map identical to the XLA fallback).
     row_g = t * tile_h + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
     col_g = jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
-    keep = (
-        is_max & (s_t > threshold)
-        & (row_g >= b) & (row_g < h - b) & (col_g >= b) & (col_g < w - b)
+    interior = (
+        (row_g >= 1) & (row_g < h - 1) & (col_g >= 1) & (col_g < w - 1)
     )
-    masked_ref[0] = jnp.where(keep, s_t, -jnp.inf)
+    up = score[ext - 1 : ext - 1 + tile_h]
+    down = score[ext + 1 : ext + 1 + tile_h]
+    left = _lane_shift(s_t, -1)
+    right = _lane_shift(s_t, 1)
+    den_y = up - 2.0 * s_t + down
+    dy = jnp.where(jnp.abs(den_y) > 1e-12, 0.5 * (up - down) / den_y, 0.0)
+    den_x = left - 2.0 * s_t + right
+    dx = jnp.where(jnp.abs(den_x) > 1e-12, 0.5 * (left - right) / den_x, 0.0)
+    dy_ref[0] = jnp.where(interior, jnp.clip(dy, -0.5, 0.5), 0.0)
+    dx_ref[0] = jnp.where(interior, jnp.clip(dx, -0.5, 0.5), 0.0)
+
+    # NMS on tile rows +- 1 (the pooling window below needs masked scores
+    # one row beyond the tile): lane-rolled x-max over all extended rows,
+    # then the row window per extended output row.
+    m = score
+    for d in range(1, nr + 1):
+        m = jnp.maximum(m, jnp.maximum(_lane_shift(score, d), _lane_shift(score, -d)))
+    k0 = ext - 1 - nr
+    win = m[k0 : k0 + tile_h + 2]
+    for d in range(1, 2 * nr + 1):
+        win = jnp.maximum(win, m[k0 + d : k0 + d + tile_h + 2])
+    s_e = score[ext - 1 : ext + 1 + tile_h]  # rows t*tile_h - 1 .. + tile_h
+    is_max = s_e >= win
+
+    b = ext  # border = nms_radius + 1
+    row_e = t * tile_h - 1 + jax.lax.broadcasted_iota(jnp.int32, s_e.shape, 0)
+    col_e = jax.lax.broadcasted_iota(jnp.int32, s_e.shape, 1)
+    keep = (
+        is_max & (s_e > threshold)
+        & (row_e >= b) & (row_e < h - b) & (col_e >= b) & (col_e < w - b)
+    )
+    # Pack each survivor's in-cell offset (y%3)*3 + x%3 into the low 4
+    # mantissa bits (<= 2^-19 relative perturbation; survivors are > 0).
+    obits = lax.rem(row_e, 3) * 3 + lax.rem(col_e, 3)
+    sbits = lax.bitcast_convert_type(s_e, jnp.int32)
+    packed_f = lax.bitcast_convert_type((sbits & ~15) | obits, jnp.float32)
+    packed = jnp.where(keep, packed_f, -jnp.inf)
+    # Centered 3x3 window max: p3[1::3, 1::3] is the 3x3-cell max table.
+    m3 = jnp.maximum(
+        packed, jnp.maximum(_lane_shift(packed, 1), _lane_shift(packed, -1))
+    )
+    p3_ref[0] = jnp.maximum(
+        m3[0:tile_h], jnp.maximum(m3[1 : 1 + tile_h], m3[2 : 2 + tile_h])
+    )
 
 
 def _g2_maps_reference_xla(image, xtaps, ytaps):
@@ -989,7 +1038,12 @@ def g2_maps_tiled_pallas(
 
 
 def _g2_features_full_reference_xla(image, xtaps, ytaps, threshold, nms_radius):
-    """XLA fallback for :func:`g2_features_full_pallas` (tiny images/CPU)."""
+    """XLA fallback for :func:`g2_features_full_pallas` (tiny images/CPU).
+
+    Produces the same (p3, dy, dx, ct, st, basis) contract as the kernel:
+    p3 = centered 3x3 window max of the NMS/threshold/border-masked score
+    with the (y%3)*3 + x%3 offset packed into the low 4 mantissa bits.
+    """
     from cvsteer_tpu.ops.sepconv import filter_bank_xla
 
     basis = filter_bank_xla(image, xtaps, ytaps)
@@ -1008,8 +1062,42 @@ def _g2_features_full_reference_xla(image, xtaps, ytaps, threshold, nms_radius):
     col = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
     in_b = (row >= bo) & (row < hh - bo) & (col >= bo) & (col < ww - bo)
     keep = (score >= mx) & (score > threshold) & in_b
-    masked = jnp.where(keep, score, -jnp.inf)
-    return score, masked, ct, st, basis
+
+    obits = (row % 3) * 3 + col % 3
+    sbits = jax.lax.bitcast_convert_type(score, jnp.int32)
+    packed_f = jax.lax.bitcast_convert_type((sbits & ~15) | obits, jnp.float32)
+    packed = jnp.where(keep, packed_f, -jnp.inf)
+    p3 = jax.lax.reduce_window(
+        packed, -jnp.inf, jax.lax.max,
+        window_dimensions=(1,) * (score.ndim - 2) + (3, 3),
+        window_strides=(1,) * score.ndim,
+        padding=[(0, 0)] * (score.ndim - 2) + [(1, 1), (1, 1)],
+    )
+
+    def shift(x, d, axis):
+        pad = [(0, 0)] * x.ndim
+        if d > 0:
+            pad[axis] = (d, 0)
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, x.shape[axis])
+        else:
+            pad[axis] = (0, -d)
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(-d, x.shape[axis] - d)
+        return jnp.pad(x, pad, mode="edge")[tuple(sl)]
+
+    up = shift(score, 1, score.ndim - 2)
+    down = shift(score, -1, score.ndim - 2)
+    left = shift(score, 1, score.ndim - 1)
+    right = shift(score, -1, score.ndim - 1)
+    interior = (row >= 1) & (row < hh - 1) & (col >= 1) & (col < ww - 1)
+    den_y = up - 2.0 * score + down
+    dy = jnp.where(jnp.abs(den_y) > 1e-12, 0.5 * (up - down) / den_y, 0.0)
+    den_x = left - 2.0 * score + right
+    dx = jnp.where(jnp.abs(den_x) > 1e-12, 0.5 * (left - right) / den_x, 0.0)
+    dy = jnp.where(interior, jnp.clip(dy, -0.5, 0.5), 0.0)
+    dx = jnp.where(interior, jnp.clip(dx, -0.5, 0.5), 0.0)
+    return p3, dy, dx, ct, st, basis
 
 
 def g2_features_full_pallas(
@@ -1018,18 +1106,20 @@ def g2_features_full_pallas(
 ):
     """Whole detector front-end in ONE kernel pass per pyramid level.
 
-    image [..., H, W] -> (score_raw, score_masked, cos, sin, basis[..., K, H, W]).
-    score_masked has 5x5 NMS + threshold + (nms_radius + 1)-border masking
-    applied in-kernel (-inf elsewhere), ready for top-k selection;
-    score_raw feeds subpixel refinement; basis feeds descriptors — the
-    previous pipeline ran TWO kernel passes (basis bank + detector maps)
-    plus an XLA reduce_window/mask chain per level.
+    image [..., H, W] -> (p3, dy, dx, cos, sin, basis[..., K, H, W]).
+    ``p3`` is the centered 3x3-window max of the NMS/threshold/border-masked
+    corner score with the winner's (y%3)*3 + x%3 offset packed into the low
+    4 mantissa bits — ``p3[1::3, 1::3]`` is the 3x3-cell max table ready
+    for top-k selection (features.keypoints.detect_keypoints_packed);
+    ``dy``/``dx`` are per-pixel subpixel offsets; basis feeds descriptors.
+    The round-2 pipeline emitted full-res raw/masked maps and paid an XLA
+    pad/reshape/transpose/cells/table chain (~220 us/frame @480x640).
     """
     xtaps = np.asarray(xtaps, np.float32)
     ytaps = np.asarray(ytaps, np.float32)
     K, T = xtaps.shape
     r = (T - 1) // 2
-    ext = nms_radius
+    ext = nms_radius + 1  # +1 context row/col for the 3x3 pooling window
     *batch, h, w = image.shape
 
     wo_est = _round_up(w, 128)
@@ -1041,6 +1131,7 @@ def g2_features_full_pallas(
     if (
         tile_h < 8 or r + ext > _ROW_ALIGN
         or h <= 2 * (ext + 1) or w <= 2 * (ext + 1)
+        or h <= nms_radius + 2 or w <= nms_radius + 2
     ):
         return _g2_features_full_reference_xla(
             image.astype(jnp.float32), xtaps, ytaps, threshold, nms_radius
@@ -1077,7 +1168,7 @@ def g2_features_full_pallas(
         _g2_features_full_kernel,
         xtaps=xtaps, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
         reps=reps, slot_rep=slot_rep, s_last=h8 - band_h, xoff=xoff,
-        ext=ext, h=h, w=w, threshold=float(threshold), border=ext + 1,
+        ext=ext, h=h, w=w, threshold=float(threshold), border=ext,
     )
     spec = pl.BlockSpec((1, tile_h, wo), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec(
@@ -1085,7 +1176,7 @@ def g2_features_full_pallas(
     )
     shape = jax.ShapeDtypeStruct((n, ho, wo), jnp.float32)
     bshape = jax.ShapeDtypeStruct((n, K, ho, wo), jnp.float32)
-    raw, masked, ct, st, basis = pl.pallas_call(
+    p3, dy, dx, ct, st, basis = pl.pallas_call(
         kernel,
         grid=(n, num_tiles),
         in_specs=[
@@ -1093,15 +1184,15 @@ def g2_features_full_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=(spec, spec, spec, spec, bspec),
-        out_shape=(shape, shape, shape, shape, bshape),
+        out_specs=(spec, spec, spec, spec, spec, bspec),
+        out_shape=(shape, shape, shape, shape, shape, bshape),
         scratch_shapes=[
             pltpu.VMEM((2, band_h, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=n * ho * wo * (4 * K * T + 80),
-            bytes_accessed=n * (h * wp + (4 + K) * ho * wo) * 4,
+            flops=n * ho * wo * (4 * K * T + 90),
+            bytes_accessed=n * (h * wp + (5 + K) * ho * wo) * 4,
             transcendentals=0,
         ),
         interpret=_interpret(),
@@ -1109,7 +1200,7 @@ def g2_features_full_pallas(
     crop = lambda x: x[..., :h, :w].reshape(
         tuple(batch) + x.shape[1:-2] + (h, w)
     )
-    return crop(raw), crop(masked), crop(ct), crop(st), crop(basis)
+    return crop(p3), crop(dy), crop(dx), crop(ct), crop(st), crop(basis)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -1247,6 +1338,167 @@ def bank_tiled_pallas(
         interpret=_interpret(),
     )(img, colmat)
     return out[:, :, :h, :w].reshape(tuple(batch) + (K, h, w))
+
+
+# ---------------------------------------------------------------------------
+# Fused pyramid-down kernel: blur5 + 2x decimation as two banded stride-2
+# MXU matmuls (round 3). The XLA path (separable bank + [::2, ::2] strided
+# slices + HBM reflect-pads) cost ~30 us/frame at 480x640 in pure layout
+# ops; here REFLECT_101 is baked into the matrix weights (an out-of-range
+# source column reflects to an IN-range one, so no pad and no wrap block is
+# ever materialized) and the decimation is the matrices' stride.
+# ---------------------------------------------------------------------------
+
+
+def _pyr_col_mats(tile_h: int, h: int, h8: int, num_tiles: int) -> np.ndarray:
+    """[3, tile_h//2, band_h] stride-2 banded blur matrices (REFLECT_101),
+    per tile class (first/interior/last), matching _col_mats_reflect's band
+    geometry: band row b = global src row start(t) + b."""
+    from cvsteer_tpu.ops.pyramid import _BINOMIAL5
+
+    taps = np.asarray(_BINOMIAL5, np.float64)
+    a = _ROW_ALIGN
+    band_h = tile_h + 2 * a
+    th2 = tile_h // 2
+    C = np.zeros((3, th2, band_h), np.float32)
+
+    def reflect(g):
+        while g < 0 or g >= h:
+            g = -g if g < 0 else 2 * (h - 1) - g
+        return g
+
+    def fill(slot, t, s):
+        for i in range(th2):
+            gout = t * th2 + i
+            if 2 * gout >= h:
+                continue  # ceil-half padding rows stay zero
+            for d in range(-2, 3):
+                g = reflect(2 * gout + d)
+                b = g - s
+                assert 0 <= b < band_h, (slot, t, i, d, b)
+                C[slot, i, b] += taps[d + 2]
+
+    fill(0, 0, 0)
+    if num_tiles > 2:
+        for i in range(th2):
+            for d in range(-2, 3):
+                C[1, i, 2 * i + d + a] += taps[d + 2]
+    fill(2, num_tiles - 1, h8 - band_h)
+    return C
+
+
+def _pyr_row_mat(w: int, woh_pad: int) -> np.ndarray:
+    """[w, woh_pad] stride-2 banded blur matrix over lanes (REFLECT_101)."""
+    from cvsteer_tpu.ops.pyramid import _BINOMIAL5
+
+    taps = np.asarray(_BINOMIAL5, np.float64)
+    wh = -(-w // 2)
+    M = np.zeros((w, woh_pad), np.float32)
+
+    def reflect(g):
+        while g < 0 or g >= w:
+            g = -g if g < 0 else 2 * (w - 1) - g
+        return g
+
+    for j in range(wh):
+        for d in range(-2, 3):
+            M[reflect(2 * j + d), j] += taps[d + 2]
+    return M
+
+
+def _pyr_down_kernel(
+    img_hbm, mc_ref, mx_ref, out_ref, band, sems,
+    *, tile_h, wo, num_tiles, s_last,
+):
+    padded = _band_prologue(
+        img_hbm, band, sems, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
+        s_last=s_last, xoff=0,
+    )
+    t = pl.program_id(1)
+    cls = jnp.where(t == 0, 0, jnp.where(t == num_tiles - 1, 2, 1))
+    # The binomial taps and every reflected-sum coefficient are multiples
+    # of 1/16 <= 1 — EXACT in bf16 — so only the image operand needs the
+    # hi/lo split and each matmul pair reconstructs the fp32 product.
+    mc = mc_ref[cls]  # [th2, band_h] bf16 (exact)
+    phi = padded.astype(jnp.bfloat16)
+    plo = (padded - phi.astype(jnp.float32)).astype(jnp.bfloat16)
+    rows = (
+        jax.lax.dot_general(mc, phi, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(mc, plo, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )  # [th2, wo] fp32: column blur + row decimation
+    rhi = rows.astype(jnp.bfloat16)
+    rlo = (rows - rhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mx = mx_ref[:]
+    out_ref[0] = (
+        jnp.dot(rhi, mx, preferred_element_type=jnp.float32)
+        + jnp.dot(rlo, mx, preferred_element_type=jnp.float32)
+    )  # row blur + lane decimation
+
+
+def pyr_down_pallas(image: jax.Array, *, tile_h: int = DEFAULT_TILE_H):
+    """cv2.pyrDown parity (blur5 + even-index decimation) in one kernel.
+
+    Fast path for 8-aligned heights and 128-aligned widths (pyramid level
+    0 at typical sizes); other shapes return None and the caller keeps the
+    separable-bank + strided-slice path.
+    """
+    *batch, h, w = image.shape
+    if (
+        _interpret() or h % _ROW_ALIGN != 0 or w % 128 != 0 or w < 128
+        or h <= 2 * _ROW_ALIGN + 8
+    ):
+        return None
+    tile_h = min(tile_h, ((h - 2 * _ROW_ALIGN) // 8) * 8)
+    # both the source band and the half-res output rows must stay 8-aligned
+    while tile_h % 16 != 0:
+        tile_h -= 8
+    if tile_h < 16:
+        return None
+    h8 = h
+    num_tiles = -(-h // tile_h)
+    ho = num_tiles * tile_h
+    band_h = tile_h + 2 * _ROW_ALIGN
+    wo = w
+    hh, wh = -(-h // 2), -(-w // 2)
+    woh_pad = _round_up(wh, 128)
+    th2 = tile_h // 2
+
+    img = image.reshape((-1, h, w)).astype(jnp.float32)
+    n = img.shape[0]
+
+    mc = _pyr_col_mats(tile_h, h, h8, num_tiles)
+    mx = _pyr_row_mat(w, woh_pad)
+
+    kernel = functools.partial(
+        _pyr_down_kernel, tile_h=tile_h, wo=wo, num_tiles=num_tiles,
+        s_last=h8 - band_h,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, num_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th2, woh_pad), lambda i, t: (i, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, num_tiles * th2, woh_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, band_h, wo), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=n * ho * wo * 20,
+            bytes_accessed=n * (h * wo + hh * woh_pad) * 4,
+            transcendentals=0,
+        ),
+    )(img, jnp.asarray(mc).astype(jnp.bfloat16),
+      jnp.asarray(mx).astype(jnp.bfloat16))
+    return out[:, :hh, :wh].reshape(tuple(batch) + (hh, wh))
 
 
 def steerable_pipeline_g2_pallas(image: jax.Array, bank=None):

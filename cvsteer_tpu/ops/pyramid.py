@@ -40,7 +40,19 @@ def blur5(image: jax.Array) -> jax.Array:
 
 
 def pyr_down(image: jax.Array) -> jax.Array:
-    """One pyramid-down step: blur then keep even rows/cols (cv2.pyrDown)."""
+    """One pyramid-down step: blur then keep even rows/cols (cv2.pyrDown).
+
+    On TPU, aligned shapes take the fused blur+decimate Pallas kernel
+    (REFLECT_101 baked into stride-2 banded matmul matrices — no HBM
+    reflect-pad, no strided-slice layout pass; ~6x less device time at
+    480x640); other shapes keep the separable bank + strided slice.
+    """
+    if jax.default_backend() == "tpu":
+        from cvsteer_tpu.ops.pallas_frontend import pyr_down_pallas
+
+        out = pyr_down_pallas(image)
+        if out is not None:
+            return out
     return blur5(image)[..., ::2, ::2]
 
 

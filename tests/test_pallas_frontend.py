@@ -206,9 +206,38 @@ def test_g4_fused_maps_match_xla_pipeline(small_fish):
         assert diff.max() / scale < 1e-2, f"{name}: {diff.max()} vs scale {scale}"
 
 
+def test_pyr_down_pallas_matches_opencv():
+    """Fused blur+decimate kernel vs cv2.pyrDown on an aligned frame.
+
+    On CPU meshes pyr_down_pallas returns None (fast path is TPU-only) and
+    this degenerates to the existing bank-path parity; on the real-TPU CI
+    leg it exercises the stride-2 banded matmuls + in-matrix REFLECT_101.
+    """
+    import cv2
+
+    from cvsteer_tpu.ops.pallas_frontend import pyr_down_pallas
+    from cvsteer_tpu.ops.pyramid import pyr_down
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (480, 640)).astype(np.float32)
+    ours = np.asarray(pyr_down(jnp.asarray(img)))
+    ref = cv2.pyrDown(img)
+    assert ours.shape == ref.shape
+    # bf16x2 image-operand split: ~2^-17 relative; XLA/CPU path is exact
+    assert np.abs(ours - ref).max() <= 255 * 3e-5 + 1e-3
+
+
+def _unpack_p3(p):
+    """(score with low mantissa bits cleared, offset) from a packed p3 map."""
+    bits = np.asarray(p, np.float32).view(np.int32)
+    off = np.where(np.isfinite(p), bits & 15, 0)
+    sc = (bits & ~15).view(np.float32)
+    return sc, off
+
+
 def test_features_full_kernel_matches_xla_reference(small_fish):
-    """One-pass features kernel (basis + score + fused NMS + half-angle)
-    vs the XLA reference path, including the -inf mask set."""
+    """One-pass features kernel (basis + fused NMS + packed pooled score +
+    subpixel offsets + half-angle) vs the XLA reference path."""
     from cvsteer_tpu.ops.pallas_frontend import (
         _g2_features_full_reference_xla,
         g2_features_full_pallas,
@@ -219,23 +248,80 @@ def test_features_full_kernel_matches_xla_reference(small_fish):
     thr = 0.5
     out_k = g2_features_full_pallas(img, bank.xtaps, bank.ytaps, threshold=thr)
     out_r = _g2_features_full_reference_xla(img, bank.xtaps, bank.ytaps, thr, 2)
-    names = ["raw", "masked", "ct", "st", "basis"]
-    survivors = np.isfinite(np.asarray(out_r[1]))
+    names = ["p3", "dy", "dx", "ct", "st", "basis"]
+    # survivor pixels: p3 is a 3x3 window max, so a pixel is an actual NMS
+    # survivor iff its own p3 entry decodes back to itself (offset mods are
+    # unique within the centered window)
+    p3r = np.asarray(out_r[0])
+    _, off_r = _unpack_p3(p3r)
+    yy, xx = np.indices(p3r.shape)
+    survivors = np.isfinite(p3r) & (off_r == (yy % 3) * 3 + xx % 3)
     for name, a, b in zip(names, out_k, out_r):
         a, b = np.asarray(a), np.asarray(b)
-        if name == "masked":
+        if name == "p3":
             fa, fb = np.isfinite(a), np.isfinite(b)
             # NMS survivor sets may differ only where scores tie to ~1e-4
             assert (fa != fb).mean() < 1e-3
             both = fa & fb
-            scale = np.abs(np.where(fb, b, 0.0)).max() + 1e-6
-            assert np.abs(np.where(both, a - b, 0.0)).max() / scale < 1e-2
+            sa, oa = _unpack_p3(np.where(both, a, 0.0))
+            sb, ob = _unpack_p3(np.where(both, b, 0.0))
+            scale = np.abs(sb).max() + 1e-6
+            assert np.abs(sa - sb).max() / scale < 1e-2
+            # offsets agree wherever the window winner is unambiguous
+            # (score paths differ by ~1e-5, so near-ties may swap)
+            close = np.abs(sa - sb) / scale < 1e-5
+            assert (oa[both & (np.abs(a) > 0)] == ob[both & (np.abs(a) > 0)])[
+                close[both & (np.abs(a) > 0)]
+            ].mean() > 0.99
+        elif name in ("dy", "dx"):
+            # subpixel offsets are consumed only at selected keypoints;
+            # compare at survivor pixels (elsewhere the 5-point stencil is
+            # evaluated on near-flat scores and is ill-conditioned)
+            d = np.abs(a - b)[survivors]
+            assert d.size == 0 or d.max() < 1e-2, name
         elif name in ("ct", "st"):
-            # orientation is consumed only at selected keypoints; away from
-            # them (flat/isotropic pixels) cos2t = c2/rho is ill-conditioned
-            # and the two paths legitimately differ
             d = np.abs(a - b)[survivors]
             assert d.size == 0 or d.max() < 1e-2, name
         else:
             scale = np.abs(b).max() + 1e-6
             assert np.abs(a - b).max() / scale < 1e-2, name
+
+
+def test_detect_keypoints_packed_matches_premasked(small_fish):
+    """The packed-pool selection path yields the same keypoints as the
+    round-2 premasked selection on the same detector maps (CPU/XLA)."""
+    from cvsteer_tpu.features.keypoints import (
+        detect_keypoints_packed,
+        detect_keypoints_premasked,
+    )
+    from cvsteer_tpu.ops.pallas_frontend import _g2_features_full_reference_xla
+
+    bank = g2h2_bank()
+    img = jnp.asarray(small_fish)
+    thr = 0.5
+    p3, dy, dx, ct, st, basis = _g2_features_full_reference_xla(
+        img, bank.xtaps, bank.ytaps, thr, 2
+    )
+    kp = detect_keypoints_packed(p3, dy, dx, ct, st, max_keypoints=64)
+    # reference: exact top-k on the full masked map
+    from cvsteer_tpu.filters.g2 import g2_bank, steerable_pipeline_g2
+
+    score, ctr, str_ = __import__(
+        "cvsteer_tpu.ops.pallas_frontend", fromlist=["x"]
+    )._g2_feature_maps_reference_xla(img, bank.xtaps, bank.ytaps)
+    from cvsteer_tpu.features.keypoints import detect_keypoints_cs
+
+    kp_ref = detect_keypoints_cs(
+        score, ctr, str_, max_keypoints=64, nms_radius=2, threshold=thr
+    )
+    n, n_ref = int(kp.valid.sum()), int(kp_ref.valid.sum())
+    assert n == n_ref
+    a = np.asarray(kp.yx)[np.asarray(kp.valid)]
+    b = np.asarray(kp_ref.yx)[np.asarray(kp_ref.valid)]
+    a = a[np.lexsort(a.T)]
+    b = b[np.lexsort(b.T)]
+    assert np.allclose(a, b, atol=1e-5)
+    # scores agree to the 4 cleared mantissa bits
+    sa = np.sort(np.asarray(kp.score)[np.asarray(kp.valid)])
+    sb = np.sort(np.asarray(kp_ref.score)[np.asarray(kp_ref.valid)])
+    assert np.allclose(sa, sb, rtol=2.0 ** -18)
