@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+from cvsteer_tpu.utils.precision import precise
 
 
 class Matches(NamedTuple):
@@ -29,6 +30,7 @@ class Matches(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
 
 
+@precise
 def match_descriptors(
     desc_a: jax.Array,
     valid_a: jax.Array,

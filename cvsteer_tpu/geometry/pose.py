@@ -11,8 +11,10 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from cvsteer_tpu.utils.precision import precise
 
 
+@precise
 def decompose_essential(E: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """E -> (R1, R2, t) with ||t|| = 1; candidates are (R1|R2) x (+-t)."""
     U, _, Vt = jnp.linalg.svd(E)
@@ -33,6 +35,7 @@ def _projection(R: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.concatenate([R, t[:, None]], axis=1)
 
 
+@precise
 def triangulate(
     P1: jax.Array, P2: jax.Array, x1: jax.Array, x2: jax.Array
 ) -> jax.Array:
@@ -91,6 +94,7 @@ class TwoViewPose(NamedTuple):
     num_good: jax.Array
 
 
+@precise
 def recover_pose(
     E: jax.Array, x1: jax.Array, x2: jax.Array, valid: jax.Array
 ) -> TwoViewPose:

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from cvsteer_tpu.slam import se3
+from cvsteer_tpu.utils.precision import precise
 
 
 class BAProblem(NamedTuple):
@@ -439,6 +440,7 @@ def ba_step(
     return new_state, cost(new_state, problem, axis_name)
 
 
+@precise
 def refine_pose(
     X: jax.Array,
     uv: jax.Array,
@@ -504,6 +506,7 @@ def refine_pose(
     return R, t, inliers
 
 
+@precise
 def bundle_adjust(
     state: BAState,
     problem: BAProblem,

@@ -32,6 +32,7 @@ from jax import lax
 
 from cvsteer_tpu.slam import lie_lanes as ll
 from cvsteer_tpu.slam import se3
+from cvsteer_tpu.utils.precision import precise
 
 _HP = lax.Precision.HIGHEST
 
@@ -425,6 +426,7 @@ def _gn_step_matfree(
         "huber_delta", "robust_kernel",
     ),
 )
+@precise
 def optimize_pose_graph(
     poses: Poses,
     graph: PoseGraph,

@@ -29,6 +29,7 @@ from jax import lax
 from cvsteer_tpu.slam import lie_lanes as ll
 from cvsteer_tpu.slam import sim3
 from cvsteer_tpu.slam.sim3 import Sim3
+from cvsteer_tpu.utils.precision import precise
 
 _HP = lax.Precision.HIGHEST
 
@@ -215,6 +216,7 @@ def _solve_dense_lanes(
     jax.jit,
     static_argnames=("iterations", "lam0", "huber_delta", "robust_kernel"),
 )
+@precise
 def optimize_pose_graph_sim3(
     poses: Sim3,
     graph: Sim3Graph,

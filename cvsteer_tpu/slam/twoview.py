@@ -18,6 +18,7 @@ from cvsteer_tpu.features.matching import match_descriptors
 from cvsteer_tpu.geometry.camera import Intrinsics, normalize_pixels
 from cvsteer_tpu.geometry.epipolar import RansacResult, ransac_essential
 from cvsteer_tpu.geometry.pose import TwoViewPose, recover_pose
+from cvsteer_tpu.utils.precision import precise
 
 
 class TwoViewResult(NamedTuple):
@@ -32,6 +33,7 @@ class TwoViewResult(NamedTuple):
     E: jax.Array
 
 
+@precise
 def two_view_pose(
     image_a: jax.Array,
     image_b: jax.Array,
@@ -61,6 +63,7 @@ def two_view_pose(
     )
 
 
+@precise
 def two_view_pose_from_features(
     fa: Features,
     fb: Features,

@@ -56,6 +56,7 @@ from cvsteer_tpu.slam import vo as hostvo
 from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust, refine_pose
 from cvsteer_tpu.slam.ba import residuals as ba_residuals
 from cvsteer_tpu.slam.vo import Keyframe, VOConfig, VOState, init_vo
+from cvsteer_tpu.utils.precision import precise
 
 
 class DeviceMap(NamedTuple):
@@ -431,7 +432,7 @@ _device_step = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map",
     ),
-)(_device_step_body)
+)(precise(_device_step_body))
 
 
 def _fleet_step_body(
@@ -498,7 +499,7 @@ _fleet_step = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map",
     ),
-)(_fleet_step_body)
+)(precise(_fleet_step_body))
 
 
 class _FleetAux(NamedTuple):
@@ -642,7 +643,7 @@ _fleet_step_pipe = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "kf_max_gap", "motion_model", "ba_iterations", "local_map",
     ),
-)(_fleet_step_pipe_body)
+)(precise(_fleet_step_pipe_body))
 
 
 class DeviceVO:

@@ -356,7 +356,12 @@ def test_vo_with_lens_distortion():
     def run(K_run):
         rng = np.random.default_rng(5)
         cfg = VOConfig(
-            intrinsics=K_run, kf_max_gap=5, window=8, track_min_landmarks=30
+            intrinsics=K_run, kf_max_gap=5, window=8, track_min_landmarks=30,
+            # old init gate: the r3 robust default (0.03) also rescues the
+            # deliberately mis-modeled pinhole run, washing out this test's
+            # negative control — keep the weaker bootstrap so the distortion
+            # coefficients' effect stays observable
+            min_parallax=0.015,
         )
         state = init_vo(cfg)
         gt = []
