@@ -36,6 +36,43 @@ def _images():
     return rng.uniform(0.0, 255.0, (B, H, W)).astype("float32")
 
 
+def _trace_device_us(run_once, iters: int = 4) -> float:
+    """Total TPU device-event us per run_once() from a jax.profiler trace.
+
+    The wall numbers in this file measure the tunnel as much as the chip
+    (±30% session variance, BENCH_NOTES.md); the device-side trace is the
+    honest per-round comparison metric (VERDICT r2 item 9), so each bench
+    section also records a ``*_device_us`` field. Counts leaf device
+    events only (module-level jit_* events double-count their children).
+    """
+    import collections
+    import glob
+    import gzip
+    import json as _json
+    import shutil
+
+    import jax
+
+    logdir = "/tmp/bench_trace"
+    shutil.rmtree(logdir, ignore_errors=True)
+    with jax.profiler.trace(logdir):
+        for _ in range(iters):
+            run_once()
+    dur = collections.Counter()
+    for f in glob.glob(logdir + "/**/*.trace.json.gz", recursive=True):
+        data = _json.load(gzip.open(f))
+        pids = {
+            e["pid"]: e["args"].get("name")
+            for e in data["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        for e in data["traceEvents"]:
+            if e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), "")):
+                if not e["name"].startswith("jit_"):
+                    dur[e["name"]] += e.get("dur", 0)
+    return sum(dur.values()) / iters
+
+
 def bench_device(images) -> float:
     """Time DEVICE_ITERS front-end batches chained by data dependency.
 
@@ -83,6 +120,13 @@ def bench_device(images) -> float:
         dt = time.perf_counter() - t0
         assert c == c, "NaN checksum"
         best = min(best, dt)
+    try:
+        us = _trace_device_us(lambda: float(step(x, jnp.float32(0.0))))
+        _PARTIAL["extra"]["g2_frontend_device_us_per_frame"] = round(
+            us / (B * UNROLL), 2
+        )
+    except Exception as e:
+        print(f"frontend trace failed: {e}", file=sys.stderr)
     return B * UNROLL * DEVICE_ITERS / best
 
 
@@ -178,7 +222,13 @@ def bench_features() -> float:
     for _ in range(iters):
         c = step(x, c)
     float(c)
-    return FB * iters / (time.perf_counter() - t0)
+    fps = FB * iters / (time.perf_counter() - t0)
+    try:
+        us = _trace_device_us(lambda: float(step(x, jnp.float32(0.0))))
+        _PARTIAL["extra"]["feature_device_us_per_frame"] = round(us / FB, 1)
+    except Exception as e:
+        print(f"features trace failed: {e}", file=sys.stderr)
+    return fps
 
 
 def bench_ba() -> float:
@@ -221,7 +271,15 @@ def bench_ba() -> float:
     for _ in range(CALLS):
         st, stats = run(st)  # chained: each call resumes from the last state
     float(stats.cost)
-    return ITERS_PER_CALL * CALLS / (time.perf_counter() - t0)
+    ips = ITERS_PER_CALL * CALLS / (time.perf_counter() - t0)
+    try:
+        us = _trace_device_us(lambda: float(run(state0)[1].cost), iters=2)
+        _PARTIAL["extra"]["ba_device_us_per_iter"] = round(
+            us / ITERS_PER_CALL, 2
+        )
+    except Exception as e:
+        print(f"ba trace failed: {e}", file=sys.stderr)
+    return ips
 
 
 def bench_vo():
@@ -401,7 +459,22 @@ def bench_vo_device_server(n_streams: int = 8, fleet: bool = True,
     for k in range(WARM, N_FRAMES):
         srv.step(frames[k])
     dt = time.perf_counter() - t0
-    return n_streams * (N_FRAMES - WARM) / dt
+    fps = n_streams * (N_FRAMES - WARM) / dt
+    # per-stream ATE tail statistics (VERDICT r2 item 3): one fleet-wide
+    # finalize per stream against the shared ground-truth trajectory
+    import numpy as _np
+
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+
+    gts = [_gt_pose(k, N_FRAMES) for k in range(N_FRAMES)]
+    gtR = _np.stack([g[0] for g in gts])
+    gtt = _np.stack([g[1] for g in gts])
+    ates = []
+    for s in range(n_streams):
+        st = srv.finalize(s)
+        Rs, ts = st.poses()
+        ates.append(float(ate_rmse(Rs, ts, gtR, gtt, align_scale=True)))
+    return fps, float(_np.median(ates)), float(max(ates))
 
 
 def bench_vo_server(n_streams: int = 8):
@@ -581,26 +654,28 @@ def main() -> int:
     # slowed by remote-compile contention
     if time.perf_counter() - _T_START < 330.0:
         try:
-            vo_fps, ate = bench_vo()
-            # NOTE: host-driven VO through the remote tunnel is RTT-bound
-            # (~40 ms per device fetch); see BENCH_NOTES.md
-            extra["vo_frames_per_s_synthetic"] = round(vo_fps, 2)
-            extra["vo_ate_rmse_m_synthetic"] = round(ate, 4)
+            # PRIMARY config-4 engine (VERDICT r2 item 3): the device-
+            # resident DeviceVO — the whole frame (track + fused keyframe
+            # promotion) in ONE dispatch + ONE fetch -> 1 RTT/frame
+            dv_fps, dv_ate = bench_vo_device()
+            extra["vo_frames_per_s_synthetic"] = round(dv_fps, 2)
+            extra["vo_ate_rmse_m_synthetic"] = round(dv_ate, 4)
         except Exception as e:
-            print(f"vo bench failed: {e}", file=sys.stderr)
+            print(f"vo device bench failed: {e}", file=sys.stderr)
     else:
         print("vo bench skipped (soft deadline)", file=sys.stderr)
     if time.perf_counter() - _T_START < 340.0:
         try:
-            # device-resident VO: the whole frame (track + fused keyframe
-            # promotion) in ONE dispatch + ONE fetch -> 1 RTT/frame
-            dv_fps, dv_ate = bench_vo_device()
-            extra["vo_device_frames_per_s_synthetic"] = round(dv_fps, 2)
-            extra["vo_device_ate_rmse_m_synthetic"] = round(dv_ate, 4)
+            # secondary: the host-driven loop (RTT-bound through the
+            # remote tunnel, ~40 ms per device fetch; see BENCH_NOTES.md)
+            vo_fps, ate = bench_vo()
+            extra["vo_host_frames_per_s_synthetic"] = round(vo_fps, 2)
+            extra["vo_host_ate_rmse_m_synthetic"] = round(ate, 4)
             # vmapped fleet: one dispatch + one fetch per tick, all streams
-            extra["vo_device_fleet_frames_per_s_8_streams"] = round(
-                bench_vo_device_server(8, fleet=True), 2
-            )
+            f_fps, f_med, f_max = bench_vo_device_server(8, fleet=True)
+            extra["vo_device_fleet_frames_per_s_8_streams"] = round(f_fps, 2)
+            extra["vo_device_fleet_ate_median_8_streams"] = round(f_med, 4)
+            extra["vo_device_fleet_ate_max_8_streams"] = round(f_max, 4)
         except Exception as e:
             print(f"vo device bench failed: {e}", file=sys.stderr)
     if time.perf_counter() - _T_START < 360.0:
