@@ -549,6 +549,52 @@ def bench_vo_server(n_streams: int = 8):
     return n_streams * (N_FRAMES - WARM) / dt
 
 
+def bench_closure_event(n_kf: int = 200):
+    """Closure-event latency at serving scale (VERDICT r2 item 6): a
+    K=200-keyframe state whose newest keyframe revisits the start; reports
+    (detect+batched-verify ms, full close_loops_sim3 event ms). Detection
+    is one cached-signature product + ONE vmapped verification dispatch;
+    the full event adds the Sim(3) pose-graph solve + write-back."""
+    import sys as _sys
+
+    import numpy as np
+
+    _sys.path.insert(0, "tests")
+    from test_loopclosure import (  # noqa: E402 (test helpers as harness)
+        _lookat_pose,
+        _state_with_keyframes,
+    )
+
+    from cvsteer_tpu.slam.loopclosure import close_loops_sim3, find_loop_closures
+
+    rng = np.random.default_rng(17)
+    X = rng.uniform([-2, -1.5, -2], [2, 1.5, 2], (300, 3)).astype(np.float32)
+    desc = rng.normal(size=(300, 32)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    poses = []
+    for k in range(n_kf - 1):
+        a = 2 * np.pi * k / (n_kf - 1)
+        poses.append(_lookat_pose(np.array([7 * np.sin(a), 0.0, -7 * np.cos(a)])))
+    poses.append(poses[0])  # revisit
+    state = _state_with_keyframes(poses, X, desc, rng)
+
+    import copy
+
+    find_loop_closures(state, min_gap=6, min_inliers=20)  # warm compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        n = len(find_loop_closures(state, min_gap=6, min_inliers=20))
+    detect_ms = (time.perf_counter() - t0) / reps * 1e3
+    assert n >= 1, "no closure detected in the bench scenario"
+
+    close_loops_sim3(copy.deepcopy(state), min_gap=6, min_inliers=20)  # warm
+    t0 = time.perf_counter()
+    close_loops_sim3(copy.deepcopy(state), min_gap=6, min_inliers=20)
+    event_ms = (time.perf_counter() - t0) * 1e3
+    return detect_ms, event_ms
+
+
 def bench_sim3():
     """Sim(3) loop-closure metric (VERDICT r1 item 4 bench line): full VO
     around a revisiting loop, 1.9x accumulated scale drift injected into
@@ -696,6 +742,15 @@ def main() -> int:
             print(f"sim3 bench failed: {e}", file=sys.stderr)
     else:
         print("sim3 bench skipped (soft deadline)", file=sys.stderr)
+    if time.perf_counter() - _T_START < 440.0:
+        try:
+            d_ms, e_ms = bench_closure_event(200)
+            extra["closure_detect_ms_k200"] = round(d_ms, 1)
+            extra["closure_event_ms_k200"] = round(e_ms, 1)
+        except Exception as e:
+            print(f"closure bench failed: {e}", file=sys.stderr)
+    else:
+        print("closure bench skipped (soft deadline)", file=sys.stderr)
     # cancel BEFORE printing so the watchdog can never interleave its line
     # with the final one (if it already fired, os._exit won the race)
     watchdog.cancel()

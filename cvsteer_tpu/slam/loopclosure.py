@@ -57,6 +57,44 @@ def keyframe_signature(features) -> np.ndarray:
     return (sig / n if n > 1e-9 else sig).astype(np.float32)
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "intrinsics", "match_ratio", "ransac_hypotheses",
+        "ransac_threshold_px",
+    ),
+)
+def _verify_candidates_jit(
+    fa_stack, fb, key, *, intrinsics, match_ratio, ransac_hypotheses,
+    ransac_threshold_px,
+):
+    """Geometric verification of M closure candidates in ONE dispatch.
+
+    ``fa_stack``: Features with a leading candidate axis [M, ...]; ``fb``
+    the newest keyframe's features. ``intrinsics`` is static (a hashable
+    NamedTuple of floats, preserving the distortion branch). The round-2
+    path verified candidates sequentially — one full dispatch + fetch RTT
+    per candidate, ~3 RTTs per closure event through the tunnel; vmapping
+    the identical fixed-shape pipeline makes the event cost
+    candidate-count-independent (measured in bench.bench_closure_event).
+    """
+
+    def one(fa, k):
+        return two_view_pose_from_features(
+            fa, fb, intrinsics,
+            match_ratio=match_ratio,
+            ransac_hypotheses=ransac_hypotheses,
+            ransac_threshold_px=ransac_threshold_px,
+            key=k,
+        )
+
+    keys = jax.random.split(key, fa_stack.yx.shape[0])
+    return jax.vmap(one)(fa_stack, keys)
+
+
 def find_loop_closures(
     state: VOState,
     *,
@@ -70,8 +108,15 @@ def find_loop_closures(
 
     ``min_gap`` keyframes of separation avoids trivial neighbors; candidate
     ranking by signature cosine (a loose prefilter — the geometric
-    verification below is the real gate); verification via the two-view
-    pipeline (mutual ratio matching + essential RANSAC).
+    verification below is the real gate); verification of all surviving
+    candidates via ONE vmapped two-view dispatch (_verify_candidates_jit).
+
+    Signature scoring stays host-side numpy by design: signatures are
+    cached per keyframe, so an event at K keyframes is one [K, 32] @ [32]
+    product (~microseconds at K=200 — measured); a device-side signature
+    matmul would ADD an upload + fetch round-trip per event unless the
+    whole store lived device-resident, which only pays once K is in the
+    tens of thousands.
     """
     kfs = state.keyframes
     j = len(kfs) - 1
@@ -87,27 +132,37 @@ def find_loop_closures(
         return kf.signature
 
     sig_j = keyframe_signature(kfs[j].features)
-    scores = sorted(
-        ((float(np.dot(sig(i), sig_j)), i) for i in range(0, j - min_gap + 1)),
-        reverse=True,
-    )
+    sig_mat = np.stack([sig(i) for i in range(0, j - min_gap + 1)])
+    scores = sig_mat @ sig_j  # [K-gap] — one product, cached signatures
+    order = np.argsort(-scores)
+
+    cand = [int(i) for i in order[:max_candidates]
+            if scores[i] >= signature_threshold]
+    if not cand:
+        return []
 
     K = state.config.intrinsics
     # same inlier criterion as the rest of the VO pipeline
     thresh_px = ransac_threshold_px(state)
+    # pad to a fixed batch (repeat slot 0): one compiled shape per
+    # max_candidates value instead of one per surviving-candidate count
+    n_real = len(cand)
+    cand_pad = cand + [cand[0]] * (max_candidates - n_real)
+    fa_stack = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[kfs[i].features for i in cand_pad]
+    )
+    batched = _verify_candidates_jit(
+        fa_stack, kfs[j].features, key,
+        intrinsics=K,
+        match_ratio=state.config.match_ratio,
+        ransac_hypotheses=state.config.ransac_hypotheses,
+        ransac_threshold_px=round(float(thresh_px), 6),
+    )
+    batched = jax.tree.map(np.asarray, batched)  # ONE fetch for all M
+
     closures: List[LoopClosure] = []
-    for score, i in scores[:max_candidates]:
-        if score < signature_threshold:
-            break
-        res = two_view_pose_from_features(
-            kfs[i].features,
-            kfs[j].features,
-            K,
-            match_ratio=state.config.match_ratio,
-            ransac_hypotheses=state.config.ransac_hypotheses,
-            ransac_threshold_px=thresh_px,
-            key=key,
-        )
+    for m, i in enumerate(cand[:n_real]):
+        res = jax.tree.map(lambda x: x[m], batched)
         n_inl = int(res.num_inliers)
         if n_inl < min_inliers:
             continue
