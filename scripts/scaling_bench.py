@@ -149,6 +149,77 @@ def bench_pgo(n_devices: int, poses: int, edges_per_dev: int, iters: int) -> flo
     return iters / (time.perf_counter() - t0)
 
 
+# ---------------------------------------------------------------------------
+# Analytic config-5 efficiency table (VERDICT r2 item 5b).
+#
+# Multi-chip hardware is not reachable from this container, so the >= 0.8
+# claim is made checkable instead of prose: the communication VOLUME comes
+# from the compiled-HLO collectives audit (tests/test_collectives_audit.py
+# pins it — BA moves one landmark-count-independent fused psum of
+# 36C^2 + 48C + 2 fp32 per LM iteration), the compute time from device
+# traces on the real v5e chip, and the interconnect numbers are pinned
+# public v5e figures. Every input is recorded in the emitted JSON.
+# ---------------------------------------------------------------------------
+
+# Measured on the real chip (2026-08-19 device trace, C=8): BA LM-iteration
+# device time fits t = A_US + B_US_PER_LM * L over L in {1024, 8192}.
+_BA_A_US = 48.4
+_BA_B_US_PER_LM = 0.0193
+# Interconnect assumptions (documented inputs, not measurements): a v5e pod
+# slice's ICI moves ~45 GB/s effective per allreduce direction with ~8 us
+# software+hop latency per collective; DCN (inter-slice) ~6 GB/s with
+# ~60 us latency. Ring allreduce moves 2(n-1)/n * payload per chip.
+_LINKS = {"ici": (45e9, 8e-6), "dcn": (6e9, 60e-6)}
+
+
+def analytic_ba_efficiency(out_path: str = "SCALING_r03.json") -> dict:
+    table = []
+    for link, (bw, lat) in _LINKS.items():
+        for C in (8, 16, 32):
+            # compute model: residual/Jacobian/Schur work is linear in both
+            # C and L (C=8 anchor; the C^3 reduced solve is negligible at
+            # these window sizes)
+            for L in (10_000, 100_000, 1_000_000):
+                t1 = (_BA_A_US + _BA_B_US_PER_LM * L) * (C / 8.0) * 1e-6
+                payload = 4 * (36 * C * C + 48 * C + 2)  # audited psum bytes
+                for n in (2, 4, 8, 16, 32):
+                    t_comm = lat + 2 * (n - 1) / n * payload / bw
+                    t_n = t1 / n + t_comm
+                    eff = t1 / (n * t_n)
+                    table.append({
+                        "solver": "ba_landmark_sharded", "link": link,
+                        "C": C, "L": L, "chips": n,
+                        "iter_us_1chip": round(t1 * 1e6, 1),
+                        "comm_us": round(t_comm * 1e6, 2),
+                        "efficiency": round(eff, 3),
+                    })
+    meets = [r for r in table if r["efficiency"] >= 0.8]
+    out = {
+        "model": "eff(n) = t1 / (n * (t1/n + lat + 2(n-1)/n * bytes/bw))",
+        "inputs": {
+            "ba_iter_us(C=8, L)": f"{_BA_A_US} + {_BA_B_US_PER_LM}*L (device trace, v5e chip)",
+            "psum_bytes": "4 * (36C^2 + 48C + 2) — pinned by tests/test_collectives_audit.py",
+            "links": {k: {"bw_B_per_s": v[0], "latency_s": v[1]} for k, v in _LINKS.items()},
+        },
+        "headline": {
+            "claim": ">= 0.8 efficiency at 2+ hosts (BASELINE config 5)",
+            "holds_when": "L/chip >= ~25k landmarks over ICI; >= ~300k over DCN "
+                          "(see table: comm is L-independent, compute is linear in L)",
+        },
+        "table": table,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    worst_big = min(
+        r["efficiency"] for r in table
+        if r["link"] == "ici" and r["L"] >= 100_000 and r["chips"] <= 8
+    )
+    print(json.dumps({"metric": "analytic_ba_efficiency",
+                      "ici_L>=1e5_chips<=8_min": worst_big,
+                      "rows": len(table), "out": out_path}))
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--image", nargs=2, type=int, default=[512, 512])
@@ -160,7 +231,15 @@ def main() -> int:
     ap.add_argument("--edges", type=int, default=512, help="per device")
     ap.add_argument("--cameras", type=int, default=12)
     ap.add_argument("--landmarks", type=int, default=512, help="per device")
+    ap.add_argument(
+        "--analytic", action="store_true",
+        help="emit the analytic config-5 efficiency table (SCALING_r03.json)",
+    )
     args = ap.parse_args()
+
+    if args.analytic:
+        analytic_ba_efficiency()
+        return 0
 
     import jax
 
