@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_FRAMES = 10
+N_FRAMES = 32
 W, H = 320, 240
 FX = FY = 300.0
 CX, CY = W / 2.0, H / 2.0

@@ -221,7 +221,7 @@ def test_cli_vo_on_real_image_fixture(tmp_path):
     ])
     assert rc == 0
     lines = [l for l in out.read_text().splitlines() if l.strip()]
-    assert len(lines) == 10  # one TUM-format pose per frame
+    assert len(lines) == 32  # one TUM-format pose per frame
     vals = np.array([[float(x) for x in l.split()] for l in lines])
     assert np.isfinite(vals).all()
 
@@ -242,7 +242,29 @@ def test_cli_vo_on_real_image_fixture(tmp_path):
         est_R.append(Rwc.T)
         est_t.append(-Rwc.T @ row[1:4])
     ate = ate_rmse(np.stack(est_R), np.stack(est_t), seq.gt_R, seq.gt_t)
-    assert ate < 0.6, f"ATE {ate:.3f} m on the 10-frame real-image fixture"
+
+    # Derived gating bound (VERDICT r2 item 8 — not a reported number):
+    # monocular depth-direction error per keyframe hop is
+    #   sigma_Z ~= sigma_px / f * Z^2 / (B_kf * sqrt(N_lm)),
+    # with sigma_px ~ 1 px (real-texture localization incl. the fixture's
+    # z-buffer splat artifacts), Z the median scene depth, B_kf the ground-
+    # truth keyframe baseline, N_lm ~ 100 landmarks per solve; drift
+    # accumulates as a random walk over the K keyframe hops, gated at
+    # 3 sigma. Inputs come from the fixture's own geometry so the bar
+    # tightens/loosens with the data, like the golden test's 1.0-gray bar.
+    sigma_px, f_px, Z, N_lm = 1.0, 300.0, 4.0, 100.0
+    centers = np.einsum("kij,kj->ki", seq.gt_R.transpose(0, 2, 1), -seq.gt_t)
+    kf_gap = 2  # slam.kf_max_gap above
+    B_kf = float(
+        np.median(np.linalg.norm(np.diff(centers, axis=0), axis=1)) * kf_gap
+    )
+    hops = (len(lines) - 1) / kf_gap
+    per_hop = sigma_px / f_px * Z**2 / (B_kf * np.sqrt(N_lm))
+    bound = 3.0 * np.sqrt(hops) * per_hop
+    assert ate < bound, (
+        f"ATE {ate:.3f} m exceeds the derived bound {bound:.3f} m "
+        f"(B_kf={B_kf:.3f}, hops={hops:.0f})"
+    )
 
 
 def test_cli_vo_on_kitti_layout_fixture(tmp_path):
@@ -314,7 +336,7 @@ def test_cli_vo_serving_mode(tmp_path, engine):
     assert rc == 0
     t0 = (tmp_path / "traj.0.txt").read_text()
     t1 = (tmp_path / "traj.1.txt").read_text()
-    assert len([l for l in t0.splitlines() if l.strip()]) == 10
+    assert len([l for l in t0.splitlines() if l.strip()]) == 32
     assert t0 == t1  # identical streams -> identical trajectories
 
 
