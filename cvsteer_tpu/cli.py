@@ -83,23 +83,24 @@ def main(argv=None) -> int:
         os.makedirs(args.output, exist_ok=True)
 
     if args.filters == "g2":
-        from cvsteer_tpu.filters.g2 import g2_bank, steerable_pipeline_g2
+        from cvsteer_tpu.filters.g2 import (
+            g2_bank,
+            g2_output_maps,
+            steerable_pipeline_g2,
+        )
 
         bank = g2_bank(args.width or 4, args.spacing or 0.67)
 
         def pipeline(batch, bank=None, method="auto"):
             if jax.default_backend() == "tpu":
-                # fused maps kernel: the CLI only writes the three maps, so
-                # skip the full-pipeline basis + elementwise chain entirely
+                # explicit FAST accuracy class (filters.g2.g2_output_maps):
+                # fused bf16x3 maps kernel + bf16 writes — the CLI
+                # quantizes to u8 right after, where bf16's 2^-9 rounding
+                # is below the u8 step (docs/ROOFLINE.md round 3)
                 import jax.numpy as jnp
 
-                from cvsteer_tpu.ops.pallas_frontend import g2_maps_pallas
-
-                # bf16 maps: the CLI quantizes to u8 right after, where
-                # bf16's 2^-9 rounding is below the u8 step; halves the
-                # kernel's HBM write traffic (docs/ROOFLINE.md round 3)
-                edges, dark, bright = g2_maps_pallas(
-                    batch, bank.xtaps, bank.ytaps, out_dtype=jnp.bfloat16
+                edges, dark, bright = g2_output_maps(
+                    batch, bank, accuracy="fast", out_dtype=jnp.bfloat16
                 )
                 return {"edges": edges, "lines_dark": dark, "lines_bright": bright}
             return steerable_pipeline_g2(batch, bank, method=method)

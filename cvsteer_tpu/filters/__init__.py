@@ -11,6 +11,7 @@ from cvsteer_tpu.filters.g2 import (  # noqa: F401
     G2Maps,
     g2_bank,
     g2_basis,
+    g2_output_maps,
     steerable_pipeline_g2,
 )
 from cvsteer_tpu.filters.g4 import (  # noqa: F401

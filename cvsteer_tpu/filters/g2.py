@@ -307,6 +307,16 @@ def steerable_pipeline_g2(
     orientation -> per-pixel steering -> magnitude/phase -> oriented energy ->
     edge & line maps. The extractors consume *magnitude*, matching the
     reference callers (quirk C23 in SURVEY.md).
+
+    ACCURACY CLASS: every ``method`` here is fp32-exact-class — "xla"
+    (HIGHEST-precision convolutions), "pallas" (fp32 Pallas basis kernel,
+    <= ~1e-4 max-rel vs "xla" on chip), "auto" (= "pallas" on TPU, "xla"
+    elsewhere). The FAST bf16x3 fused kernel (~2e-3 max-rel-to-mean class,
+    1.7e-2 observed worst-map on chip) is never selected implicitly: it is
+    the separate, explicitly named :func:`g2_output_maps`
+    (accuracy="fast") / ops.pallas_frontend.g2_maps_pallas. The TPU CI leg
+    asserts both bounds on the real chip
+    (tests/test_pallas_frontend.py::test_accuracy_classes_on_chip).
     """
     if bank is None:
         bank = g2_bank()
@@ -336,3 +346,49 @@ def steerable_pipeline_g2(
         lines_dark=dark,
         lines_bright=bright,
     )
+
+
+def g2_output_maps(
+    image: jax.Array,
+    bank: Optional[G2Bank] = None,
+    *,
+    accuracy: str = "fast",
+    out_dtype=None,
+):
+    """The three reference output maps (edges, lines_dark, lines_bright)
+    with an EXPLICIT accuracy class (VERDICT r2 item 10):
+
+    - ``accuracy="fast"``: the fused bf16x3 Pallas kernel — one HBM read,
+      three map writes, ~22 us/frame device @512x512. Error class ~2e-3
+      max-rel-to-mean vs the fp32 path (1.7e-2 observed worst-map on
+      chip); far inside the reference golden test's 1.0-gray bar (the
+      on-chip margin is >3x even with bf16 output, docs/ROOFLINE.md).
+      This is what the CLI and benchmarks use.
+    - ``accuracy="precise"``: fp32-exact-class maps via the full pipeline
+      (steerable_pipeline_g2) — <= ~1e-4 max-rel on chip, ~24x slower.
+
+    ``out_dtype`` (fast path): jnp.bfloat16 halves map write traffic;
+    defaults to fp32.
+
+    A consumer can no longer cross accuracy classes silently: the fast
+    kernel is reachable only through this explicit flag (or the
+    ops.pallas_frontend functions directly).
+    """
+    import jax.numpy as jnp
+
+    if bank is None:
+        bank = g2_bank()
+    if accuracy == "fast":
+        from cvsteer_tpu.ops.pallas_frontend import g2_maps_pallas
+
+        return g2_maps_pallas(
+            image, bank.xtaps, bank.ytaps,
+            out_dtype=jnp.float32 if out_dtype is None else out_dtype,
+        )
+    if accuracy != "precise":
+        raise ValueError(f"accuracy must be 'fast' or 'precise', got {accuracy!r}")
+    maps = steerable_pipeline_g2(image, bank)
+    out = (maps.edges, maps.lines_dark, maps.lines_bright)
+    if out_dtype is not None:
+        out = tuple(m.astype(out_dtype) for m in out)
+    return out
