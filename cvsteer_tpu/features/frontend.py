@@ -40,10 +40,25 @@ class FrontendConfig(NamedTuple):
     # Filter order: 2 = G2/H2 (default, fused TPU kernel path), 4 = G4/H4
     # (narrower angular tuning; basis through the generic Pallas bank).
     order: int = 2
+    # Per-level capacity taper: level l holds
+    # max(32, round8(keypoints_per_level * decay^l)) keypoints. A level
+    # quarters in pixels per step, so a flat 256 slots at a 30x40 level is
+    # ~2/3 permanent padding that the descriptor gathers still pay for
+    # (row-count-bound, ~7 ns/row on v5e). Opt-in (default 1.0 = flat):
+    # 0.625 measured -28% feature-extraction device time at 480x640 with
+    # a near-identical valid set on texture-rich imagery, but it trims
+    # real keypoints on small/sparse frames (the 120x160 two-view test
+    # drops below RANSAC viability) — a throughput knob for serving
+    # configs, not a silent default.
+    level_capacity_decay: float = 1.0
+
+    def level_capacity(self, level: int) -> int:
+        c = self.keypoints_per_level * (self.level_capacity_decay ** level)
+        return max(32, int(c) // 8 * 8)
 
     @property
     def capacity(self) -> int:
-        return self.levels * self.keypoints_per_level
+        return sum(self.level_capacity(l) for l in range(self.levels))
 
     @property
     def descriptor_dim(self) -> int:
@@ -138,11 +153,11 @@ def _extract_features_generic(
         ctm, stm = jnp.cos(theta), jnp.sin(theta)
         with jax.named_scope(f"detect_l{lvl}"):
             kp = jax.vmap(
-                lambda s, c, si: detect_keypoints_cs(
+                lambda s, c, si, n=cfg.level_capacity(lvl): detect_keypoints_cs(
                     s,
                     c,
                     si,
-                    max_keypoints=cfg.keypoints_per_level,
+                    max_keypoints=n,
                     nms_radius=cfg.nms_radius,
                     threshold=cfg.threshold,
                     approx=on_tpu,
@@ -196,13 +211,18 @@ def _extract_features_tpu(levels, bank, cfg: FrontendConfig, single: bool):
                 threshold=cfg.threshold, nms_radius=cfg.nms_radius,
             ))
 
+    # Descriptors stay PER LEVEL: a combined cross-level pair table with
+    # two total gather ops was built and measured in round 3 and lost by
+    # ~130 us/frame @480x640 b16 — XLA's gather on the 5.3x-larger
+    # concatenated table costs more per row than the saved per-call fixed
+    # overhead, and the table concat adds an 11 MB copy.
     parts = []
     for lvl, (p3, dym, dxm, ctm, stm, basis) in enumerate(per):
         with jax.named_scope(f"detect_l{lvl}"):
             kp = jax.vmap(
-                lambda p, dy, dx, c, si: detect_keypoints_packed(
-                    p, dy, dx, c, si,
-                    max_keypoints=cfg.keypoints_per_level,
+                lambda p, dy, dx, c, si, n=cfg.level_capacity(lvl):
+                detect_keypoints_packed(
+                    p, dy, dx, c, si, max_keypoints=n,
                 )
             )(p3, dym, dxm, ctm, stm)
         with jax.named_scope(f"desc_l{lvl}"):
