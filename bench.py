@@ -718,18 +718,13 @@ def main() -> int:
         print("vo bench skipped (soft deadline)", file=sys.stderr)
     if time.perf_counter() - _T_START < 340.0:
         try:
-            # secondary: the host-driven loop (RTT-bound through the
-            # remote tunnel, ~40 ms per device fetch; see BENCH_NOTES.md)
-            vo_fps, ate = bench_vo()
-            extra["vo_host_frames_per_s_synthetic"] = round(vo_fps, 2)
-            extra["vo_host_ate_rmse_m_synthetic"] = round(ate, 4)
             # vmapped fleet: one dispatch + one fetch per tick, all streams
             f_fps, f_med, f_max = bench_vo_device_server(8, fleet=True)
             extra["vo_device_fleet_frames_per_s_8_streams"] = round(f_fps, 2)
             extra["vo_device_fleet_ate_median_8_streams"] = round(f_med, 4)
             extra["vo_device_fleet_ate_max_8_streams"] = round(f_max, 4)
         except Exception as e:
-            print(f"vo device bench failed: {e}", file=sys.stderr)
+            print(f"vo fleet bench failed: {e}", file=sys.stderr)
     if time.perf_counter() - _T_START < 380.0:
         try:
             d_ms, e_ms = bench_closure_event(200)
@@ -737,16 +732,7 @@ def main() -> int:
             extra["closure_event_ms_k200"] = round(e_ms, 1)
         except Exception as e:
             print(f"closure bench failed: {e}", file=sys.stderr)
-    if time.perf_counter() - _T_START < 420.0:
-        try:
-            # server-style batched VO: the per-step fetch RTT amortizes
-            # across streams (reuses the warm per-frame jits from bench_vo)
-            extra["vo_server_frames_per_s_8_streams"] = round(
-                bench_vo_server(8), 2
-            )
-        except Exception as e:
-            print(f"vo server bench failed: {e}", file=sys.stderr)
-    if time.perf_counter() - _T_START < 400.0:
+    if time.perf_counter() - _T_START < 410.0:
         try:
             b, a = bench_sim3()
             extra["sim3_ate_before_m"] = round(b, 4)
@@ -755,6 +741,24 @@ def main() -> int:
             print(f"sim3 bench failed: {e}", file=sys.stderr)
     else:
         print("sim3 bench skipped (soft deadline)", file=sys.stderr)
+    if time.perf_counter() - _T_START < 440.0:
+        try:
+            # secondary: the host-driven loop (RTT-bound through the
+            # remote tunnel, ~40 ms per device fetch; see BENCH_NOTES.md)
+            vo_fps, ate = bench_vo()
+            extra["vo_host_frames_per_s_synthetic"] = round(vo_fps, 2)
+            extra["vo_host_ate_rmse_m_synthetic"] = round(ate, 4)
+        except Exception as e:
+            print(f"vo host bench failed: {e}", file=sys.stderr)
+    if time.perf_counter() - _T_START < 470.0:
+        try:
+            # server-style batched VO: the per-step fetch RTT amortizes
+            # across streams (reuses the warm per-frame jits from bench_vo)
+            extra["vo_server_frames_per_s_8_streams"] = round(
+                bench_vo_server(8), 2
+            )
+        except Exception as e:
+            print(f"vo server bench failed: {e}", file=sys.stderr)
     # cancel BEFORE printing so the watchdog can never interleave its line
     # with the final one (if it already fired, os._exit won the race)
     watchdog.cancel()
