@@ -37,40 +37,16 @@ def _images():
 
 
 def _trace_device_us(run_once, iters: int = 4) -> float:
-    """Total TPU device-event us per run_once() from a jax.profiler trace.
+    """Device us per run_once() (shared walk: utils.profiling).
 
     The wall numbers in this file measure the tunnel as much as the chip
     (±30% session variance, BENCH_NOTES.md); the device-side trace is the
     honest per-round comparison metric (VERDICT r2 item 9), so each bench
-    section also records a ``*_device_us`` field. Counts leaf device
-    events only (module-level jit_* events double-count their children).
+    section also records a ``*_device_us`` field.
     """
-    import collections
-    import glob
-    import gzip
-    import json as _json
-    import shutil
+    from cvsteer_tpu.utils.profiling import trace_device_us
 
-    import jax
-
-    logdir = "/tmp/bench_trace"
-    shutil.rmtree(logdir, ignore_errors=True)
-    with jax.profiler.trace(logdir):
-        for _ in range(iters):
-            run_once()
-    dur = collections.Counter()
-    for f in glob.glob(logdir + "/**/*.trace.json.gz", recursive=True):
-        data = _json.load(gzip.open(f))
-        pids = {
-            e["pid"]: e["args"].get("name")
-            for e in data["traceEvents"]
-            if e.get("ph") == "M" and e.get("name") == "process_name"
-        }
-        for e in data["traceEvents"]:
-            if e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), "")):
-                if not e["name"].startswith("jit_"):
-                    dur[e["name"]] += e.get("dur", 0)
-    return sum(dur.values()) / iters
+    return trace_device_us(run_once, iters)
 
 
 def bench_device(images) -> float:
@@ -195,9 +171,14 @@ def bench_reference_cpu(images) -> float:
     return B * iters / dt
 
 
-def bench_features() -> float:
+def bench_features(decay: float = 1.0, key: str = "feature") -> float:
     """Feature-extraction frames/s (BASELINE config 2): batched pyramid ->
-    G2 maps -> NMS keypoints -> phase descriptors, one jit."""
+    G2 maps -> NMS keypoints -> phase descriptors, one jit.
+
+    ``decay=1.0`` is the comparable headline config (flat per-level
+    capacities, exactly the default FrontendConfig); the serving taper
+    (0.625 — a documented opt-in workload reduction) reports under its
+    OWN metric key so round-over-round deltas never mix workloads."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -205,9 +186,7 @@ def bench_features() -> float:
     from cvsteer_tpu.features.frontend import FrontendConfig, extract_features
 
     FB, FH, FW = 16, 480, 640  # b16 amortizes per-dispatch tunnel cost (r3)
-    # serving-style config: per-level capacity taper (documented opt-in;
-    # texture-rich imagery keeps a near-identical valid keypoint set)
-    cfg = FrontendConfig(level_capacity_decay=0.625)
+    cfg = FrontendConfig(level_capacity_decay=decay)
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.uniform(0, 255, (FB, FH, FW)).astype("float32"))
 
@@ -231,7 +210,7 @@ def bench_features() -> float:
     fps = FB * iters / (time.perf_counter() - t0)
     try:
         us = _trace_device_us(lambda: float(step(x, jnp.float32(0.0))))
-        _PARTIAL["extra"]["feature_device_us_per_frame"] = round(us / FB, 1)
+        _PARTIAL["extra"][f"{key}_device_us_per_frame"] = round(us / FB, 1)
     except Exception as e:
         print(f"features trace failed: {e}", file=sys.stderr)
     return fps
@@ -695,6 +674,8 @@ def main() -> int:
     extra = _PARTIAL["extra"]  # sections record as they complete (watchdog)
     for name, fn in [
         ("feature_frames_per_s_480x640", bench_features),
+        ("feature_tapered_frames_per_s_480x640",
+         lambda: bench_features(decay=0.625, key="feature_tapered")),
         ("ba_iters_per_s_c8_l1024", bench_ba),
     ]:
         try:

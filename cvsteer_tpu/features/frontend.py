@@ -53,6 +53,8 @@ class FrontendConfig(NamedTuple):
     level_capacity_decay: float = 1.0
 
     def level_capacity(self, level: int) -> int:
+        if self.level_capacity_decay == 1.0:
+            return self.keypoints_per_level  # flat: exactly as configured
         c = self.keypoints_per_level * (self.level_capacity_decay ** level)
         return max(32, int(c) // 8 * 8)
 

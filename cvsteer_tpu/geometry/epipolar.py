@@ -160,7 +160,8 @@ def polish_essential(
         r = _sampson_residual(e, p1, p2, weights)
         return jnp.sum(r * r)
 
-    def step(e, _):
+    def step(carry, _):
+        e, c_e = carry  # carry the accepted cost: one residual eval/step
         r = _sampson_residual(e, p1, p2, weights)
         J = jax.jacfwd(lambda ee: _sampson_residual(ee, p1, p2, weights))(e)
         H = J.T @ J + 1e-10 * jnp.eye(9, dtype=e.dtype)
@@ -169,11 +170,14 @@ def polish_essential(
         e_new = norm_e(
             _project_to_essential(e_new.reshape(3, 3)).reshape(9)
         )
-        better = cost(e_new) < cost(e)
-        return jnp.where(better, e_new, e), None
+        c_new = cost(e_new)
+        better = c_new < c_e
+        return (
+            jnp.where(better, e_new, e), jnp.where(better, c_new, c_e)
+        ), None
 
     e0 = norm_e(E.reshape(9))
-    e, _ = lax.scan(step, e0, None, length=iterations)
+    (e, _), _ = lax.scan(step, (e0, cost(e0)), None, length=iterations)
     return e.reshape(3, 3)
 
 

@@ -1131,7 +1131,6 @@ def g2_features_full_pallas(
     if (
         tile_h < 8 or r + ext > _ROW_ALIGN
         or h <= 2 * (ext + 1) or w <= 2 * (ext + 1)
-        or h <= nms_radius + 2 or w <= nms_radius + 2
     ):
         return _g2_features_full_reference_xla(
             image.astype(jnp.float32), xtaps, ytaps, threshold, nms_radius

@@ -79,7 +79,9 @@ def apply_camera_preset(cfg: "EngineConfig", name: str) -> "EngineConfig":
 @dataclasses.dataclass
 class SlamConfig:
     match_ratio: float = 0.85
-    min_parallax: float = 0.015
+    # matches slam.vo.VOConfig's robust default (round 3: 0.015 accepted
+    # near-degenerate bootstrap pairs — see VOConfig.min_parallax)
+    min_parallax: float = 0.03
     init_min_inliers: int = 30
     track_min_landmarks: int = 40
     kf_max_gap: int = 10

@@ -52,3 +52,42 @@ def device_memory_stats() -> dict:
                 "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
             }
     return out
+
+
+def trace_device_events(run_once, iters: int = 4, logdir: str = "/tmp/cvsteer_trace"):
+    """Per-op TPU device-event durations (us, summed over ``iters`` calls).
+
+    The canonical trace-walk shared by bench.py and the profiling scripts
+    (previously copy-pasted with drift): runs ``run_once`` under a
+    jax.profiler trace and returns a Counter {op_name: total_us} of leaf
+    device events — module-level ``jit_*`` events are excluded because
+    they double-count their children. Divide by ``iters`` for per-call.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import shutil
+
+    shutil.rmtree(logdir, ignore_errors=True)
+    with jax.profiler.trace(logdir):
+        for _ in range(iters):
+            run_once()
+    dur = collections.Counter()
+    for f in glob.glob(logdir + "/**/*.trace.json.gz", recursive=True):
+        data = json.load(gzip.open(f))
+        pids = {
+            e["pid"]: e["args"].get("name")
+            for e in data["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        for e in data["traceEvents"]:
+            if e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), "")):
+                if not e["name"].startswith("jit_"):
+                    dur[e["name"]] += e.get("dur", 0)
+    return dur
+
+
+def trace_device_us(run_once, iters: int = 4) -> float:
+    """Total device us per ``run_once`` call (see trace_device_events)."""
+    return sum(trace_device_events(run_once, iters).values()) / iters

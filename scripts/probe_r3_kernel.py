@@ -61,10 +61,6 @@ def trace_device_us(fn, args, logdir, iters=ITERS):
         for e in data["traceEvents"]:
             if e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), "")):
                 dur[e["name"]] += e.get("dur", 0)
-    total = sum(v for k, v in dur.items() if "fusion" in k or "pallas" in k.lower()
-                or "copy" in k or "convert" in k or "pad" in k or "slice" in k
-                or "reshape" in k or "dot" in k or "jit" in k or "custom" in k)
-    # fall back: everything on the TPU pid
     total_all = sum(dur.values())
     return total_all / iters, dict(dur)
 

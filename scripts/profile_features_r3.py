@@ -32,6 +32,8 @@ ITERS = 10
 
 
 def device_total_us(fn, x, tag):
+    from cvsteer_tpu.utils.profiling import trace_device_events
+
     @jax.jit
     def chain(x, carry):
         out = fn(x + carry * 1e-6)
@@ -41,22 +43,14 @@ def device_total_us(fn, x, tag):
 
     c = jnp.float32(0.0)
     float(chain(x, c))
-    logdir = f"/tmp/pf_r3_{tag}"
-    shutil.rmtree(logdir, ignore_errors=True)
-    with jax.profiler.trace(logdir):
+
+    def run_once():
         c = jnp.float32(0.0)
         for _ in range(ITERS):
             c = chain(x, c)
         float(c)
-    dur = collections.Counter()
-    for f in glob.glob(logdir + "/**/*.trace.json.gz", recursive=True):
-        data = json.load(gzip.open(f))
-        pids = {e["pid"]: e["args"].get("name") for e in data["traceEvents"]
-                if e.get("ph") == "M" and e.get("name") == "process_name"}
-        for e in data["traceEvents"]:
-            if e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), "")):
-                if not e["name"].startswith("jit_"):
-                    dur[e["name"]] += e.get("dur", 0)
+
+    dur = trace_device_events(run_once, iters=1, logdir=f"/tmp/pf_r3_{tag}")
     total = sum(dur.values()) / ITERS / B
     top = sorted(dur.items(), key=lambda kv: -kv[1])[:12]
     return total, [(k, v / ITERS / B) for k, v in top]

@@ -82,13 +82,15 @@ def vo():
     dv_fps, dv_ate = bench.bench_vo_device()
     print(f"vo_device: {dv_fps:.1f} frames/s, ate {dv_ate:.4f} m "
           f"(device-resident map: 1 RTT/frame)", flush=True)
-    agg = bench.bench_vo_device_server(8, fleet=False)
+    agg, med, mx = bench.bench_vo_device_server(8, fleet=False)
     print(f"vo_device_server: {agg:.1f} frames/s aggregate over 8 streams "
-          f"(per-stream dispatch, 1 round-trip/step)", flush=True)
+          f"(per-stream dispatch, 1 round-trip/step; ate med {med:.3f} "
+          f"max {mx:.3f})", flush=True)
     for S in (8, 16):
-        agg = bench.bench_vo_device_server(S, fleet=True)
+        agg, med, mx = bench.bench_vo_device_server(S, fleet=True)
         print(f"vo_device_fleet: {agg:.1f} frames/s aggregate over {S} "
-              f"streams (vmapped: 1 dispatch + 1 fetch/tick)", flush=True)
+              f"streams (vmapped: 1 dispatch + 1 fetch/tick; ate med "
+              f"{med:.3f} max {mx:.3f})", flush=True)
 
 
 def main():
