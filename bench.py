@@ -185,7 +185,10 @@ def bench_features(decay: float = 1.0, key: str = "feature") -> float:
 
     from cvsteer_tpu.features.frontend import FrontendConfig, extract_features
 
-    FB, FH, FW = 16, 480, 640  # b16 amortizes per-dispatch tunnel cost (r3)
+    # b64 amortizes the per-dispatch tunnel cost; the patch-DMA descriptor
+    # kernel made device time batch-flat (the XLA gather path degraded
+    # superlinearly past b8, which is why round 3 first sat at b16)
+    FB, FH, FW = 64, 480, 640
     cfg = FrontendConfig(level_capacity_decay=decay)
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.uniform(0, 255, (FB, FH, FW)).astype("float32"))

@@ -39,6 +39,19 @@ def _grid_offsets(grid: int, spacing: float) -> np.ndarray:
     return np.stack([(ys - c) * spacing, (xs - c) * spacing], -1).reshape(-1, 2)
 
 
+def _rotated_grid_coords(keypoints: Keypoints, grid: int, spacing: float):
+    """(ys, xs [..., N, S], ct, st [..., N]): keypoint-oriented grid
+    coordinates; broadcasts over any leading batch axes."""
+    offsets = jnp.asarray(_grid_offsets(grid, spacing), jnp.float32)  # [S, 2]
+    theta = keypoints.theta
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    dy = offsets[:, 0] * ct[..., None] - offsets[:, 1] * st[..., None]
+    dx = offsets[:, 0] * st[..., None] + offsets[:, 1] * ct[..., None]
+    ys = keypoints.yx[..., 0:1] + dy
+    xs = keypoints.yx[..., 1:2] + dx
+    return ys, xs, ct, st
+
+
 def _rotated_grid_samples(
     basis: jax.Array, keypoints: Keypoints, grid: int, spacing: float
 ):
@@ -51,15 +64,7 @@ def _rotated_grid_samples(
     gather loses to two 2C-lane pair gathers), making the pair table the
     sweet spot. Combine + steering stay fp32.
     """
-    offsets = jnp.asarray(_grid_offsets(grid, spacing), jnp.float32)  # [S, 2]
-    theta = keypoints.theta  # [N]
-    ct, st = jnp.cos(theta), jnp.sin(theta)
-
-    # Rotate grid offsets into the keypoint frame: [N, S, 2].
-    dy = offsets[None, :, 0] * ct[:, None] - offsets[None, :, 1] * st[:, None]
-    dx = offsets[None, :, 0] * st[:, None] + offsets[None, :, 1] * ct[:, None]
-    ys = keypoints.yx[:, 0:1] + dy
-    xs = keypoints.yx[:, 1:2] + dx
+    ys, xs, ct, st = _rotated_grid_coords(keypoints, grid, spacing)
     # bf16 cast before the transpose: all table-building layout passes move
     # 2-byte elements (the sampling path is bf16 regardless)
     samples = bilinear_sample_channels_last_pair_bf16(
@@ -68,22 +73,62 @@ def _rotated_grid_samples(
     return samples, ct, st
 
 
-def phase_descriptors(
-    basis: jax.Array,
-    keypoints: Keypoints,
-    *,
-    grid: int = 4,
-    spacing: float = 3.0,
-) -> jax.Array:
-    """Descriptors ``[N, grid*grid*2]`` for ``keypoints`` over ``basis [7, H, W]``.
+def patch_dma_supported(grid: int, spacing: float, channels: int) -> bool:
+    """Whether the Pallas patch-DMA sampler covers this descriptor shape.
 
-    Batched use: vmap over a leading batch axis of both arguments.
+    The aligned [32, 384]-lane DMA window (ops.pallas_desc) must contain
+    every bilinear corner of the rotated sample cloud, and samples*cp must
+    fill whole 128-lane vregs. Span = (grid-1)*spacing*sqrt(2) pixels.
     """
-    samples, ct, st = _rotated_grid_samples(basis, keypoints, grid, spacing)
+    cp = 8 if channels <= 8 else 16
+    if (grid * grid * cp) % 128:
+        return False
+    span = (grid - 1) * spacing * np.sqrt(2.0)
+    # y: start = floor8(floor(min)) covers min..min+24; x: floor(128/cp)-px
+    # alignment covers min..min+(384/cp - (128/cp - 1) - 1). One row/col of
+    # slack for the +1 bilinear corner.
+    max_y = 24 - 1
+    max_x = (384 // cp) - (128 // cp - 1) - 1 - 1
+    return span + 1 <= min(max_y, max_x)
 
+
+def _rotated_grid_samples_batch(
+    basis: jax.Array, keypoints: Keypoints, grid: int, spacing: float
+):
+    """Batched sampling: (samples [B, N, S, C], ct, st [B, N]).
+
+    On TPU, one Pallas patch-DMA kernel call serves the whole batch
+    (ops.pallas_desc.bilinear_sample_patch_dma) — one async copy per
+    keypoint instead of 2*S gathered rows, ~3x faster at the bench shapes
+    and flat in batch size where the XLA gather degrades superlinearly
+    with its working set (scripts/probe_desc_gather.py). Off TPU, or for
+    descriptor shapes outside the kernel's window contract, falls back to
+    the vmapped pair-table gather path (identical bf16 accuracy class).
+    """
+    ys, xs, ct, st = _rotated_grid_coords(keypoints, grid, spacing)
+    c = basis.shape[1]
+    if jax.default_backend() == "tpu" and patch_dma_supported(
+        grid, spacing, c
+    ):
+        from cvsteer_tpu.ops.pallas_desc import bilinear_sample_patch_dma
+
+        cp = 8 if c <= 8 else 16
+        samples = bilinear_sample_patch_dma(basis, ys, xs, cp=cp)
+    else:
+        samples = jax.vmap(
+            lambda b, y, x: bilinear_sample_channels_last_pair_bf16(
+                jnp.moveaxis(b.astype(jnp.bfloat16), 0, -1), y, x
+            )
+        )(basis, ys, xs)
+    return samples, ct, st
+
+
+def _steer_g2_normalize(samples, ct, st, valid):
+    """Steer (g2, h2) per keypoint and L2-normalize; broadcasts over any
+    leading batch axes (samples [..., S, C], ct/st/valid [...])."""
     ct2, st2 = ct * ct, st * st
     ct3, st3 = ct2 * ct, st2 * st
-    w = lambda v: v[:, None]  # [N] -> [N, 1] for broadcasting over S
+    w = lambda v: v[..., None]  # [...] -> [..., 1] for broadcasting over S
     g2 = (
         w(ct2) * samples[..., G2A]
         - 2.0 * w(ct * st) * samples[..., G2B]
@@ -96,10 +141,46 @@ def phase_descriptors(
         - w(st3) * samples[..., H2D]
     )
 
-    desc = jnp.concatenate([g2, h2], axis=-1)  # [N, 2*S]
+    desc = jnp.concatenate([g2, h2], axis=-1)  # [..., 2*S]
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
-    return jnp.where(keypoints.valid[:, None], desc, 0.0)
+    return jnp.where(valid[..., None], desc, 0.0)
+
+
+def phase_descriptors(
+    basis: jax.Array,
+    keypoints: Keypoints,
+    *,
+    grid: int = 4,
+    spacing: float = 3.0,
+) -> jax.Array:
+    """Descriptors ``[N, grid*grid*2]`` for ``keypoints`` over ``basis [7, H, W]``.
+
+    Batched use: vmap over a leading batch axis of both arguments, or call
+    :func:`phase_descriptors_batch` (kernel-accelerated on TPU).
+    """
+    samples, ct, st = _rotated_grid_samples(basis, keypoints, grid, spacing)
+    return _steer_g2_normalize(samples, ct, st, keypoints.valid)
+
+
+def phase_descriptors_batch(
+    basis: jax.Array,
+    keypoints: Keypoints,
+    *,
+    grid: int = 4,
+    spacing: float = 3.0,
+) -> jax.Array:
+    """Batched :func:`phase_descriptors`: ``basis [B, 7, H, W]``, keypoint
+    fields ``[B, N, ...]`` -> ``[B, N, grid*grid*2]``.
+
+    On TPU the sampling runs through the Pallas patch-DMA kernel
+    (one async copy per keypoint; see ops.pallas_desc); elsewhere it is
+    exactly the vmapped gather path.
+    """
+    samples, ct, st = _rotated_grid_samples_batch(
+        basis, keypoints, grid, spacing
+    )
+    return _steer_g2_normalize(samples, ct, st, keypoints.valid)
 
 
 def phase_descriptors_g4(
@@ -118,15 +199,33 @@ def phase_descriptors_g4(
     L2-normalized into the descriptor. The narrower 4th-order angular
     tuning trades some rotation tolerance for extra selectivity.
     """
+    samples, ct, st = _rotated_grid_samples(basis, keypoints, grid, spacing)
+    return _steer_g4_normalize(samples, keypoints)
+
+
+def phase_descriptors_g4_batch(
+    basis: jax.Array,
+    keypoints: Keypoints,
+    *,
+    grid: int = 4,
+    spacing: float = 3.0,
+) -> jax.Array:
+    """Batched :func:`phase_descriptors_g4` (Pallas patch-DMA on TPU)."""
+    samples, ct, st = _rotated_grid_samples_batch(
+        basis, keypoints, grid, spacing
+    )
+    return _steer_g4_normalize(samples, keypoints)
+
+
+def _steer_g4_normalize(samples, keypoints):
     from cvsteer_tpu.filters.g4 import steering_coefficients
 
-    samples, ct, st = _rotated_grid_samples(basis, keypoints, grid, spacing)
     ga, ha = steering_coefficients(keypoints.theta, dtype=samples.dtype)
-    w = lambda v: v[:, None]  # [N] -> [N, 1] for broadcasting over S
+    w = lambda v: v[..., None]  # [...] -> [..., 1] for broadcasting over S
     g4 = sum(w(ga[i]) * samples[..., i] for i in range(5))
     h4 = sum(w(ha[i]) * samples[..., 5 + i] for i in range(6))
 
-    desc = jnp.concatenate([g4, h4], axis=-1)  # [N, 2*S]
+    desc = jnp.concatenate([g4, h4], axis=-1)  # [..., 2*S]
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
-    return jnp.where(keypoints.valid[:, None], desc, 0.0)
+    return jnp.where(keypoints.valid[..., None], desc, 0.0)

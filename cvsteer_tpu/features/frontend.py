@@ -15,7 +15,10 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from cvsteer_tpu.features.descriptors import phase_descriptors
+from cvsteer_tpu.features.descriptors import (
+    phase_descriptors,
+    phase_descriptors_batch,
+)
 from cvsteer_tpu.features.keypoints import (
     Keypoints,
     detect_keypoints,
@@ -228,11 +231,13 @@ def _extract_features_tpu(levels, bank, cfg: FrontendConfig, single: bool):
                 )
             )(p3, dym, dxm, ctm, stm)
         with jax.named_scope(f"desc_l{lvl}"):
-            desc = jax.vmap(
-                lambda b, k: phase_descriptors(
-                    b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
-                )
-            )(basis, kp)
+            # phase_descriptors_batch routes sampling through the Pallas
+            # patch-DMA kernel on TPU (one async copy per keypoint; ~3x
+            # the XLA gather path at these shapes — ops/pallas_desc.py)
+            desc = phase_descriptors_batch(
+                basis, kp,
+                grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing,
+            )
         scale = float(2**lvl)
         parts.append(
             Features(

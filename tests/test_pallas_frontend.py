@@ -350,3 +350,78 @@ def test_accuracy_classes_on_chip(small_fish):
         scale = np.abs(r).mean() + 1e-6
         assert np.abs(f - r).max() / scale < 2e-2  # fast class (bf16x3)
         assert np.abs(p - r).max() / scale < 1e-3  # precise class (fp32)
+
+
+def test_desc_patch_dma_matches_gather_path():
+    """Pallas patch-DMA descriptor sampling vs the XLA pair-table gather.
+
+    Random keypoint-like sample clouds including exact image corners and
+    a level-4-sized image smaller than the DMA window (table padding
+    path). Interpreter mode on CPU meshes; Mosaic on the TPU CI leg.
+    """
+    from cvsteer_tpu.ops.interp import bilinear_sample_channels_last_pair_bf16
+    from cvsteer_tpu.ops.pallas_desc import bilinear_sample_patch_dma
+
+    rng = np.random.default_rng(3)
+    for B, H, W in [(2, 64, 128), (1, 30, 40)]:
+        C, N, S = 7, 16, 16
+        basis = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+        kc_y = rng.uniform(0, H - 1, (B, N))
+        kc_x = rng.uniform(0, W - 1, (B, N))
+        # pin some keypoints to the exact corners (border-clamp coverage)
+        kc_y[:, 0], kc_x[:, 0] = 0.0, 0.0
+        kc_y[:, 1], kc_x[:, 1] = H - 1.0, W - 1.0
+        off = rng.uniform(-6.8, 6.8, (B, N, S, 2))
+        ys = jnp.asarray(np.clip(kc_y[..., None] + off[..., 0], 0, H - 1).astype(np.float32))
+        xs = jnp.asarray(np.clip(kc_x[..., None] + off[..., 1], 0, W - 1).astype(np.float32))
+
+        ref = jax.vmap(
+            lambda im, y, x: bilinear_sample_channels_last_pair_bf16(
+                jnp.moveaxis(im.astype(jnp.bfloat16), 0, -1),
+                y.reshape(-1), x.reshape(-1),
+            ).reshape(N, S, C)
+        )(basis, ys, xs)
+        out = bilinear_sample_patch_dma(basis, ys, xs)
+        scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+        # both paths sample in bf16; they differ only in where the bf16
+        # rounding lands (weights vs table), so the gap is one bf16 ulp
+        assert float(jnp.max(jnp.abs(ref - out))) / scale < 2e-2
+
+
+def test_desc_patch_dma_gate():
+    """The window contract gate: default G2/G4 shapes pass; oversized
+    descriptor grids and non-vreg sample counts fall back."""
+    from cvsteer_tpu.features.descriptors import patch_dma_supported
+
+    assert patch_dma_supported(4, 3.0, 7)       # G2 default
+    assert patch_dma_supported(4, 3.0, 11)      # G4 default
+    assert not patch_dma_supported(3, 3.0, 7)   # 9*8 lanes not vreg-aligned
+    assert not patch_dma_supported(4, 8.0, 7)   # cloud exceeds the window
+
+
+def test_phase_descriptors_batch_matches_vmapped(small_fish):
+    """phase_descriptors_batch == vmap(phase_descriptors) on the gather
+    backend (and within the bf16 sampling class when the kernel engages)."""
+    from cvsteer_tpu.features.descriptors import (
+        phase_descriptors,
+        phase_descriptors_batch,
+    )
+    from cvsteer_tpu.features.keypoints import Keypoints
+
+    bank = g2h2_bank()
+    img = jnp.asarray(small_fish)
+    basis = filter_bank_xla(img, bank.xtaps, bank.ytaps)[None]
+    rng = np.random.default_rng(5)
+    N = 16
+    H, W = img.shape
+    kp = Keypoints(
+        yx=jnp.asarray(rng.uniform(2, min(H, W) - 2, (1, N, 2)).astype(np.float32)),
+        score=jnp.ones((1, N), jnp.float32),
+        theta=jnp.asarray(rng.uniform(-np.pi, np.pi, (1, N)).astype(np.float32)),
+        valid=jnp.ones((1, N), bool),
+    )
+    a = jax.vmap(lambda b, k: phase_descriptors(b, k))(
+        basis, kp
+    )
+    b = phase_descriptors_batch(basis, kp)
+    assert np.asarray(jnp.abs(a - b)).max() < 2e-2
