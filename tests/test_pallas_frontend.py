@@ -425,3 +425,27 @@ def test_phase_descriptors_batch_matches_vmapped(small_fish):
     )
     b = phase_descriptors_batch(basis, kp)
     assert np.asarray(jnp.abs(a - b)).max() < 2e-2
+
+
+def test_desc_patch_dma_g4_channels():
+    """cp=16 path (G4/H4's 11 channels): window contract + parity."""
+    from cvsteer_tpu.ops.interp import bilinear_sample_channels_last_pair_bf16
+    from cvsteer_tpu.ops.pallas_desc import bilinear_sample_patch_dma
+
+    rng = np.random.default_rng(9)
+    B, C, H, W, N, S = 1, 11, 48, 96, 8, 16
+    basis = jnp.asarray(rng.standard_normal((B, C, H, W)).astype(np.float32))
+    kc_y = rng.uniform(0, H - 1, (B, N))
+    kc_x = rng.uniform(0, W - 1, (B, N))
+    off = rng.uniform(-6.4, 6.4, (B, N, S, 2))
+    ys = jnp.asarray(np.clip(kc_y[..., None] + off[..., 0], 0, H - 1).astype(np.float32))
+    xs = jnp.asarray(np.clip(kc_x[..., None] + off[..., 1], 0, W - 1).astype(np.float32))
+    ref = jax.vmap(
+        lambda im, y, x: bilinear_sample_channels_last_pair_bf16(
+            jnp.moveaxis(im.astype(jnp.bfloat16), 0, -1),
+            y.reshape(-1), x.reshape(-1),
+        ).reshape(N, S, C)
+    )(basis, ys, xs)
+    out = bilinear_sample_patch_dma(basis, ys, xs, cp=16)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(ref - out))) / scale < 2e-2
