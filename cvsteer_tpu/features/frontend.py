@@ -134,6 +134,56 @@ def extract_features(
     )
 
 
+def _score_maps(lv_imgs, *, basis_fn, coeff_fn, score: str = "corner"):
+    """(basis, score, ct, st) for one pyramid level — the shared front half
+    of the per-level pipeline (also used by parallel.features_sharded)."""
+    basis = basis_fn(lv_imgs)  # [B, K, H, W]
+    c1, c2, c3 = coeff_fn(basis)
+    theta, strength = fg2.dominant_orientation(c2, c3)
+    score_map = fg2.corner_strength(c1, c2, c3) if score == "corner" else strength
+    return basis, score_map, jnp.cos(theta), jnp.sin(theta)
+
+
+def _level_features(
+    lv_imgs, lvl: int, cfg: FrontendConfig, *, basis_fn, coeff_fn, desc_fn,
+    approx: bool,
+) -> Features:
+    """One full pyramid level: basis -> score -> detect -> descriptors
+    (shared by the generic path and the replicated levels of
+    parallel.features_sharded)."""
+    with jax.named_scope(f"basis_l{lvl}"):
+        basis, score_map, ctm, stm = _score_maps(
+            lv_imgs, basis_fn=basis_fn, coeff_fn=coeff_fn, score=cfg.score
+        )
+    with jax.named_scope(f"detect_l{lvl}"):
+        kp = jax.vmap(
+            lambda s, c, si, n=cfg.level_capacity(lvl): detect_keypoints_cs(
+                s,
+                c,
+                si,
+                max_keypoints=n,
+                nms_radius=cfg.nms_radius,
+                threshold=cfg.threshold,
+                approx=approx,
+            )
+        )(score_map, ctm, stm)
+    with jax.named_scope(f"desc_l{lvl}"):
+        desc = jax.vmap(
+            lambda b, k: desc_fn(
+                b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
+            )
+        )(basis, kp)
+    scale = float(2**lvl)
+    return Features(
+        yx=kp.yx * scale,
+        score=kp.score,
+        theta=kp.theta,
+        level=jnp.full(kp.score.shape, lvl, jnp.int32),
+        desc=desc,
+        valid=kp.valid,
+    )
+
+
 def _extract_features_generic(
     images: jax.Array, cfg: FrontendConfig, *, basis_fn, coeff_fn, desc_fn
 ) -> Features:
@@ -146,45 +196,14 @@ def _extract_features_generic(
     with jax.named_scope("pyramid"):
         levels = gaussian_pyramid(imgs, cfg.levels)
     on_tpu = jax.default_backend() == "tpu"
-    parts = []
-    for lvl, lv_imgs in enumerate(levels):
-        with jax.named_scope(f"basis_l{lvl}"):
-            basis = basis_fn(lv_imgs)  # [B, K, H, W]
-        c1, c2, c3 = coeff_fn(basis)
-        theta, strength = fg2.dominant_orientation(c2, c3)
-        score_map = (
-            fg2.corner_strength(c1, c2, c3) if cfg.score == "corner" else strength
+    parts = [
+        _level_features(
+            lv_imgs, lvl, cfg,
+            basis_fn=basis_fn, coeff_fn=coeff_fn, desc_fn=desc_fn,
+            approx=on_tpu,
         )
-        ctm, stm = jnp.cos(theta), jnp.sin(theta)
-        with jax.named_scope(f"detect_l{lvl}"):
-            kp = jax.vmap(
-                lambda s, c, si, n=cfg.level_capacity(lvl): detect_keypoints_cs(
-                    s,
-                    c,
-                    si,
-                    max_keypoints=n,
-                    nms_radius=cfg.nms_radius,
-                    threshold=cfg.threshold,
-                    approx=on_tpu,
-                )
-            )(score_map, ctm, stm)
-        with jax.named_scope(f"desc_l{lvl}"):
-            desc = jax.vmap(
-                lambda b, k: desc_fn(
-                    b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
-                )
-            )(basis, kp)
-        scale = float(2**lvl)
-        parts.append(
-            Features(
-                yx=kp.yx * scale,
-                score=kp.score,
-                theta=kp.theta,
-                level=jnp.full(kp.score.shape, lvl, jnp.int32),
-                desc=desc,
-                valid=kp.valid,
-            )
-        )
+        for lvl, lv_imgs in enumerate(levels)
+    ]
     feats = Features(*(jnp.concatenate(xs, axis=1) for xs in zip(*parts)))
     if single:
         feats = jax.tree.map(lambda x: x[0], feats)

@@ -64,6 +64,7 @@ def _detect_core(
     threshold: float,
     border: Optional[int],
     approx: bool,
+    row_range=None,
 ):
     """NMS + top-N selection + subpixel refinement.
 
@@ -75,6 +76,14 @@ def _detect_core(
     and the old form cost 6+ such picks per level. Border note: keypoints
     can only be selected at least ``border`` (>= 1) pixels from the edge,
     so the edge-clamped shifted maps agree with interior neighbor reads.
+
+    ``row_range=(lo, hi)`` replaces the ROW part of the border mask with an
+    explicit half-open local-row window (columns keep ``border``): used by
+    spatially sharded detection (parallel.features_sharded), where the map
+    is a row slab with halos — NMS sees the true haloed neighborhood but
+    only rows this shard owns (already intersected with the global border
+    by the caller) may produce keypoints. Needs 1 <= lo and hi <= H-1 so
+    the refine gathers stay in-map.
     """
     H, W = strength.shape
     k = 2 * nms_radius + 1
@@ -83,7 +92,11 @@ def _detect_core(
     is_max = strength >= _maxpool_same(strength, k)
     row = lax.broadcasted_iota(jnp.int32, (H, W), 0)
     col = lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    in_border = (row >= b) & (row < H - b) & (col >= b) & (col < W - b)
+    if row_range is None:
+        row_ok = (row >= b) & (row < H - b)
+    else:
+        row_ok = (row >= row_range[0]) & (row < row_range[1])
+    in_border = row_ok & (col >= b) & (col < W - b)
     mask = is_max & in_border & (strength > threshold)
 
     score_masked = jnp.where(mask, strength, -jnp.inf)
@@ -333,14 +346,16 @@ def detect_keypoints_cs(
     threshold: float = 0.0,
     border: Optional[int] = None,
     approx: bool = False,
+    row_range=None,
 ) -> Keypoints:
     """detect_keypoints taking (cos, sin) orientation maps instead of theta.
 
     Pairs with the fused Pallas detector front-end, which produces the
     half-angle (cos, sin) without transcendentals; arctan2 runs only on the
-    few selected keypoints."""
+    few selected keypoints. ``row_range``: see _detect_core (sharded use)."""
     yx, scores, valid, aux = _detect_core(
-        strength, [ct, st], max_keypoints, nms_radius, threshold, border, approx
+        strength, [ct, st], max_keypoints, nms_radius, threshold, border,
+        approx, row_range=row_range,
     )
     theta = jnp.arctan2(aux[:, 1], aux[:, 0])
     return Keypoints(

@@ -19,5 +19,8 @@ from cvsteer_tpu.parallel.frontend_sharded import (  # noqa: F401
     sharded_g2_maps,
     sharded_g4_maps,
 )
+from cvsteer_tpu.parallel.features_sharded import (  # noqa: F401
+    sharded_extract_features,
+)
 from cvsteer_tpu.parallel.ba_sharded import bundle_adjust_sharded  # noqa: F401
 from cvsteer_tpu.parallel.posegraph_sharded import optimize_pose_graph_sharded  # noqa: F401
