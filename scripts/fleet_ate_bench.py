@@ -68,7 +68,7 @@ def run_fleet(S: int) -> dict:
 def main() -> int:
     out = {"bench": "DeviceVOFleet tail ATE",
            "frames": N_FRAMES, "warmup": WARM, "results": []}
-    for S in (8, 16, 32):
+    for S in (8, 16, 32, 64):
         r = run_fleet(S)
         out["results"].append(r)
         print(json.dumps(r))
