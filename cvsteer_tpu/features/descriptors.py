@@ -80,6 +80,8 @@ def patch_dma_supported(grid: int, spacing: float, channels: int) -> bool:
     every bilinear corner of the rotated sample cloud, and samples*cp must
     fill whole 128-lane vregs. Span = (grid-1)*spacing*sqrt(2) pixels.
     """
+    if channels > 16:
+        return False
     cp = 8 if channels <= 8 else 16
     if (grid * grid * cp) % 128:
         return False
@@ -199,7 +201,7 @@ def phase_descriptors_g4(
     L2-normalized into the descriptor. The narrower 4th-order angular
     tuning trades some rotation tolerance for extra selectivity.
     """
-    samples, ct, st = _rotated_grid_samples(basis, keypoints, grid, spacing)
+    samples, _, _ = _rotated_grid_samples(basis, keypoints, grid, spacing)
     return _steer_g4_normalize(samples, keypoints)
 
 
@@ -211,7 +213,7 @@ def phase_descriptors_g4_batch(
     spacing: float = 3.0,
 ) -> jax.Array:
     """Batched :func:`phase_descriptors_g4` (Pallas patch-DMA on TPU)."""
-    samples, ct, st = _rotated_grid_samples_batch(
+    samples, _, _ = _rotated_grid_samples_batch(
         basis, keypoints, grid, spacing
     )
     return _steer_g4_normalize(samples, keypoints)

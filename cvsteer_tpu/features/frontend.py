@@ -104,7 +104,10 @@ def extract_features(
     G4/H4 quadrature pair; ``bank`` must match the order when given.
     """
     if cfg.order == 4:
-        from cvsteer_tpu.features.descriptors import phase_descriptors_g4
+        from cvsteer_tpu.features.descriptors import (
+            phase_descriptors_g4,
+            phase_descriptors_g4_batch,
+        )
         from cvsteer_tpu.filters import g4 as fg4
 
         if bank is None:
@@ -114,6 +117,7 @@ def extract_features(
             basis_fn=lambda im: fg4.g4_basis(im, bank),
             coeff_fn=fg4.energy_coefficients,
             desc_fn=phase_descriptors_g4,
+            desc_batch_fn=phase_descriptors_g4_batch,
         )
     if bank is None:
         bank = fg2.g2_bank()
@@ -131,6 +135,7 @@ def extract_features(
         basis_fn=lambda im: fg2.g2_basis(im, bank),
         coeff_fn=fg2.energy_coefficients,
         desc_fn=phase_descriptors,
+        desc_batch_fn=phase_descriptors_batch,
     )
 
 
@@ -146,11 +151,13 @@ def _score_maps(lv_imgs, *, basis_fn, coeff_fn, score: str = "corner"):
 
 def _level_features(
     lv_imgs, lvl: int, cfg: FrontendConfig, *, basis_fn, coeff_fn, desc_fn,
-    approx: bool,
+    approx: bool, desc_batch_fn=None,
 ) -> Features:
     """One full pyramid level: basis -> score -> detect -> descriptors
     (shared by the generic path and the replicated levels of
-    parallel.features_sharded)."""
+    parallel.features_sharded). ``desc_batch_fn``, when given, replaces
+    the vmapped ``desc_fn`` with a natively batched sampler (the Pallas
+    patch-DMA kernel on TPU)."""
     with jax.named_scope(f"basis_l{lvl}"):
         basis, score_map, ctm, stm = _score_maps(
             lv_imgs, basis_fn=basis_fn, coeff_fn=coeff_fn, score=cfg.score
@@ -168,11 +175,18 @@ def _level_features(
             )
         )(score_map, ctm, stm)
     with jax.named_scope(f"desc_l{lvl}"):
-        desc = jax.vmap(
-            lambda b, k: desc_fn(
-                b, k, grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing
+        if desc_batch_fn is not None:
+            desc = desc_batch_fn(
+                basis, kp,
+                grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing,
             )
-        )(basis, kp)
+        else:
+            desc = jax.vmap(
+                lambda b, k: desc_fn(
+                    b, k, grid=cfg.descriptor_grid,
+                    spacing=cfg.descriptor_spacing,
+                )
+            )(basis, kp)
     scale = float(2**lvl)
     return Features(
         yx=kp.yx * scale,
@@ -185,7 +199,8 @@ def _level_features(
 
 
 def _extract_features_generic(
-    images: jax.Array, cfg: FrontendConfig, *, basis_fn, coeff_fn, desc_fn
+    images: jax.Array, cfg: FrontendConfig, *, basis_fn, coeff_fn, desc_fn,
+    desc_batch_fn=None,
 ) -> Features:
     """Order-agnostic XLA path: pyramid -> basis -> energy coefficients ->
     detector -> descriptors. The 2nd-harmonic (c1, c2, c3) semantics are
@@ -200,7 +215,7 @@ def _extract_features_generic(
         _level_features(
             lv_imgs, lvl, cfg,
             basis_fn=basis_fn, coeff_fn=coeff_fn, desc_fn=desc_fn,
-            approx=on_tpu,
+            approx=on_tpu, desc_batch_fn=desc_batch_fn,
         )
         for lvl, lv_imgs in enumerate(levels)
     ]

@@ -219,6 +219,15 @@ def bilinear_sample_patch_dma(
     b, c, h, w = basis.shape
     _, k, s = ys.shape
     assert s * cp % 128 == 0, "samples*channels must fill whole vregs"
+    # pad the keypoint axis so b*k divides the kernel's KB-keypoint grid
+    # step (padded entries sample at (0, 0) and are sliced off)
+    k_pad = -k % KB
+    if k_pad:
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, k_pad), (0, 0)))
+        out = bilinear_sample_patch_dma(
+            basis, pad(ys), pad(xs), cp=cp
+        )
+        return out[:, :k]
     tbl = basis_table(basis, cp)
     hp = tbl.shape[1]
     wp = tbl.shape[2] // cp

@@ -3,8 +3,13 @@
 Extends parallel.frontend_sharded (dense maps) to the FULL feature
 pipeline — pyramid, detection, descriptors — under shard_map on a
 ``(data, space)`` mesh, producing results equal to the single-device
-``features.frontend.extract_features`` (exact modulo fp reduction order;
-in practice bit-identical, see tests/test_parallel_features.py).
+EXACT pipeline: ``features.frontend.extract_features`` as it runs
+off-TPU / with exact selection (fp-reduction-order exact; in practice
+bit-identical, see tests/test_parallel_features.py). On a real TPU the
+single-device fast path additionally uses approx_max_k selection and
+the fused bf16 Pallas kernels, which sit in their own documented
+accuracy classes — this module keeps exact selection per shard so the
+distributed merge has a well-defined reference semantics.
 
 Per pyramid level, with image rows sharded over ``space``:
 
@@ -147,19 +152,25 @@ def sharded_extract_features(
 
     bank, basis_fn, coeff_fn, desc_fn = _order_fns(cfg, bank)
     conv_r = bank.radius
-    desc_r = _desc_radius(cfg)
+    # slab margin: descriptor support AND the NMS window must both see
+    # true neighbor rows beyond the owned slab (a stronger maximum up to
+    # nms_radius rows outside the slab must suppress an owned candidate)
+    desc_r = max(_desc_radius(cfg), cfg.nms_radius)
     halo = conv_r + desc_r
     nms_b = cfg.nms_radius + 1  # detector border (keypoints.py)
     bin_taps = _BINOMIAL5.reshape(1, -1)
 
-    # static per-level plan: shard while slabs stay tall enough and the
-    # stride-2 phase survives (even slabs); replicate from then on
+    # static per-level plan: shard while slabs stay tall enough (a slab
+    # must exceed the halo: REFLECT_101 synthesis reads radius+1 rows)
+    # and the stride-2 phase survives (even slabs); replicate from then on
     plan = []
     shardable = True
     for lvl in range(cfg.levels):
         h_l = H >> lvl
         hs = h_l // S
-        shardable = shardable and h_l % S == 0 and hs >= max(halo, 2 * nms_b)
+        shardable = (
+            shardable and h_l % S == 0 and hs >= max(halo + 1, 2 * nms_b)
+        )
         plan.append(shardable)
         shardable = shardable and hs % 2 == 0
 

@@ -69,13 +69,16 @@ def test_sharded_features_match_single_device(data, space, h, levels):
 def test_sharded_features_border_keypoints():
     """Force keypoints against the global top/bottom borders: their
     descriptor sampling clamps at the image edge, which the sharded path
-    must reproduce via the edge-row overwrite (not the REFLECT halo)."""
+    must reproduce via the edge-row overwrite (not the REFLECT halo).
+    H=128 at S=8 keeps 16-row slabs ABOVE the halo so level 0 genuinely
+    runs the sharded branch (a 64-row image would silently replicate and
+    the overwrite path would go untested)."""
     cfg = FrontendConfig(levels=1, keypoints_per_level=32, threshold=1e-6)
     rng = np.random.default_rng(3)
-    imgs = _blur(rng.standard_normal((1, 64, 128)).astype(np.float32) * 40.0)
+    imgs = _blur(rng.standard_normal((1, 128, 128)).astype(np.float32) * 40.0)
     # strong isolated blobs near the borders (rows 4 and H-5)
     imgs[0, 4, 20] += 300.0
-    imgs[0, 59, 100] += 300.0
+    imgs[0, 123, 100] += 300.0
     imgs = jnp.asarray(_blur(imgs))
 
     ref = extract_features(imgs, cfg=cfg)
@@ -83,7 +86,7 @@ def test_sharded_features_border_keypoints():
     v = np.asarray(ref.valid)
     assert bool(jnp.all(ref.valid == out.valid)) and v.any()
     rows = np.asarray(ref.yx)[0, v[0], 0]
-    assert rows.min() < 8 and rows.max() > 56, "border blobs not detected"
+    assert rows.min() < 8 and rows.max() > 120, "border blobs not detected"
     np.testing.assert_allclose(
         np.asarray(ref.desc)[v], np.asarray(out.desc)[v], atol=1e-5
     )
