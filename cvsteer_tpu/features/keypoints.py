@@ -224,6 +224,39 @@ def refine_selected_cs(
     )
 
 
+def _p3_cells(p3: jax.Array) -> jax.Array:
+    """``p3[1::3, 1::3]`` as two one-hot Precision.HIGHEST matmuls.
+
+    The strided slice lowers to an ~18 us/frame row gather on v5e; the MXU
+    picks cost ~4 us and are BIT-exact: under 1.0/0.0 weights the bf16x3
+    operand split reconstructs every fp32 value exactly (hi/mid/lo residuals
+    are non-overlapping, so their fp32 accumulation never rounds), which the
+    packed low-mantissa offset bits rely on (tests/test_pallas_frontend.py::
+    test_p3_onehot_cell_pick_is_bit_exact). Requires the masked sentinel to
+    be finite (ops.pallas_frontend.P3_SENTINEL): 0 * -inf would be NaN.
+    """
+    H, W = p3.shape
+    Hc, Wc = (H + 1) // 3, (W + 1) // 3  # == len(range(1, H, 3)) etc.
+    rpick = (
+        jnp.zeros((Hc, H), jnp.float32)
+        .at[jnp.arange(Hc), 1 + 3 * jnp.arange(Hc)]
+        .set(1.0)
+    )
+    cpick = (
+        jnp.zeros((W, Wc), jnp.float32)
+        .at[1 + 3 * jnp.arange(Wc), jnp.arange(Wc)]
+        .set(1.0)
+    )
+    return lax.dot_general(
+        lax.dot_general(
+            rpick, p3, (((1,), (0,)), ((), ())), precision=lax.Precision.HIGHEST
+        ),
+        cpick,
+        (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    )
+
+
 def detect_keypoints_packed(
     p3: jax.Array,
     dy: jax.Array,
@@ -245,9 +278,13 @@ def detect_keypoints_packed(
     no winner gather, no full-res shifted-map subpixel table. ``dy/dx``
     are per-pixel subpixel offsets and (ct, st) the half-angle maps; one
     [H*W, 4] row gather fetches all per-keypoint payload.
+
+    The stride-3 cell extraction runs as bit-exact one-hot MXU matmuls
+    (see :func:`_p3_cells`), which is why p3's masked sentinel is the
+    finite ``ops.pallas_frontend.P3_SENTINEL`` rather than -inf.
     """
     H, W = p3.shape
-    cells = p3[1::3, 1::3]
+    cells = _p3_cells(p3)
     Hc, Wc = cells.shape
     kk = min(max_keypoints, Hc * Wc)
     vals, cidx = lax.approx_max_k(cells.reshape(-1), kk, recall_target=0.99)
@@ -255,7 +292,9 @@ def detect_keypoints_packed(
         pad = max_keypoints - kk
         vals = jnp.pad(vals, (0, pad), constant_values=-jnp.inf)
         cidx = jnp.pad(cidx, (0, pad))
-    valid = jnp.isfinite(vals)
+    # Masked cells carry the finite P3_SENTINEL (-255 * 2^120); kk-padding
+    # stays -inf. Both sit far below any real packed score.
+    valid = vals > -1.0e38
     bits = lax.bitcast_convert_type(vals, jnp.int32)
     off = bits & 15
     score = lax.bitcast_convert_type(bits & ~15, jnp.float32)  # 2^-19-exact

@@ -49,6 +49,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Masked-score sentinel for the packed pooled selection map (p3). The
+# natural mask is -inf, but detect_keypoints_packed extracts the stride-3
+# cell table with an exact one-hot Precision.HIGHEST matmul (the strided
+# slice lowers to an ~18 us/frame row gather on v5e; the matmul costs ~4 us)
+# and 0 * -inf = NaN would poison that contraction. This is the most
+# negative fp32 that is EXACTLY representable in bfloat16 (0xFF7F0000 =
+# -255 * 2^120), so it survives the MXU's bf16x3 operand split bit-exactly,
+# and its low mantissa bits are zero so the offset decode stays trivial.
+P3_SENTINEL = -255.0 * 2.0**120
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -739,7 +750,7 @@ def _g2_features_full_kernel(
     obits = lax.rem(row_e, 3) * 3 + lax.rem(col_e, 3)
     sbits = lax.bitcast_convert_type(s_e, jnp.int32)
     packed_f = lax.bitcast_convert_type((sbits & ~15) | obits, jnp.float32)
-    packed = jnp.where(keep, packed_f, -jnp.inf)
+    packed = jnp.where(keep, packed_f, P3_SENTINEL)
     # Centered 3x3 window max: p3[1::3, 1::3] is the 3x3-cell max table.
     m3 = jnp.maximum(
         packed, jnp.maximum(_lane_shift(packed, 1), _lane_shift(packed, -1))
@@ -1066,7 +1077,7 @@ def _g2_features_full_reference_xla(image, xtaps, ytaps, threshold, nms_radius):
     obits = (row % 3) * 3 + col % 3
     sbits = jax.lax.bitcast_convert_type(score, jnp.int32)
     packed_f = jax.lax.bitcast_convert_type((sbits & ~15) | obits, jnp.float32)
-    packed = jnp.where(keep, packed_f, -jnp.inf)
+    packed = jnp.where(keep, packed_f, P3_SENTINEL)
     p3 = jax.lax.reduce_window(
         packed, -jnp.inf, jax.lax.max,
         window_dimensions=(1,) * (score.ndim - 2) + (3, 3),

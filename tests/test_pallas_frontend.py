@@ -227,10 +227,15 @@ def test_pyr_down_pallas_matches_opencv():
     assert np.abs(ours - ref).max() <= 255 * 3e-5 + 1e-3
 
 
+def _p3_kept(p):
+    """Mask of cells holding a real survivor (not the P3_SENTINEL mask)."""
+    return np.asarray(p) > -1.0e38
+
+
 def _unpack_p3(p):
     """(score with low mantissa bits cleared, offset) from a packed p3 map."""
     bits = np.asarray(p, np.float32).view(np.int32)
-    off = np.where(np.isfinite(p), bits & 15, 0)
+    off = np.where(_p3_kept(p), bits & 15, 0)
     sc = (bits & ~15).view(np.float32)
     return sc, off
 
@@ -255,11 +260,11 @@ def test_features_full_kernel_matches_xla_reference(small_fish):
     p3r = np.asarray(out_r[0])
     _, off_r = _unpack_p3(p3r)
     yy, xx = np.indices(p3r.shape)
-    survivors = np.isfinite(p3r) & (off_r == (yy % 3) * 3 + xx % 3)
+    survivors = _p3_kept(p3r) & (off_r == (yy % 3) * 3 + xx % 3)
     for name, a, b in zip(names, out_k, out_r):
         a, b = np.asarray(a), np.asarray(b)
         if name == "p3":
-            fa, fb = np.isfinite(a), np.isfinite(b)
+            fa, fb = _p3_kept(a), _p3_kept(b)
             # NMS survivor sets may differ only where scores tie to ~1e-4
             assert (fa != fb).mean() < 1e-3
             both = fa & fb
@@ -285,6 +290,30 @@ def test_features_full_kernel_matches_xla_reference(small_fish):
         else:
             scale = np.abs(b).max() + 1e-6
             assert np.abs(a - b).max() / scale < 1e-2, name
+
+
+def test_p3_onehot_cell_pick_is_bit_exact():
+    """_p3_cells (one-hot HIGHEST matmuls) must equal p3[1::3, 1::3]
+    BIT-for-bit: the low 4 mantissa bits carry the winner offset. Exercises
+    the finite P3_SENTINEL (0 * -inf would have been NaN) and ragged
+    trailing cells. On the TPU CI leg this pins the bf16x3 operand-split
+    exactness the pick relies on; on CPU it pins the fp32 path."""
+    from cvsteer_tpu.features.keypoints import _p3_cells
+    from cvsteer_tpu.ops.pallas_frontend import P3_SENTINEL
+
+    rng = np.random.default_rng(7)
+    for H, W in [(512, 512), (185, 256), (13, 17)]:
+        mag = rng.uniform(1e-6, 1e6, (H, W)).astype(np.float32)
+        x = (rng.standard_normal((H, W)).astype(np.float32) * mag)
+        bits = x.view(np.int32)
+        obits = rng.integers(0, 9, (H, W)).astype(np.int32)
+        packed = ((bits & ~15) | obits).view(np.float32)
+        keep = rng.uniform(size=(H, W)) < 0.3
+        p3 = np.where(keep, packed, np.float32(P3_SENTINEL)).astype(np.float32)
+        got = np.asarray(jax.jit(_p3_cells)(jnp.asarray(p3)))
+        want = p3[1::3, 1::3]
+        assert got.shape == want.shape
+        assert (got.view(np.int32) == want.view(np.int32)).all(), (H, W)
 
 
 def test_detect_keypoints_packed_matches_premasked(small_fish):
