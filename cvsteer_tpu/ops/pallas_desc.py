@@ -121,10 +121,13 @@ def _desc_patch_kernel(
     for j in range(KB):
         xr = xrow_ref[j, :][None, :]          # [1, LC] sample x in window px
         yr = yrow_ref[j, :][None, :]
-        xl = jnp.floor(xr)
-        wx = xr - xl
-        xw = jnp.where((px == xl) & chmask, 1.0 - wx, 0.0) + jnp.where(
-            (px == xl + 1.0) & chmask, wx, 0.0
+        # Bilinear "hat" weight: relu(1 - |px - xr|) is (1-frac) at the
+        # floor lane, frac at floor+1, and 0 at every other integer px —
+        # identical support and values to the two-compare/two-select form
+        # (frac = xr - floor(xr) is exact in fp32), at half the vreg-ops
+        # on the [WIN_LANES, LC] array.
+        xw = jnp.where(
+            chmask, jnp.maximum(1.0 - jnp.abs(px - xr), 0.0), 0.0
         )
         patch = patches[slot, j]
         xsel = jax.lax.dot_general(
@@ -132,11 +135,7 @@ def _desc_patch_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                      # [WIN_Y, LC]
-        yl = jnp.floor(yr)
-        wy = yr - yl
-        r = jnp.where(rr == yl, 1.0 - wy, 0.0) + jnp.where(
-            rr == yl + 1.0, wy, 0.0
-        )
+        r = jnp.maximum(1.0 - jnp.abs(rr - yr), 0.0)  # y hat weight
         out_ref[j, :] = jnp.sum(xsel * r, axis=0)
 
 
