@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from cvsteer_tpu.ops.pallas_frontend import P3_SENTINEL
+
 
 class Keypoints(NamedTuple):
     """A fixed-capacity keypoint set (invalid slots masked).
@@ -228,12 +230,18 @@ def _p3_cells(p3: jax.Array) -> jax.Array:
     """``p3[1::3, 1::3]`` as two one-hot Precision.HIGHEST matmuls.
 
     The strided slice lowers to an ~18 us/frame row gather on v5e; the MXU
-    picks cost ~4 us and are BIT-exact: under 1.0/0.0 weights the bf16x3
-    operand split reconstructs every fp32 value exactly (hi/mid/lo residuals
-    are non-overlapping, so their fp32 accumulation never rounds), which the
-    packed low-mantissa offset bits rely on (tests/test_pallas_frontend.py::
-    test_p3_onehot_cell_pick_is_bit_exact). Requires the masked sentinel to
-    be finite (ops.pallas_frontend.P3_SENTINEL): 0 * -inf would be NaN.
+    picks cost ~4 us and are BIT-exact over the packed-score domain: under
+    1.0/0.0 weights the bf16x3 operand split reconstructs the fp32 value
+    exactly (hi/mid/lo residuals are non-overlapping, so their fp32
+    accumulation never rounds) as long as the lo residual is not flushed as
+    a bf16 subnormal — measured on v5e (2026-08-20): exact for magnitudes
+    down to ~1e-30 (~2^-100), corrupt below (3/672 cells at 1e-35..1e-30
+    scale). Packed scores are thresholded corner energies (>= threshold,
+    far above 2^-100 by construction) and the finite P3_SENTINEL, both
+    deep inside the exact domain; the TPU CI leg pins the 1e-30 boundary
+    (tests/test_pallas_frontend.py::test_p3_onehot_cell_pick_is_bit_exact).
+    Requires the masked sentinel to be finite
+    (ops.pallas_frontend.P3_SENTINEL): 0 * -inf would be NaN.
     """
     H, W = p3.shape
     Hc, Wc = (H + 1) // 3, (W + 1) // 3  # == len(range(1, H, 3)) etc.
@@ -292,9 +300,10 @@ def detect_keypoints_packed(
         pad = max_keypoints - kk
         vals = jnp.pad(vals, (0, pad), constant_values=-jnp.inf)
         cidx = jnp.pad(cidx, (0, pad))
-    # Masked cells carry the finite P3_SENTINEL (-255 * 2^120); kk-padding
-    # stays -inf. Both sit far below any real packed score.
-    valid = vals > -1.0e38
+    # Masked cells carry the finite P3_SENTINEL EXACTLY (the cell pick is
+    # bit-exact); kk-padding stays -inf. Both fail a strict > against the
+    # sentinel itself, and every real packed score sits far above it.
+    valid = vals > P3_SENTINEL
     bits = lax.bitcast_convert_type(vals, jnp.int32)
     off = bits & 15
     score = lax.bitcast_convert_type(bits & ~15, jnp.float32)  # 2^-19-exact

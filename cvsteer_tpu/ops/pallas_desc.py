@@ -123,9 +123,10 @@ def _desc_patch_kernel(
         yr = yrow_ref[j, :][None, :]
         # Bilinear "hat" weight: relu(1 - |px - xr|) is (1-frac) at the
         # floor lane, frac at floor+1, and 0 at every other integer px —
-        # identical support and values to the two-compare/two-select form
-        # (frac = xr - floor(xr) is exact in fp32), at half the vreg-ops
-        # on the [WIN_LANES, LC] array.
+        # identical support to the two-compare/two-select form, values
+        # equal within the bf16 sampling accuracy class (the floor+1 lane
+        # computes 1-(1-frac), up to 1 fp32 ulp off frac; xw is cast to
+        # bf16 below), at half the vreg-ops on the [WIN_LANES, LC] array.
         xw = jnp.where(
             chmask, jnp.maximum(1.0 - jnp.abs(px - xr), 0.0), 0.0
         )
@@ -214,6 +215,11 @@ def bilinear_sample_patch_dma(
     The per-keypoint sample cloud must span < 24 px in y and < 32 px in x
     (descriptor grids up to ~7x7 at spacing 3 qualify); the aligned DMA
     window then always covers every clamped sample's bilinear corners.
+
+    NaN contract: non-finite ys/xs propagate (NaN-in -> NaN samples) —
+    the hat-weight form relu(1 - |px - x|) keeps NaN where a compare/
+    select would have zeroed it. Callers in this package always pass
+    clipped, finite coords (invalid keypoints are zeroed upstream).
     """
     b, c, h, w = basis.shape
     _, k, s = ys.shape

@@ -28,6 +28,7 @@ from cvsteer_tpu.geometry.epipolar import ransac_essential
 from cvsteer_tpu.geometry.pose import recover_pose, triangulate
 from cvsteer_tpu.slam import se3
 from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust, refine_pose
+from cvsteer_tpu.slam import vo_core
 from cvsteer_tpu.utils.precision import precise
 
 
@@ -194,21 +195,11 @@ def _track_fused_jit(
 
         uv_all = undistort_normalized(uv_all, dist)
     uv = jnp.where(use[:, None], uv_all[jnp.maximum(idx, 0)], 0.0)
-    Ra, ta, ia = refine_pose(
-        X_slots, uv, use, R0, t0,
-        iterations=iterations, huber_delta=huber_delta, lam0=1e-4,
+    Ra, ta, na = vo_core.pnp_dual_refine(
+        X_slots, uv, use, R0, t0, R1, t1,
+        iterations=iterations, huber_delta=huber_delta,
+        min_track=min_track, dual_init=dual_init,
     )
-    na = jnp.sum(ia)
-    if dual_init:
-        Rb, tb, ib = refine_pose(
-            X_slots, uv, use, R1, t1,
-            iterations=iterations, huber_delta=huber_delta, lam0=1e-4,
-        )
-        nb = jnp.sum(ib)
-        pick_b = (na < min_track) & (nb > na)
-        Ra = jnp.where(pick_b, Rb, Ra)
-        ta = jnp.where(pick_b, tb, ta)
-        na = jnp.where(pick_b, nb, na)
     return Ra, ta, na, idx, jnp.sum(valid_b), uv_all, valid_b
 
 
@@ -338,9 +329,13 @@ def _predict_pose(state: VOState):
     # relative motion frame-(k-1) -> frame-k, applied once more
     R_rel = R1 @ R0.T
     t_rel = t1 - R_rel @ t0
-    # guard: reject implausible per-frame motion (> ~30 deg or huge shift)
+    # guard: reject implausible per-frame motion (bounds shared with the
+    # device twin — vo_core.predict_const_velocity)
     cos = np.clip(0.5 * (np.trace(R_rel) - 1.0), -1.0, 1.0)
-    if np.degrees(np.arccos(cos)) > 30.0 or np.linalg.norm(t_rel) > 10.0:
+    if (
+        np.degrees(np.arccos(cos)) > vo_core.MAX_PRED_ROT_DEG
+        or np.linalg.norm(t_rel) > vo_core.MAX_PRED_SHIFT
+    ):
         return kf.R, kf.t
     return (R_rel @ R1).astype(np.float32), (R_rel @ t1 + t_rel).astype(np.float32)
 
@@ -488,12 +483,8 @@ def _kf_fused_jit_body(
     join the window BA immediately. The host registers ids from the
     fetched ``ok`` mask afterwards — same ids, same end state, one fetch.
     """
-    from cvsteer_tpu.slam.ba import residuals as _ba_residuals
-
     Xc = triangulate(P1, P2, x_prev, x_new_m)  # [F, 3]
-    z1 = Xc @ P1[2, :3] + P1[2, 3]
-    z2 = Xc @ P2[2, :3] + P2[2, 3]
-    ok = fresh & (z1 > 1e-3) & (z2 > 1e-3) & (jnp.abs(Xc) < 1e4).all(1)
+    ok = fresh & vo_core.triangulation_gate(Xc, P1, P2)
     ok = ok & (jnp.cumsum(ok.astype(jnp.int32)) <= n_room)
     Lp = mask_old.shape[1]
     X = X_pad.at[Lp:].set(jnp.where(ok[:, None], Xc, 0.0))
@@ -504,11 +495,7 @@ def _kf_fused_jit_body(
     final, _ = bundle_adjust(
         BAState(R=R_pad, t=t_pad, X=X), problem, iterations=iterations
     )
-    r, _w = _ba_residuals(final, problem)
-    rn = jnp.linalg.norm(r, axis=-1)
-    m = mask.astype(rn.dtype)
-    obs = m.sum(axis=0)
-    mean_err = jnp.where(obs > 0, (rn * m).sum(axis=0) / jnp.maximum(obs, 1.0), 0.0)
+    mean_err = vo_core.masked_mean_reproj(final, problem)
     return final.R, final.t, final.X, mean_err, ok, Xc
 
 
@@ -524,19 +511,13 @@ def _ba_only_jit(R_pad, t_pad, X_pad, uv, mask, fixed, *, iterations, huber_delt
     cheaper dispatch when triangulation is skipped (landmark budget full
     or too few fresh matches): the fused kernel would otherwise drag F
     feature-capacity dead columns through every LM iteration."""
-    from cvsteer_tpu.slam.ba import residuals as _ba_residuals
-
     problem = BAProblem(
         uv=uv, mask=mask, fixed_cameras=fixed, huber_delta=huber_delta
     )
     final, _ = bundle_adjust(
         BAState(R=R_pad, t=t_pad, X=X_pad), problem, iterations=iterations
     )
-    r, _w = _ba_residuals(final, problem)
-    rn = jnp.linalg.norm(r, axis=-1)
-    m = mask.astype(rn.dtype)
-    obs = m.sum(axis=0)
-    mean_err = jnp.where(obs > 0, (rn * m).sum(axis=0) / jnp.maximum(obs, 1.0), 0.0)
+    mean_err = vo_core.masked_mean_reproj(final, problem)
     return final.R, final.t, final.X, mean_err
 
 
@@ -740,7 +721,7 @@ def _kf_fused_complete(state: VOState, fetched, ctx):
     # Cull landmarks the optimizer could not reconcile: mean reprojection
     # error beyond 3x the Huber width across their window observations
     # (mean_err computed on-device — part of the single fetch).
-    bar = 3.0 * max(cfg.huber_delta, 1e-4)
+    bar = vo_core.cull_bar(cfg.huber_delta)
     bad_global = set(int(g) for g in lm_set[np.nonzero(mean_err[:L] > bar)[0]])
     if ok_slots.size:
         bad_cand = mean_err[Lp + ok_slots] > bar

@@ -1,0 +1,134 @@
+"""Shared VO numeric core: the single home of every rule both engines apply.
+
+The host-driven loop (slam.vo) and the device-resident engine
+(slam.vo_device) implement the same per-frame numerics with different data
+plumbing (host numpy tables + fused jit calls vs a device pytree carry).
+Round 3's fleet-tail fixes (HIGHEST-precision jit boundaries, SVD refit,
+MSAC tie-breaks) had to be applied in both files; this module extracts the
+shared rules so the next numerics fix is a ONE-place edit (VERDICT r3
+item 8). Host-twin tests (tests/test_vo_device.py) keep guarding parity.
+
+Contents:
+- :func:`pnp_dual_refine` — motion-only PnP with the dual-initialization
+  select (prediction vs keyframe pose) both tracking steps run.
+- :func:`triangulation_gate` — cheirality + bounds acceptance for fresh
+  landmark candidates (the depth/coordinate constants live here).
+- :func:`masked_mean_reproj` — per-landmark-column mean reprojection error
+  of a BA solution (the culling signal).
+- :func:`cull_bar` — the reprojection-error culling threshold rule.
+- :func:`predict_const_velocity` — constant-velocity pose extrapolation
+  with the shared plausibility guards (jnp; the host loop's numpy twin in
+  slam.vo uses the same MAX_* constants).
+
+Reference analog: none — the reference is a single-image filter library
+(SURVEY.md scope note); these rules belong to the north-star SLAM
+superstructure (BASELINE configs 4-5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cvsteer_tpu.slam.ba import refine_pose
+from cvsteer_tpu.slam.ba import residuals as ba_residuals
+
+# --- shared constants -------------------------------------------------------
+
+#: minimum triangulated depth (in either view) for a landmark candidate
+MIN_TRI_DEPTH = 1e-3
+#: maximum |coordinate| for a triangulated landmark (rejects near-infinity
+#: points from near-parallel rays)
+MAX_LM_COORD = 1e4
+#: constant-velocity guard: reject per-frame rotations beyond this
+MAX_PRED_ROT_DEG = 30.0
+#: constant-velocity guard: reject per-frame translations beyond this
+MAX_PRED_SHIFT = 10.0
+
+
+def pnp_dual_refine(
+    X, uv, use, Rp, tp, R1, t1,
+    *, iterations, huber_delta, min_track, dual_init, lam0=1e-4,
+):
+    """Motion-only PnP with the shared dual-initialization select.
+
+    Refines from the prediction (Rp, tp); when ``dual_init`` (static) also
+    refines from the reference pose (R1, t1) and falls back to it on-device
+    exactly as the original host retry did: when the prediction yields
+    < ``min_track`` inliers and the reference init does better. Returns
+    (R, t, n_inliers). Both engines' tracking steps call this
+    (slam/vo.py::_track_fused_jit, slam/vo_device.py::_track_phase).
+    """
+    R, t, inl = refine_pose(
+        X, uv, use, Rp, tp,
+        iterations=iterations, huber_delta=huber_delta, lam0=lam0,
+    )
+    n = jnp.sum(inl)
+    if dual_init:  # static branch
+        Rb, tb, ib = refine_pose(
+            X, uv, use, R1, t1,
+            iterations=iterations, huber_delta=huber_delta, lam0=lam0,
+        )
+        nb = jnp.sum(ib)
+        pick_b = (n < min_track) & (nb > n)
+        R = jnp.where(pick_b, Rb, R)
+        t = jnp.where(pick_b, tb, t)
+        n = jnp.where(pick_b, nb, n)
+    return R, t, n
+
+
+def triangulation_gate(Xc, P1, P2):
+    """Acceptance mask for triangulated candidates: positive depth in BOTH
+    views and bounded coordinates. ``Xc [F, 3]`` in P1's frame; P1/P2 are
+    [3, 4] projection matrices. The depth/coordinate bounds are the shared
+    constants above (one-place edit)."""
+    z1 = Xc @ P1[2, :3] + P1[2, 3]
+    z2 = Xc @ P2[2, :3] + P2[2, 3]
+    return (
+        (z1 > MIN_TRI_DEPTH)
+        & (z2 > MIN_TRI_DEPTH)
+        & (jnp.abs(Xc) < MAX_LM_COORD).all(1)
+    )
+
+
+def masked_mean_reproj(final, problem):
+    """[L] mask-weighted mean reprojection-error norm per landmark column
+    of a BA solution — the shared culling signal (zero where unobserved)."""
+    r, _w = ba_residuals(final, problem)
+    rn = jnp.linalg.norm(r, axis=-1)
+    m = problem.mask.astype(rn.dtype)
+    obs = m.sum(axis=0)
+    return jnp.where(obs > 0, (rn * m).sum(axis=0) / jnp.maximum(obs, 1.0), 0.0)
+
+
+def cull_bar(huber_delta) -> float:
+    """Reprojection-error culling threshold: 3x the Huber width, floored.
+    (Python floats; evaluated at trace time — both engines' rule.)"""
+    return 3.0 * max(float(huber_delta), 1e-4)
+
+
+def predict_const_velocity(R1, t1, R0, t0, traj_n, kfR, kft):
+    """Constant-velocity pose extrapolation with plausibility guards.
+
+    Applies the last inter-frame motion once more; falls back to the
+    keyframe pose (kfR, kft) when fewer than two finite trajectory entries
+    exist or the implied per-frame motion exceeds the MAX_PRED_* bounds
+    (a bad track must not feed back into diverging predictions). jnp
+    implementation used by the device engine; slam.vo._predict_pose is the
+    numpy twin over host mirrors and shares the constants.
+    """
+    R_rel = R1 @ R0.T
+    t_rel = t1 - R_rel @ t0
+    cos = jnp.clip(0.5 * (jnp.trace(R_rel) - 1.0), -1.0, 1.0)
+    fin = (
+        jnp.isfinite(R1).all() & jnp.isfinite(t1).all()
+        & jnp.isfinite(R0).all() & jnp.isfinite(t0).all()
+    )
+    ok = (
+        (traj_n >= 2) & fin
+        & (jnp.degrees(jnp.arccos(cos)) <= MAX_PRED_ROT_DEG)
+        & (jnp.linalg.norm(t_rel) <= MAX_PRED_SHIFT)
+    )
+    Rp = jnp.where(ok, R_rel @ R1, kfR)
+    tp = jnp.where(ok, R_rel @ t1 + t_rel, kft)
+    return Rp, tp

@@ -53,8 +53,8 @@ from cvsteer_tpu.features.matching import match_descriptors
 from cvsteer_tpu.geometry.camera import normalize_pixels
 from cvsteer_tpu.geometry.pose import triangulate
 from cvsteer_tpu.slam import vo as hostvo
-from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust, refine_pose
-from cvsteer_tpu.slam.ba import residuals as ba_residuals
+from cvsteer_tpu.slam import vo_core
+from cvsteer_tpu.slam.ba import BAProblem, BAState, bundle_adjust
 from cvsteer_tpu.slam.vo import Keyframe, VOConfig, VOState, init_vo
 from cvsteer_tpu.utils.precision import precise
 
@@ -203,14 +203,13 @@ def _window_ba(m: DeviceMap, *, iterations, huber_delta):
     )[:Lmax]
 
     # Cull columns the optimizer could not reconcile: mask-weighted mean
-    # reprojection error beyond 3x the Huber width (matches slam.vo).
-    r, _w = ba_residuals(final, problem)
-    rn = jnp.linalg.norm(r, axis=-1)
-    mf = mask.astype(rn.dtype)
-    nobs = mf.sum(0)
-    mean_err = jnp.where(nobs > 0, (rn * mf).sum(0) / jnp.maximum(nobs, 1.0), 0.0)
-    bar = 3.0 * max(float(huber_delta), 1e-4)
-    bad = ba_ok & col_ok & (nobs > 0) & (mean_err > bar)
+    # reprojection error beyond the shared bar (vo_core; matches slam.vo).
+    mean_err = vo_core.masked_mean_reproj(final, problem)
+    nobs = mask.astype(mean_err.dtype).sum(0)
+    bad = (
+        ba_ok & col_ok & (nobs > 0)
+        & (mean_err > vo_core.cull_bar(huber_delta))
+    )
     culled = jnp.zeros((Lmax + 1,), bool)
     culled = culled.at[jnp.where(bad, comp, Lmax)].set(bad)[:Lmax]
 
@@ -255,9 +254,7 @@ def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, obs_pre, R, t,
     x_prev = m.kf_uv[-1]
     x_new = uv_new[idx0]
     Xc = triangulate(P1, P2, x_prev, x_new)  # [N, 3]
-    z1 = Xc @ P1[2, :3] + P1[2, 3]
-    z2 = Xc @ P2[2, :3] + P2[2, 3]
-    ok = fresh & enough & (z1 > 1e-3) & (z2 > 1e-3) & (jnp.abs(Xc) < 1e4).all(1)
+    ok = fresh & enough & vo_core.triangulation_gate(Xc, P1, P2)
 
     # --- capacity + slot allocation: ring reuse of culled/free slots.
     free, n_free = _free_slots(m.lm_valid)
@@ -366,21 +363,11 @@ def _track_phase(
             jnp.where(inherit, obs_last, -1)
         )[:N]
 
-    R, t, inl = refine_pose(
-        X_t, uv_t, use, Rp, tp,
-        iterations=track_iters, huber_delta=huber_delta, lam0=1e-4,
+    R, t, n = vo_core.pnp_dual_refine(
+        X_t, uv_t, use, Rp, tp, m.kf_R[-1], m.kf_t[-1],
+        iterations=track_iters, huber_delta=huber_delta,
+        min_track=min_track, dual_init=dual_init,
     )
-    n = jnp.sum(inl)
-    if dual_init:  # static: also try from the keyframe pose, pick on-device
-        Rb, tb, ib = refine_pose(
-            X_t, uv_t, use, m.kf_R[-1], m.kf_t[-1],
-            iterations=track_iters, huber_delta=huber_delta, lam0=1e-4,
-        )
-        nb = jnp.sum(ib)
-        pick_b = (n < min_track) & (nb > n)
-        R = jnp.where(pick_b, Rb, R)
-        t = jnp.where(pick_b, tb, t)
-        n = jnp.where(pick_b, nb, n)
 
     n_valid = jnp.sum(fvalid.astype(jnp.int32))
     lost = n < 8
@@ -534,25 +521,9 @@ class _FleetAux(NamedTuple):
     block: jax.Array
 
 
-def _predict_pose_dev(R1, t1, R0, t0, traj_n, kfR, kft):
-    """Device mirror of hostvo._predict_pose (slam/vo.py:314-335):
-    constant-velocity extrapolation with the same finiteness and
-    plausibility guards, falling back to the keyframe pose."""
-    R_rel = R1 @ R0.T
-    t_rel = t1 - R_rel @ t0
-    cos = jnp.clip(0.5 * (jnp.trace(R_rel) - 1.0), -1.0, 1.0)
-    fin = (
-        jnp.isfinite(R1).all() & jnp.isfinite(t1).all()
-        & jnp.isfinite(R0).all() & jnp.isfinite(t0).all()
-    )
-    ok = (
-        (traj_n >= 2) & fin
-        & (jnp.degrees(jnp.arccos(cos)) <= 30.0)
-        & (jnp.linalg.norm(t_rel) <= 10.0)
-    )
-    Rp = jnp.where(ok, R_rel @ R1, kfR)
-    tp = jnp.where(ok, R_rel @ t1 + t_rel, kft)
-    return Rp, tp
+# Constant-velocity prediction with the shared plausibility guards; the
+# host twin is hostvo._predict_pose (numpy, same vo_core.MAX_* constants).
+_predict_pose_dev = vo_core.predict_const_velocity
 
 
 def _fleet_step_pipe_body(

@@ -228,8 +228,14 @@ def test_pyr_down_pallas_matches_opencv():
 
 
 def _p3_kept(p):
-    """Mask of cells holding a real survivor (not the P3_SENTINEL mask)."""
-    return np.asarray(p) > -1.0e38
+    """Mask of cells holding a real survivor (not the P3_SENTINEL mask).
+
+    Strict > against the sentinel itself: masked cells carry P3_SENTINEL
+    bit-exactly (the cell pick is bit-exact) and padding is -inf — the same
+    test features.keypoints.detect_keypoints_packed applies."""
+    from cvsteer_tpu.ops.pallas_frontend import P3_SENTINEL
+
+    return np.asarray(p) > np.float32(P3_SENTINEL)
 
 
 def _unpack_p3(p):
@@ -302,8 +308,20 @@ def test_p3_onehot_cell_pick_is_bit_exact():
     from cvsteer_tpu.ops.pallas_frontend import P3_SENTINEL
 
     rng = np.random.default_rng(7)
-    for H, W in [(512, 512), (185, 256), (13, 17)]:
-        mag = rng.uniform(1e-6, 1e6, (H, W)).astype(np.float32)
+    # The magnitude sweep pins the exactness domain's measured lower edge:
+    # the bf16x3 split's lo residual sits ~2^-50 below the value, and on
+    # the real MXU it flushes (subnormal) once values drop below ~2^-100 —
+    # measured 2026-08-20 on v5e: bit-exact at 1e-30..1e-25 scale, 3/672
+    # cells corrupt at 1e-35..1e-30, 204/672 at 1e-37..1e-35. The 1e-30
+    # case pins that boundary on the TPU leg; packed corner scores are
+    # thresholded far above it (see keypoints._p3_cells docstring).
+    for (H, W), lo, hi in [
+        ((512, 512), 1e-6, 1e6),
+        ((185, 256), 1e-6, 1e6),
+        ((13, 17), 1e-6, 1e6),
+        ((64, 96), 1e-30, 1e-25),
+    ]:
+        mag = rng.uniform(lo, hi, (H, W)).astype(np.float32)
         x = (rng.standard_normal((H, W)).astype(np.float32) * mag)
         bits = x.view(np.int32)
         obits = rng.integers(0, 9, (H, W)).astype(np.int32)
