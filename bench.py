@@ -583,6 +583,51 @@ def bench_closure_event(n_kf: int = 200):
     return detect_ms, event_ms
 
 
+def bench_closure_detect_k1000():
+    """Closure DETECTION cost at K=1000 keyframes (VERDICT r3 item 3).
+
+    Detection is device-resident (round 4): in serving it rides the
+    per-frame fused step — slam.vo_device carries the [Kcap, D] signature
+    store in DeviceMap and the candidates come home in the step fetch
+    (StepOut.cand_*) — so its marginal cost is the DEVICE time of a
+    [Kcap, D] @ [D] matvec + top-k, measured here by device trace. The
+    standalone host-index query (slam.loopclosure.SignatureIndex, one
+    dispatch + one ~24 B fetch) is also timed: its wall is the tunnel RTT
+    floor (~25 ms measured round 4), which is exactly why the serving path
+    fuses detection into a dispatch that already happens. Both are
+    independent of K (the store is fixed-capacity).
+
+    Returns (in_step_device_ms, standalone_query_wall_ms)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvsteer_tpu.slam.loopclosure import _sig_query_jit
+
+    rng = np.random.default_rng(5)
+    cap, D, N = 4096, 32, 512
+    sigs = rng.normal(size=(cap, D)).astype(np.float32)
+    sigs /= np.linalg.norm(sigs, axis=1, keepdims=True)
+    sigs[1000:] = 0.0  # 1000 live keyframe rows
+    sigs_d = jnp.asarray(sigs)
+    desc = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=N) < 0.9)
+    j, gap = jnp.int32(1000), jnp.int32(6)
+
+    def run():
+        return jax.device_get(_sig_query_jit(sigs_d, desc, valid, j, gap, top=3))
+
+    run()  # compile
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        run()
+    rtt_ms = (time.perf_counter() - t0) / reps * 1e3
+    device_ms = _trace_device_us(run, iters=8) / 1e3
+    return device_ms, rtt_ms
+
+
 def bench_sim3():
     """Sim(3) loop-closure metric (VERDICT r1 item 4 bench line): full VO
     around a revisiting loop, 1.9x accumulated scale drift injected into
@@ -716,6 +761,14 @@ def main() -> int:
             extra["closure_event_ms_k200"] = round(e_ms, 1)
         except Exception as e:
             print(f"closure bench failed: {e}", file=sys.stderr)
+        try:
+            dev_ms, rtt_ms = bench_closure_detect_k1000()
+            # in-step device cost: the serving path's marginal detection
+            # cost (rides the per-frame dispatch — zero extra RTTs)
+            extra["closure_detect_ms_k1000"] = round(dev_ms, 3)
+            extra["closure_detect_standalone_rtt_ms_k1000"] = round(rtt_ms, 1)
+        except Exception as e:
+            print(f"closure detect bench failed: {e}", file=sys.stderr)
     if time.perf_counter() - _T_START < 410.0:
         try:
             b, a = bench_sim3()

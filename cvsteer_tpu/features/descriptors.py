@@ -125,9 +125,10 @@ def _rotated_grid_samples_batch(
     return samples, ct, st
 
 
-def _steer_g2_normalize(samples, ct, st, valid):
+def _steer_g2_normalize(samples, ct, st, valid, pi_invariant=False):
     """Steer (g2, h2) per keypoint and L2-normalize; broadcasts over any
-    leading batch axes (samples [..., S, C], ct/st/valid [...])."""
+    leading batch axes (samples [..., S, C], ct/st/valid [...]).
+    ``pi_invariant`` (static) applies :func:`_canonicalize_pi`."""
     ct2, st2 = ct * ct, st * st
     ct3, st3 = ct2 * ct, st2 * st
     w = lambda v: v[..., None]  # [...] -> [..., 1] for broadcasting over S
@@ -143,10 +144,44 @@ def _steer_g2_normalize(samples, ct, st, valid):
         - w(st3) * samples[..., H2D]
     )
 
+    if pi_invariant:  # static branch
+        g2, h2 = _canonicalize_pi(g2, h2)
     desc = jnp.concatenate([g2, h2], axis=-1)  # [..., 2*S]
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)
     return jnp.where(valid[..., None], desc, 0.0)
+
+
+def _canonicalize_pi(g_even, h_odd):
+    """Make the descriptor invariant to the orientation's pi ambiguity.
+
+    theta is a HALF-angle estimate in (-pi/2, pi/2] (the energy's 2nd
+    harmonic, SteerableFiltersG2.cpp:97-99): estimator jitter near the
+    +-pi/2 wrap flips theta by pi between frames of the same point, and a
+    pi flip fully decorrelates the raw descriptor (measured round 4:
+    cosine 0.015 at true correspondences). Because the sample grid is
+    point-symmetric, a pi flip is EXACTLY a point-reflection permutation
+    of samples (flattened reversal for the row-major G x G grid) plus a
+    sign flip of the odd (h) half — so canonicalizing costs one
+    reduction, one select, and no resampling: if the odd-half sum is
+    negative, apply the permutation and negate h. Any pi flip of theta
+    then yields the identical descriptor (up to the invariant's own noise
+    when |sum h| ~ 0). Measured on the city loop (ratio 0.92): gap-4
+    matches 164 vs 124, gap-8 125 vs 81 — the flips dominate at larger
+    view changes.
+
+    Trade-off: collapsing the pi pair also collapses DISTINCT patterns
+    that happen to be pi-rotations of each other (a measured -30% inlier
+    hit on the Gabor-blob two-view scene), so this is an opt-in mode
+    (FrontendConfig.desc_pi_invariant) for rotation-rich, flip-prone
+    imagery. For roll-stable rigs FrontendConfig.upright_desc removes
+    flips AND jitter outright and keeps the distinctiveness bit — prefer
+    it when in-plane rotation invariance is not needed.
+    """
+    flip = jnp.sum(h_odd, axis=-1, keepdims=True) < 0
+    g_c = jnp.where(flip, g_even[..., ::-1], g_even)
+    h_c = jnp.where(flip, -h_odd[..., ::-1], h_odd)
+    return g_c, h_c
 
 
 def phase_descriptors(
@@ -155,6 +190,7 @@ def phase_descriptors(
     *,
     grid: int = 4,
     spacing: float = 3.0,
+    pi_invariant: bool = False,
 ) -> jax.Array:
     """Descriptors ``[N, grid*grid*2]`` for ``keypoints`` over ``basis [7, H, W]``.
 
@@ -162,7 +198,9 @@ def phase_descriptors(
     :func:`phase_descriptors_batch` (kernel-accelerated on TPU).
     """
     samples, ct, st = _rotated_grid_samples(basis, keypoints, grid, spacing)
-    return _steer_g2_normalize(samples, ct, st, keypoints.valid)
+    return _steer_g2_normalize(
+        samples, ct, st, keypoints.valid, pi_invariant=pi_invariant
+    )
 
 
 def phase_descriptors_batch(
@@ -171,6 +209,7 @@ def phase_descriptors_batch(
     *,
     grid: int = 4,
     spacing: float = 3.0,
+    pi_invariant: bool = False,
 ) -> jax.Array:
     """Batched :func:`phase_descriptors`: ``basis [B, 7, H, W]``, keypoint
     fields ``[B, N, ...]`` -> ``[B, N, grid*grid*2]``.
@@ -182,7 +221,9 @@ def phase_descriptors_batch(
     samples, ct, st = _rotated_grid_samples_batch(
         basis, keypoints, grid, spacing
     )
-    return _steer_g2_normalize(samples, ct, st, keypoints.valid)
+    return _steer_g2_normalize(
+        samples, ct, st, keypoints.valid, pi_invariant=pi_invariant
+    )
 
 
 def phase_descriptors_g4(
@@ -191,6 +232,7 @@ def phase_descriptors_g4(
     *,
     grid: int = 4,
     spacing: float = 3.0,
+    pi_invariant: bool = False,
 ) -> jax.Array:
     """4th-order phase descriptors ``[N, grid*grid*2]`` over ``basis [11, H, W]``.
 
@@ -202,7 +244,7 @@ def phase_descriptors_g4(
     tuning trades some rotation tolerance for extra selectivity.
     """
     samples, _, _ = _rotated_grid_samples(basis, keypoints, grid, spacing)
-    return _steer_g4_normalize(samples, keypoints)
+    return _steer_g4_normalize(samples, keypoints, pi_invariant=pi_invariant)
 
 
 def phase_descriptors_g4_batch(
@@ -211,15 +253,16 @@ def phase_descriptors_g4_batch(
     *,
     grid: int = 4,
     spacing: float = 3.0,
+    pi_invariant: bool = False,
 ) -> jax.Array:
     """Batched :func:`phase_descriptors_g4` (Pallas patch-DMA on TPU)."""
     samples, _, _ = _rotated_grid_samples_batch(
         basis, keypoints, grid, spacing
     )
-    return _steer_g4_normalize(samples, keypoints)
+    return _steer_g4_normalize(samples, keypoints, pi_invariant=pi_invariant)
 
 
-def _steer_g4_normalize(samples, keypoints):
+def _steer_g4_normalize(samples, keypoints, pi_invariant=False):
     from cvsteer_tpu.filters.g4 import steering_coefficients
 
     ga, ha = steering_coefficients(keypoints.theta, dtype=samples.dtype)
@@ -227,6 +270,9 @@ def _steer_g4_normalize(samples, keypoints):
     g4 = sum(w(ga[i]) * samples[..., i] for i in range(5))
     h4 = sum(w(ha[i]) * samples[..., 5 + i] for i in range(6))
 
+    if pi_invariant:  # same rule as G2: G4 even under a pi flip, H4
+        # odd, grid point-symmetric (see _canonicalize_pi)
+        g4, h4 = _canonicalize_pi(g4, h4)
     desc = jnp.concatenate([g4, h4], axis=-1)  # [..., 2*S]
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-12)

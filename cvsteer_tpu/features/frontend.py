@@ -54,6 +54,23 @@ class FrontendConfig(NamedTuple):
     # drops below RANSAC viability) — a throughput knob for serving
     # configs, not a silent default.
     level_capacity_decay: float = 1.0
+    # Upright descriptors: skip rotation normalization (sample the grid at
+    # theta = 0). The dominant-orientation HALF-angle is ill-defined on
+    # exactly the junction/corner structures the detector selects —
+    # measured median |d theta| = 0.235 rad between frames of the same
+    # point on the city-loop imagery, the largest single descriptor-
+    # decorrelation factor: upright raised gap-1 matches 147 -> 309 (of
+    # 574) and gap-8 matches 81 -> 143 at ratio 0.85. For roll-stable
+    # cameras (driving, handheld video — BASELINE configs 4-5) upright is
+    # strictly better; keep False where in-plane rotation invariance
+    # matters.
+    upright_desc: bool = False
+    # Pi-invariant descriptors: canonicalize the half-angle's pi ambiguity
+    # (descriptors._canonicalize_pi) — keeps rotation invariance while
+    # killing flip decorrelation, at the cost of one distinctiveness bit.
+    # Opt-in for rotation-rich, flip-prone imagery; redundant (and
+    # mildly harmful) under upright_desc.
+    desc_pi_invariant: bool = False
 
     def level_capacity(self, level: int) -> int:
         if self.level_capacity_decay == 1.0:
@@ -175,18 +192,24 @@ def _level_features(
             )
         )(score_map, ctm, stm)
     with jax.named_scope(f"desc_l{lvl}"):
+        kp_d = (
+            kp._replace(theta=jnp.zeros_like(kp.theta))
+            if cfg.upright_desc else kp
+        )
         if desc_batch_fn is not None:
             desc = desc_batch_fn(
-                basis, kp,
+                basis, kp_d,
                 grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing,
+                pi_invariant=cfg.desc_pi_invariant,
             )
         else:
             desc = jax.vmap(
                 lambda b, k: desc_fn(
                     b, k, grid=cfg.descriptor_grid,
                     spacing=cfg.descriptor_spacing,
+                    pi_invariant=cfg.desc_pi_invariant,
                 )
-            )(basis, kp)
+            )(basis, kp_d)
     scale = float(2**lvl)
     return Features(
         yx=kp.yx * scale,
@@ -268,9 +291,14 @@ def _extract_features_tpu(levels, bank, cfg: FrontendConfig, single: bool):
             # phase_descriptors_batch routes sampling through the Pallas
             # patch-DMA kernel on TPU (one async copy per keypoint; ~3x
             # the XLA gather path at these shapes — ops/pallas_desc.py)
+            kp_d = (
+                kp._replace(theta=jnp.zeros_like(kp.theta))
+                if cfg.upright_desc else kp
+            )
             desc = phase_descriptors_batch(
-                basis, kp,
+                basis, kp_d,
                 grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing,
+                pi_invariant=cfg.desc_pi_invariant,
             )
         scale = float(2**lvl)
         parts.append(

@@ -1,0 +1,289 @@
+"""Synthetic city-loop sequence generator (KITTI-00-scale SLAM evidence).
+
+The build container has no network egress (scripts/fetch_datasets.sh DNS-
+fails — logged in SLAM_r04.json), so BASELINE configs 4-5 cannot run on
+the real TUM/KITTI archives here. This module is the prescribed fallback
+(VERDICT r3 item 1): a >= 2,000-frame street-circuit sequence with REAL
+photographic texture (the reference's own test photograph,
+tests/assets/fish.jpg — the image embedded at
+/root/reference/test/Pterois_volitans_Manado-e_edit_smallest.h), exact
+ground-truth poses, and KITTI-like geometry: a closed city-block loop
+driven at ~0.3 m/frame with forward-facing camera, so a full-stack run
+exercises thousands of frames, 1,000+ keyframes, and loop closures at
+street-revisit scale.
+
+Rendering is plane-based: the world is textured planes (building facades
+along both street sides + the ground), and each frame ray-casts every
+plane analytically (per-pixel plane intersection -> texture lookup via
+cv2.remap, z-buffered across planes). No point splatting: a frame costs
+~10 vectorized numpy passes over the 320x240 grid, so thousands of frames
+render in seconds-per-hundred on the host while the TPU runs the engine.
+
+Facade textures are seeded mosaics of random crops/flips of the photo with
+brightness jitter — feature-rich everywhere, and DISTINCT per wall so
+signature-based loop detection discriminates street segments (repeating
+one identical texture would make every view a closure candidate).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+
+_ASSET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "assets", "fish.jpg",
+)
+
+
+class _Plane(NamedTuple):
+    p0: np.ndarray  # [3] origin (world)
+    ex: np.ndarray  # [3] unit texture-x direction (world)
+    ey: np.ndarray  # [3] unit texture-y direction (world)
+    n: np.ndarray  # [3] unit normal
+    tex: np.ndarray  # [h, w] uint8
+    px_per_m: float
+
+
+def _mosaic(rng: np.random.Generator, h_px: int, w_px: int, base: np.ndarray,
+            tile: int = 96, gain: float = 1.0) -> np.ndarray:
+    """Seeded mosaic of random photo crops: distinct, feature-rich texture.
+
+    Per-tile scale (crop size 48..176 resized to the tile), rotation
+    (0/90/180/270), flips, polarity inversion, and brightness jitter keep
+    local appearance DIVERSE: a mosaic of same-scale crops from one photo
+    is so self-similar that the matcher's ratio test rejects half of all
+    true correspondences (measured round 4: 131 -> 224 gap-1 matches on
+    the city loop after diversification)."""
+    import cv2
+
+    th, tw = base.shape
+    out = np.empty((h_px, w_px), np.uint8)
+    for y in range(0, h_px, tile):
+        for x in range(0, w_px, tile):
+            cs = int(rng.integers(48, 177))
+            cs = min(cs, th - 1, tw - 1)
+            cy = int(rng.integers(0, th - cs)) if th > cs else 0
+            cx = int(rng.integers(0, tw - cs)) if tw > cs else 0
+            patch = base[cy : cy + cs, cx : cx + cs].astype(np.float32)
+            patch = cv2.resize(patch, (tile, tile), interpolation=cv2.INTER_AREA)
+            k_rot = int(rng.integers(0, 4))
+            if k_rot:
+                patch = np.rot90(patch, k_rot)
+            if rng.uniform() < 0.5:
+                patch = patch[:, ::-1]
+            if rng.uniform() < 0.25:
+                patch = 255.0 - patch
+            patch = patch * float(rng.uniform(0.6, 1.1)) * gain
+            patch += float(rng.uniform(-20, 20))
+            ph = min(tile, h_px - y)
+            pw = min(tile, w_px - x)
+            out[y : y + ph, x : x + pw] = np.clip(patch[:ph, :pw], 0, 255)
+    return out
+
+
+def _rounded_rect_path(L: float, r: float, s: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Centers [N, 2] (x, z) and unit tangents [N, 2] of a rounded-square
+    circuit of side ``L`` (corner radius ``r``) at arc lengths ``s``."""
+    a = L - 2 * r  # straight segment length
+    quarter = a + np.pi * r / 2
+    per = 4 * quarter
+    s = np.mod(s, per)
+    side = (s // quarter).astype(np.int64)
+    u = s - side * quarter
+    h = L / 2
+    pts = np.empty((len(s), 2))
+    tans = np.empty((len(s), 2))
+    for k in range(4):
+        sel = side == k
+        if not sel.any():
+            continue
+        uu = u[sel]
+        straight = uu < a
+        p = np.empty((sel.sum(), 2))
+        t = np.empty((sel.sum(), 2))
+        # canonical side 0: from (-a/2, -h) to (a/2, -h) heading +x, then
+        # the corner arc turning left (CCW) toward side 1
+        p[straight] = np.stack(
+            [uu[straight] - a / 2, np.full(straight.sum(), -h)], 1
+        )
+        t[straight] = np.array([1.0, 0.0])
+        phi = (uu[~straight] - a) / r  # 0..pi/2
+        cx, cz = a / 2, -h + r
+        p[~straight] = np.stack(
+            [cx + r * np.sin(phi), cz - r * np.cos(phi)], 1
+        )
+        t[~straight] = np.stack([np.cos(phi), np.sin(phi)], 1)
+        ang = k * np.pi / 2  # rotate canonical side into place (CCW)
+        c, sn = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, -sn], [sn, c]])
+        pts[sel] = p @ rot.T
+        tans[sel] = t @ rot.T
+    return pts, tans
+
+
+class CityLoop:
+    """Streaming renderer of the city-block circuit.
+
+    ``pose(k)`` -> exact (R, t) ground truth (world->camera);
+    ``render(k)`` -> [H, W] uint8 frame. Identical output for identical
+    (seed, geometry) — the sequence is reproducible from its parameters.
+    """
+
+    def __init__(
+        self,
+        n_frames: int = 2400,
+        laps: float = 1.75,
+        side: float = 120.0,
+        street_half_width: float = 4.0,
+        wall_height: float = 6.0,
+        cam_height: float = 1.5,
+        image_hw: Tuple[int, int] = (240, 320),
+        fx: float = 300.0,
+        fy: float = 300.0,
+        seed: int = 7,
+        noise_sigma: float = 2.0,
+        far: float = 80.0,
+    ):
+        self.n_frames = int(n_frames)
+        self.h, self.w = image_hw
+        self.fx, self.fy = float(fx), float(fy)
+        self.cx, self.cy = self.w / 2.0, self.h / 2.0
+        self.far = float(far)
+        self.noise_sigma = float(noise_sigma)
+        self.seed = int(seed)
+
+        import cv2
+
+        base = cv2.imread(_ASSET, cv2.IMREAD_GRAYSCALE)
+        assert base is not None, _ASSET
+        rng = np.random.default_rng(seed)
+
+        L, hw, H = side, street_half_width, wall_height
+        r = 8.0
+        a = L - 2 * r
+        self._L = L
+        self._perimeter = 4 * (a + np.pi * r / 2)
+        self._step = laps * self._perimeter / n_frames
+        self._cam_h = cam_height
+
+        # 8 facade planes: inner square (side L - 2*hw) and outer square
+        # (side L + 2*hw), walls facing the street; ground plane y = 0.
+        # World: x-z ground plane, y UP is -y in camera terms... we keep
+        # y down-positive = 0 at ground, camera at y = -cam_height.
+        ppm_wall = 40.0  # texture px per meter
+        self.planes: List[_Plane] = []
+
+        def add_square_walls(half: float, inward: bool):
+            # 4 vertical walls of the square |x|,|z| <= half, texture-x
+            # along the wall, texture-y downward from the top edge
+            for k in range(4):
+                ang = k * np.pi / 2
+                c, sn = np.cos(ang), np.sin(ang)
+                rot = np.array([[c, -sn], [sn, c]])
+                # canonical wall: z = -half plane, x from -half..half
+                p0_2d = rot @ np.array([-half, -half])
+                ex_2d = rot @ np.array([1.0, 0.0])
+                n_2d = rot @ np.array([0.0, 1.0 if inward else -1.0])
+                w_px = int(2 * half * ppm_wall)
+                h_px = int(H * ppm_wall)
+                tex = _mosaic(rng, h_px, w_px, base)
+                self.planes.append(
+                    _Plane(
+                        p0=np.array([p0_2d[0], -H, p0_2d[1]]),
+                        ex=np.array([ex_2d[0], 0.0, ex_2d[1]]),
+                        ey=np.array([0.0, 1.0, 0.0]),
+                        n=np.array([n_2d[0], 0.0, n_2d[1]]),
+                        tex=tex,
+                        px_per_m=ppm_wall,
+                    )
+                )
+
+        add_square_walls(L / 2 + hw, inward=True)   # outer walls face in
+        add_square_walls(L / 2 - hw, inward=False)  # inner walls face out
+
+        # ground: y = 0 plane over the full block
+        g_half = L / 2 + hw
+        ppm_g = 12.0
+        g_px = int(2 * g_half * ppm_g)
+        gtex = _mosaic(rng, g_px, g_px, base, tile=128, gain=0.5)
+        self.planes.append(
+            _Plane(
+                p0=np.array([-g_half, 0.0, -g_half]),
+                ex=np.array([1.0, 0.0, 0.0]),
+                ey=np.array([0.0, 0.0, 1.0]),
+                n=np.array([0.0, -1.0, 0.0]),
+                tex=gtex,
+                px_per_m=ppm_g,
+            )
+        )
+
+        # precomputed camera-frame ray directions (z = 1)
+        us, vs = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        self._rays = np.stack(
+            [(us - self.cx) / self.fx, (vs - self.cy) / self.fy,
+             np.ones_like(us, np.float64)], -1,
+        ).reshape(-1, 3)
+
+    @property
+    def intrinsics4(self) -> Tuple[float, float, float, float]:
+        return self.fx, self.fy, self.cx, self.cy
+
+    def pose(self, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact world->camera pose of frame k (forward-facing driving).
+
+        Camera convention: x right, y down (world +y is down-positive),
+        z forward along the path tangent."""
+        s = np.array([k * self._step])
+        (pxz,), (txz,) = _rounded_rect_path(self._L, 8.0, s)
+        c = np.array([pxz[0], -self._cam_h, pxz[1]])
+        z = np.array([txz[0], 0.0, txz[1]])
+        z = z / np.linalg.norm(z)
+        y = np.array([0.0, 1.0, 0.0])  # camera y = world down
+        x = np.cross(y, z)
+        R = np.stack([x, y, z], 0)  # rows = camera axes in world
+        t = -R @ c
+        return R.astype(np.float32), t.astype(np.float32)
+
+    def render(self, k: int) -> np.ndarray:
+        import cv2
+
+        R, t = self.pose(k)
+        R64, t64 = R.astype(np.float64), t.astype(np.float64)
+        C = -R64.T @ t64
+        dirs = self._rays @ R64  # world-frame ray dirs (cam z = 1)
+
+        depth = np.full(self.h * self.w, np.inf)
+        img = np.full(self.h * self.w, 200.0)  # sky
+        for pl in self.planes:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                denom = dirs @ pl.n
+                s = ((pl.p0 - C) @ pl.n) / denom
+                ok = (s > 0.3) & (s < self.far) & np.isfinite(s)
+                if not ok.any():
+                    continue
+                s = np.where(ok, s, 1.0)  # keep masked rays finite
+                P = C + s[:, None] * dirs
+                ax = (P - pl.p0) @ pl.ex * pl.px_per_m
+                ay = (P - pl.p0) @ pl.ey * pl.px_per_m
+            th, tw = pl.tex.shape
+            ok &= (ax >= 0) & (ax < tw - 1) & (ay >= 0) & (ay < th - 1)
+            ok &= s < depth
+            if not ok.any():
+                continue
+            mapx = np.where(ok, ax, 0).astype(np.float32).reshape(self.h, self.w)
+            mapy = np.where(ok, ay, 0).astype(np.float32).reshape(self.h, self.w)
+            vals = cv2.remap(pl.tex, mapx, mapy, cv2.INTER_LINEAR).reshape(-1)
+            img = np.where(ok, vals, img)
+            depth = np.where(ok, s, depth)
+
+        if self.noise_sigma > 0:
+            rng = np.random.default_rng(self.seed * 1_000_003 + k)
+            img = img + rng.normal(0, self.noise_sigma, img.shape)
+        return np.clip(img, 0, 255).astype(np.uint8).reshape(self.h, self.w)
+
+    def gt_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        Rs, ts = zip(*(self.pose(k) for k in range(self.n_frames)))
+        return np.stack(Rs), np.stack(ts)

@@ -52,12 +52,33 @@ class VOConfig(NamedTuple):
     ransac_hypotheses: int = 512
     ransac_threshold: float = 1e-5
     max_landmarks: int = 4096
+    # minimum ray angle (degrees) between the two observing views for a
+    # fresh landmark to register — the monocular scale-stability guard
+    # (vo_core.triangulation_gate): kills near-epipole, parallax-free
+    # triangulations under forward motion. 0 disables. Default 0.35 is the
+    # measured sweet spot on the city-loop probes (1.0 starves the
+    # forward-motion corridor whose content is mostly sub-degree).
+    tri_min_ray_angle_deg: float = 0.35
     loop_closure: bool = False  # detect + correct loops at each new keyframe
     # Sim(3) closure graph: corrects monocular scale drift, not just
     # rotation/translation drift (slam.loopclosure.close_loops_sim3)
     loop_closure_sim3: bool = False
     loop_min_gap: int = 6  # keyframes of separation before closures apply
     loop_min_inliers: int = 25
+    # device-resident signature index (closure detection): keyframe row
+    # capacity of the [K, D] store; keyframes beyond it are not indexed
+    loop_sig_capacity: int = 4096
+    # closure candidates verified per event (fixed-shape top-k)
+    loop_max_candidates: int = 3
+    # signature-cosine prefilter: candidates below this never reach
+    # geometric verification (and — device engine — below it the closure
+    # event is skipped entirely: no state sync, no verification dispatch)
+    loop_signature_threshold: float = 0.75
+    # after an ACCEPTED closure, suppress further closure attempts for
+    # this many keyframes: revisiting a corrected region re-detects the
+    # same loop every promotion, and each accepted event is a full
+    # pose-graph solve (long-run serving hygiene; 0 = off)
+    loop_cooldown: int = 0
     # solver-level robust kernel width for the closure pose graph (0 = off;
     # loopclosure defaults the kernel to redescending tukey)
     loop_robust_delta: float = 0.0
@@ -113,6 +134,9 @@ class VOState:
     # bumped whenever landmark positions / keyframe poses mutate (BA, loop
     # closure, initialization) — invalidates per-keyframe track caches
     track_version: int = 0
+    # lazily built device-resident SignatureIndex (slam.loopclosure);
+    # NOT checkpointed — rebuilt from keyframe features after a restore
+    sig_index: Optional[object] = dataclasses.field(default=None, repr=False)
 
     def poses(self) -> Tuple[np.ndarray, np.ndarray]:
         """Trajectory as (R [F, 3, 3], t [F, 3])."""
@@ -441,9 +465,16 @@ def _relocalize(state: VOState, feats: Features, *, max_candidates: int = 3):
     ]
     if not lm_bearing:
         return None
+
+    def kf_sig(kf: Keyframe) -> np.ndarray:
+        # cache on the keyframe (features are immutable): without this,
+        # every relocalization re-fetched every keyframe's descriptors
+        if kf.signature is None:
+            kf.signature = keyframe_signature(kf.features)
+        return kf.signature
+
     ranked = sorted(
-        lm_bearing,
-        key=lambda e: -float(np.dot(keyframe_signature(e[1].features), sig)),
+        lm_bearing, key=lambda e: -float(np.dot(kf_sig(e[1]), sig))
     )
     for k, kf in ranked[:max_candidates]:
         R, t, n_inl, idx, valid = _track_against(state, feats, kf)
@@ -469,6 +500,7 @@ def _kf_inherit(state: VOState, feats: Features, idx, valid, ref_kf):
 def _kf_fused_jit_body(
     R_pad, t_pad, X_pad, uv, mask_old, pot_mask, fixed,
     P1, P2, x_prev, x_new_m, fresh, n_room, *, iterations, huber_delta,
+    tri_angle=1.0,
 ):
     """Triangulation + cheirality/capacity gating + windowed BA + per-
     landmark mean reprojection error, all in ONE dispatch.
@@ -484,7 +516,7 @@ def _kf_fused_jit_body(
     fetched ``ok`` mask afterwards — same ids, same end state, one fetch.
     """
     Xc = triangulate(P1, P2, x_prev, x_new_m)  # [F, 3]
-    ok = fresh & vo_core.triangulation_gate(Xc, P1, P2)
+    ok = fresh & vo_core.triangulation_gate(Xc, P1, P2, tri_angle)
     ok = ok & (jnp.cumsum(ok.astype(jnp.int32)) <= n_room)
     Lp = mask_old.shape[1]
     X = X_pad.at[Lp:].set(jnp.where(ok[:, None], Xc, 0.0))
@@ -500,7 +532,7 @@ def _kf_fused_jit_body(
 
 
 _kf_fused_jit = functools.partial(
-    jax.jit, static_argnames=("iterations", "huber_delta")
+    jax.jit, static_argnames=("iterations", "huber_delta", "tri_angle")
 )(precise(_kf_fused_jit_body))
 
 
@@ -665,6 +697,7 @@ def _kf_fused_issue(
             jnp.asarray(x_prev_all), jnp.asarray(x_new_all),
             jnp.asarray(fresh_eff), jnp.asarray(n_room),
             iterations=cfg.ba_iterations, huber_delta=cfg.huber_delta,
+            tri_angle=cfg.tri_min_ray_angle_deg,
         )
     ctx = (
         window, lm_set, L, Lp, kf_prev, lm_ids, fresh, idx, x_new, fvalid,
@@ -806,6 +839,7 @@ def _keyframe_epilogue(state: VOState) -> None:
             min_gap=state.config.loop_min_gap,
             min_inliers=state.config.loop_min_inliers,
             huber_delta=state.config.loop_robust_delta,
+            signature_threshold=state.config.loop_signature_threshold,
         )
         state.track_version += 1  # closure may rewrite poses + landmarks
     kf = state.keyframes[-1]

@@ -77,18 +77,38 @@ def pnp_dual_refine(
     return R, t, n
 
 
-def triangulation_gate(Xc, P1, P2):
+def triangulation_gate(Xc, P1, P2, min_ray_angle_deg: float = 1.0):
     """Acceptance mask for triangulated candidates: positive depth in BOTH
-    views and bounded coordinates. ``Xc [F, 3]`` in P1's frame; P1/P2 are
-    [3, 4] projection matrices. The depth/coordinate bounds are the shared
-    constants above (one-place edit)."""
+    views, bounded coordinates, and sufficient RAY ANGLE between the two
+    observing views. ``Xc [F, 3]`` in the projection frame; P1/P2 are
+    [3, 4] world->camera projection matrices.
+
+    The ray-angle gate is the monocular scale-stability guard (round 4):
+    under forward motion the epipole sits mid-image, and points near it
+    triangulate with ~zero parallax — their depths are noise-dominated
+    and systematically biased, and feeding them to PnP collapses the map
+    scale within tens of keyframes (measured on the city-loop sequence:
+    est/gt step ratio 1.2 -> 0.0 in 70 frames without the gate). Lateral
+    motion is unaffected (typical ray angles are degrees). Set
+    ``min_ray_angle_deg=0`` to disable (static; compile-time constant).
+    """
     z1 = Xc @ P1[2, :3] + P1[2, 3]
     z2 = Xc @ P2[2, :3] + P2[2, 3]
-    return (
+    ok = (
         (z1 > MIN_TRI_DEPTH)
         & (z2 > MIN_TRI_DEPTH)
         & (jnp.abs(Xc) < MAX_LM_COORD).all(1)
     )
+    if float(min_ray_angle_deg) > 0.0:  # static branch
+        C1 = -P1[:3, :3].T @ P1[:3, 3]
+        C2 = -P2[:3, :3].T @ P2[:3, 3]
+        r1 = Xc - C1
+        r2 = Xc - C2
+        cos = jnp.sum(r1 * r2, -1) / jnp.maximum(
+            jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12
+        )
+        ok = ok & (cos < jnp.cos(jnp.deg2rad(min_ray_angle_deg)))
+    return ok
 
 
 def masked_mean_reproj(final, problem):
@@ -105,6 +125,31 @@ def cull_bar(huber_delta) -> float:
     """Reprojection-error culling threshold: 3x the Huber width, floored.
     (Python floats; evaluated at trace time — both engines' rule.)"""
     return 3.0 * max(float(huber_delta), 1e-4)
+
+
+def signature_device(desc, valid):
+    """Keyframe global-descriptor signature: mean of valid local
+    descriptors, L2-normalized — computed on device (no fetch). The numpy
+    twin is slam.loopclosure.keyframe_signature; the device engine's
+    in-step closure detection (slam.vo_device) and the host
+    SignatureIndex (slam.loopclosure) both call this."""
+    cnt = jnp.sum(valid.astype(jnp.float32))
+    s = jnp.sum(jnp.where(valid[..., None], desc, 0.0), axis=-2)
+    s = s / jnp.maximum(cnt, 1.0)
+    n = jnp.linalg.norm(s)
+    return jnp.where(n > 1e-9, s / jnp.maximum(n, 1e-30), s)
+
+
+def closure_candidates(sigs, sig_new, j, *, min_gap, top):
+    """Top-``top`` closure candidate rows for a NEW keyframe that will
+    take index ``j``, against signature-store rows [0, j - min_gap].
+    Returns (idx [top], score [top]); masked rows score -inf. The shared
+    detection rule of the in-step device path and the host index query."""
+    s = sigs @ sig_new
+    rows = jnp.arange(sigs.shape[0])
+    s = jnp.where(rows <= j - min_gap, s, -jnp.inf)
+    score, idx = jax.lax.top_k(s, top)
+    return idx, score
 
 
 def predict_const_velocity(R1, t1, R0, t0, traj_n, kfR, kft):

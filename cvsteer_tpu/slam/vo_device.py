@@ -83,6 +83,14 @@ class DeviceMap(NamedTuple):
                          observation wins) — the matching target of the
                          opt-in local-map tracking mode
                          (VOConfig.track_local_map).
+    sig      [Kcap, D]   ALL-keyframe signature store (loop-closure
+                         detection index; None when loop closure is off).
+                         Row k = keyframe k's global descriptor; detection
+                         rides the per-frame step as one [Kcap, D] @ [D]
+                         matvec + top-k (vo_core.closure_candidates), so a
+                         closure event pays ZERO extra round-trips and its
+                         detection cost is keyframe-count-independent.
+    sig_n    []          int32: keyframes indexed (== next free row).
     """
 
     X: jax.Array
@@ -96,6 +104,8 @@ class DeviceMap(NamedTuple):
     kf_live: jax.Array
     kf_desc: jax.Array
     lm_desc: jax.Array
+    sig: Optional[jax.Array] = None
+    sig_n: Optional[jax.Array] = None
 
 
 class StepOut(NamedTuple):
@@ -117,6 +127,12 @@ class StepOut(NamedTuple):
     obs_new: jax.Array  # [N] the NEW keyframe's obs table (post-culling)
     obs_gen: jax.Array  # [N] generation stamps paired with obs_new
     lm_count: jax.Array  # occupied landmark slots
+    # closure candidates for THIS frame as a new keyframe (None when the
+    # signature store is off; meaningful only when ``promoted``): top-M
+    # store rows by signature cosine, masked rows scored -inf — detection
+    # rode the step dispatch, the host only verifies
+    cand_idx: Optional[jax.Array] = None  # [M] int32
+    cand_score: Optional[jax.Array] = None  # [M] f32
 
 
 
@@ -226,14 +242,16 @@ def _window_ba(m: DeviceMap, *, iterations, huber_delta):
 
 
 def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, obs_pre, R, t,
-             *, iterations, huber_delta):
+             sig_new=None, *, iterations, huber_delta, tri_angle=1.0):
     """On-device keyframe promotion: inheritance, triangulation + gating +
     slot allocation, ring shift, windowed BA, culling.
 
     ``obs_pre [N]``: the new frame's inherited landmark associations,
     computed by the step body (from the keyframe match in classic mode or
     the local-map match in track_local_map mode). ``idx`` is always the
-    keyframe match — fresh-landmark triangulation needs a second view."""
+    keyframe match — fresh-landmark triangulation needs a second view.
+    ``sig_new [D]``: the frame's signature (when the store is carried) —
+    scattered into the next store row; rows beyond capacity drop."""
     N = uv_new.shape[0]
     Lmax = m.X.shape[0]
     obs_last = m.kf_obs[-1]
@@ -254,7 +272,7 @@ def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, obs_pre, R, t,
     x_prev = m.kf_uv[-1]
     x_new = uv_new[idx0]
     Xc = triangulate(P1, P2, x_prev, x_new)  # [N, 3]
-    ok = fresh & enough & vo_core.triangulation_gate(Xc, P1, P2)
+    ok = fresh & enough & vo_core.triangulation_gate(Xc, P1, P2, tri_angle)
 
     # --- capacity + slot allocation: ring reuse of culled/free slots.
     free, n_free = _free_slots(m.lm_valid)
@@ -286,6 +304,12 @@ def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, obs_pre, R, t,
     def shift(a, new_row):
         return jnp.roll(a, -1, axis=0).at[-1].set(new_row)
 
+    sig_kw = {}
+    if m.sig is not None:  # static: index the new keyframe's signature
+        sig_kw = dict(
+            sig=m.sig.at[m.sig_n].set(sig_new, mode="drop"),
+            sig_n=m.sig_n + 1,
+        )
     m = m._replace(
         X=X,
         lm_valid=lm_valid,
@@ -297,6 +321,7 @@ def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, obs_pre, R, t,
         kf_live=shift(m.kf_live, jnp.asarray(True)),
         kf_desc=desc,
         lm_desc=lm_desc,
+        **sig_kw,
     )
     return _window_ba(m, iterations=iterations, huber_delta=huber_delta)
 
@@ -378,10 +403,25 @@ def _track_phase(
     )
 
 
+def _sig_phase(m: DeviceMap, desc, fvalid, *, loop_min_gap, loop_cands):
+    """Signature + closure candidates of this frame against the store
+    (None triple when the store is off). Runs EVERY frame: a [Kcap, D]
+    matvec + top-k is ~micro-seconds of device time, and computing it
+    outside the promotion cond keeps the fetch shape static."""
+    if m.sig is None:  # static structure
+        return None, None, None
+    sig_new = vo_core.signature_device(desc, fvalid)
+    cand_idx, cand_score = vo_core.closure_candidates(
+        m.sig, sig_new, m.sig_n, min_gap=loop_min_gap, top=loop_cands
+    )
+    return sig_new, cand_idx, cand_score
+
+
 def _device_step_body(
     m: DeviceMap, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
-    ba_iterations, local_map=False,
+    ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
+    tri_angle=1.0,
 ):
     """The whole VO frame in one dispatch; see module docstring."""
     tr = _track_phase(
@@ -390,11 +430,15 @@ def _device_step_body(
         huber_delta=huber_delta, min_track=min_track,
         dual_init=dual_init, local_map=local_map,
     )
+    sig_new, cand_idx, cand_score = _sig_phase(
+        m, desc, fvalid, loop_min_gap=loop_min_gap, loop_cands=loop_cands
+    )
     m2 = lax.cond(
         tr.promote,
         lambda mm: _promote(
             mm, tr.uv_new, desc, fvalid, tr.idx, tr.obs_pre, tr.R, tr.t,
-            iterations=ba_iterations, huber_delta=huber_delta,
+            sig_new, iterations=ba_iterations, huber_delta=huber_delta,
+            tri_angle=tri_angle,
         ),
         lambda mm: mm,
         m,
@@ -406,6 +450,7 @@ def _device_step_body(
         kf_R=m2.kf_R, kf_t=m2.kf_t, obs_new=obs_new,
         obs_gen=m2.lm_gen[jnp.maximum(obs_new, 0)],
         lm_count=jnp.sum(m2.lm_valid.astype(jnp.int32)),
+        cand_idx=cand_idx, cand_score=cand_score,
     )
     return m2, out
 
@@ -417,7 +462,8 @@ _device_step = functools.partial(
     jax.jit,
     static_argnames=(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
-        "dual_init", "ba_iterations", "local_map",
+        "dual_init", "ba_iterations", "local_map", "loop_min_gap",
+        "loop_cands", "tri_angle",
     ),
 )(precise(_device_step_body))
 
@@ -425,7 +471,8 @@ _device_step = functools.partial(
 def _fleet_step_body(
     ms, active, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
-    ba_iterations, local_map=False,
+    ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
+    tri_angle=1.0,
 ):
     """vmapped fleet step over stacked DeviceMaps.
 
@@ -448,13 +495,20 @@ def _fleet_step_body(
         )
     )(ms, yx, desc, fvalid, Rp, tp, force_kf)
 
+    sig_new, cand_idx, cand_score = jax.vmap(
+        lambda m, d1, fv1: _sig_phase(
+            m, d1, fv1, loop_min_gap=loop_min_gap, loop_cands=loop_cands
+        )
+    )(ms, desc, fvalid) if ms.sig is not None else (None, None, None)
+
     do_promote = tr.promote & active  # [S]
 
     def promote_all(ms_in):
-        def one(m, p, uv1, d1, fv1, i1, o1, R1, t1):
+        def one(m, p, uv1, d1, fv1, i1, o1, R1, t1, s1):
             m2 = _promote(
-                m, uv1, d1, fv1, i1, o1, R1, t1,
+                m, uv1, d1, fv1, i1, o1, R1, t1, s1,
                 iterations=ba_iterations, huber_delta=huber_delta,
+                tri_angle=tri_angle,
             )
             return jax.tree.map(
                 lambda new, old: jnp.where(p, new, old), m2, m
@@ -462,7 +516,7 @@ def _fleet_step_body(
 
         return jax.vmap(one)(
             ms_in, do_promote, tr.uv_new, desc, fvalid,
-            tr.idx, tr.obs_pre, tr.R, tr.t,
+            tr.idx, tr.obs_pre, tr.R, tr.t, sig_new,
         )
 
     ms2 = lax.cond(jnp.any(do_promote), promote_all, lambda x: x, ms)
@@ -476,6 +530,7 @@ def _fleet_step_body(
             ms2.lm_gen, jnp.maximum(obs_new, 0), axis=1
         ),
         lm_count=jnp.sum(ms2.lm_valid.astype(jnp.int32), axis=1),
+        cand_idx=cand_idx, cand_score=cand_score,
     )
     return ms2, out
 
@@ -484,7 +539,8 @@ _fleet_step = functools.partial(
     jax.jit,
     static_argnames=(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
-        "dual_init", "ba_iterations", "local_map",
+        "dual_init", "ba_iterations", "local_map", "loop_min_gap",
+        "loop_cands", "tri_angle",
     ),
 )(precise(_fleet_step_body))
 
@@ -529,7 +585,8 @@ _predict_pose_dev = vo_core.predict_const_velocity
 def _fleet_step_pipe_body(
     ms, aux: _FleetAux, active, yx, desc, fvalid,
     *, K, ratio, track_iters, huber_delta, min_track, kf_max_gap,
-    motion_model, ba_iterations, local_map=False,
+    motion_model, ba_iterations, local_map=False, loop_min_gap=6,
+    loop_cands=3, tri_angle=1.0,
 ):
     """Pipelined fleet tick: like _fleet_step_body, but pose prediction
     and the keyframe-gap force flag come from device-side ``aux`` instead
@@ -554,13 +611,21 @@ def _fleet_step_pipe_body(
         )
 
     tr = jax.vmap(one_track)(ms, aux, yx, desc, fvalid)
+
+    sig_new, cand_idx, cand_score = jax.vmap(
+        lambda m, d1, fv1: _sig_phase(
+            m, d1, fv1, loop_min_gap=loop_min_gap, loop_cands=loop_cands
+        )
+    )(ms, desc, fvalid) if ms.sig is not None else (None, None, None)
+
     do_promote = tr.promote & active & ~aux.block
 
     def promote_all(ms_in):
-        def one(m, p, uv1, d1, fv1, i1, o1, R1, t1):
+        def one(m, p, uv1, d1, fv1, i1, o1, R1, t1, s1):
             m2 = _promote(
-                m, uv1, d1, fv1, i1, o1, R1, t1,
+                m, uv1, d1, fv1, i1, o1, R1, t1, s1,
                 iterations=ba_iterations, huber_delta=huber_delta,
+                tri_angle=tri_angle,
             )
             return jax.tree.map(
                 lambda new, old: jnp.where(p, new, old), m2, m
@@ -568,7 +633,7 @@ def _fleet_step_pipe_body(
 
         return jax.vmap(one)(
             ms_in, do_promote, tr.uv_new, desc, fvalid,
-            tr.idx, tr.obs_pre, tr.R, tr.t,
+            tr.idx, tr.obs_pre, tr.R, tr.t, sig_new,
         )
 
     ms2 = lax.cond(jnp.any(do_promote), promote_all, lambda x: x, ms)
@@ -582,6 +647,7 @@ def _fleet_step_pipe_body(
             ms2.lm_gen, jnp.maximum(obs_new, 0), axis=1
         ),
         lm_count=jnp.sum(ms2.lm_valid.astype(jnp.int32), axis=1),
+        cand_idx=cand_idx, cand_score=cand_score,
     )
 
     # --- aux update (host-trajectory parity: a tracked frame appends its
@@ -613,6 +679,7 @@ _fleet_step_pipe = functools.partial(
     static_argnames=(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "kf_max_gap", "motion_model", "ba_iterations", "local_map",
+        "loop_min_gap", "loop_cands", "tri_angle",
     ),
 )(precise(_fleet_step_pipe_body))
 
@@ -636,6 +703,10 @@ class DeviceVO:
         # host mirror of the slot-generation array (fetched at sync
         # cadence; zeros before the first upload)
         self._lm_gen = np.zeros(config.max_landmarks, np.int32)
+        # closure bookkeeping: accepted-edge count (observability) and the
+        # post-acceptance cooldown countdown (VOConfig.loop_cooldown)
+        self.closures_accepted = 0
+        self._closure_cooldown = 0
 
     @property
     def initialized(self) -> bool:
@@ -680,6 +751,20 @@ class DeviceVO:
                 kf.landmark_gens = np.where(
                     ids >= 0, self._lm_gen[np.maximum(ids, 0)], 0
                 ).astype(np.int32)
+        sig = sig_n = None
+        if cfg.loop_closure:
+            # all-keyframe signature store: host signatures are cached on
+            # the keyframes (computed once each over the run)
+            from cvsteer_tpu.slam.loopclosure import keyframe_signature
+
+            cap = cfg.loop_sig_capacity
+            sig_np = np.zeros((cap, D), np.float32)
+            for k, kf in enumerate(st.keyframes[:cap]):
+                if kf.signature is None:
+                    kf.signature = keyframe_signature(kf.features)
+                sig_np[k] = kf.signature
+            sig = jnp.asarray(sig_np)
+            sig_n = jnp.int32(len(st.keyframes))
         self.map = DeviceMap(
             X=jnp.asarray(st.landmarks),
             lm_valid=jnp.asarray(st.landmark_valid),
@@ -692,6 +777,8 @@ class DeviceVO:
             kf_live=jnp.asarray(lv),
             kf_desc=kf_last.features.desc,
             lm_desc=jnp.asarray(lm_desc),
+            sig=sig,
+            sig_n=sig_n,
         )
         self._host_dirty = False
 
@@ -781,6 +868,9 @@ class DeviceVO:
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             dual_init=dual, ba_iterations=cfg.ba_iterations,
             local_map=cfg.track_local_map,
+            loop_min_gap=cfg.loop_min_gap,
+            loop_cands=cfg.loop_max_candidates,
+            tri_angle=cfg.tri_min_ray_angle_deg,
         )
         self._host_dirty = True
         return out
@@ -818,7 +908,23 @@ class DeviceVO:
             self._mirror_window(kf_R, kf_t)
             st.trajectory[-1] = (st.frame_count, kf_R[-1].copy(), kf_t[-1].copy())
             if cfg.loop_closure:
-                self._closure()
+                # closure candidates rode home with the step fetch:
+                # detection cost the event zero extra round-trips, and a
+                # below-threshold frame skips the event ENTIRELY (no state
+                # sync, no verification dispatch) — detection at serving
+                # scale is the in-step matvec, nothing else
+                cand = None
+                if fetched.cand_idx is not None:
+                    cand = (
+                        np.asarray(fetched.cand_idx),
+                        np.asarray(fetched.cand_score),
+                    )
+                if self._closure_cooldown > 0:
+                    self._closure_cooldown -= 1
+                elif cand is None or (
+                    cand[1].max() >= cfg.loop_signature_threshold
+                ):
+                    self._closure(cand)
         st.frame_count += 1
 
     def _handle_lost(self, feats: Features) -> None:
@@ -829,18 +935,23 @@ class DeviceVO:
         hostvo._post_track(st, feats, *res)
         self._upload()
 
-    def _closure(self) -> None:
+    def _closure(self, candidates=None) -> None:
         from cvsteer_tpu.slam.loopclosure import close_loops, close_loops_sim3
 
         st = self.sync_host()
         cfg = st.config
         closer = close_loops_sim3 if cfg.loop_closure_sim3 else close_loops
-        closer(
+        n = closer(
             st,
             min_gap=cfg.loop_min_gap,
             min_inliers=cfg.loop_min_inliers,
             huber_delta=cfg.loop_robust_delta,
+            candidates=candidates,
+            signature_threshold=cfg.loop_signature_threshold,
         )
+        if n:
+            self.closures_accepted += n
+            self._closure_cooldown = cfg.loop_cooldown
         st.track_version += 1
         # refresh the latest trajectory entry from the corrected keyframe
         kf = st.keyframes[-1]
@@ -1124,6 +1235,9 @@ class DeviceVOFleet:
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             dual_init=cfg.motion_model, ba_iterations=cfg.ba_iterations,
             local_map=cfg.track_local_map,
+            loop_min_gap=cfg.loop_min_gap,
+            loop_cands=cfg.loop_max_candidates,
+            tri_angle=cfg.tri_min_ray_angle_deg,
         )
         fetched: StepOut = jax.device_get(out)  # ONE round-trip, all streams
 
@@ -1202,6 +1316,9 @@ class DeviceVOFleet:
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             kf_max_gap=cfg.kf_max_gap, motion_model=cfg.motion_model,
             ba_iterations=cfg.ba_iterations, local_map=cfg.track_local_map,
+            loop_min_gap=cfg.loop_min_gap,
+            loop_cands=cfg.loop_max_candidates,
+            tri_angle=cfg.tri_min_ray_angle_deg,
         )
         prev, self._pending = self._pending, [frames, tick, out, set()]
         self._process(prev)

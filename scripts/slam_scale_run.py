@@ -1,0 +1,289 @@
+"""KITTI-00-scale full-stack SLAM run -> SLAM_r04.json (VERDICT r3 item 1).
+
+BASELINE configs 4-5 name TUM-RGBD / KITTI; the container has no network
+egress (the fetch attempt is re-run and logged into the artifact), so this
+drives the FULL production stack at KITTI-00 scale on the prescribed
+fallback: the real-texture synthetic city loop (cvsteer_tpu.io.synth) —
+thousands of frames, 1,000+ keyframes, street-revisit loop closures.
+
+The run exercises every serving-path subsystem end to end, on the real
+TPU chip when available:
+- image front-end (fused Pallas feature kernel) per frame,
+- the device-resident VO engine (one dispatch + one fetch per frame),
+- in-step closure detection (signature store in DeviceMap) + vmapped
+  geometric verification + Sim(3) pose-graph optimization at P >= 1,000,
+- landmark store growth + culling at Lmax = 65,536,
+- a MID-RUN checkpoint and a separate resume leg that restores it and
+  keeps tracking.
+
+The ATE gate follows tests/test_cli_vo.py's geometry-derived bound, with
+every input MEASURED FROM THE RUN (sigma_px from keyframe reprojection
+residuals, N_lm from per-frame PnP inlier counts, Z from landmark depths,
+B_kf from ground-truth keyframe baselines) instead of assumed constants.
+
+Usage: python scripts/slam_scale_run.py [--frames 2400] [--platform cpu]
+       [--output SLAM_r04.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log_fetch_attempt() -> dict:
+    """Re-attempt the real-dataset fetch's DNS step and record the result."""
+    host = "cvg.cit.tum.de"
+    t0 = time.time()
+    try:
+        socket.setdefaulttimeout(10)
+        addr = socket.gethostbyname(host)
+        return {"attempted": True, "host": host, "resolved": addr,
+                "note": "network reachable — run scripts/fetch_datasets.sh"}
+    except OSError as e:
+        return {
+            "attempted": True, "host": host, "resolved": None,
+            "error": f"{type(e).__name__}: {e}",
+            "elapsed_s": round(time.time() - t0, 2),
+            "note": "no egress; falling back to the real-texture synthetic "
+                    "city loop (cvsteer_tpu.io.synth.CityLoop)",
+        }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2400)
+    ap.add_argument("--laps", type=float, default=1.75)
+    ap.add_argument("--output", default="SLAM_r04.json")
+    ap.add_argument("--platform", default="default",
+                    help="'cpu' forces the CPU backend (smoke runs)")
+    ap.add_argument("--checkpoint-dir", default="/tmp/slam_scale_ckpt")
+    ap.add_argument("--resume-frames", type=int, default=200)
+    args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvsteer_tpu.geometry.camera import Intrinsics
+    from cvsteer_tpu.io.synth import CityLoop
+    from cvsteer_tpu.slam import vo as hostvo
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+    from cvsteer_tpu.slam.vo import VOConfig
+    from cvsteer_tpu.slam.vo_device import DeviceVO
+    from cvsteer_tpu.utils.checkpoint import SlamCheckpointer
+    from cvsteer_tpu.utils.profiling import device_memory_stats
+
+    fetch = log_fetch_attempt()
+    print(f"dataset fetch: {fetch}", file=sys.stderr)
+
+    from cvsteer_tpu.features.frontend import FrontendConfig
+
+    seq = CityLoop(n_frames=args.frames, laps=args.laps)
+    fx, fy, cx, cy = seq.intrinsics4
+    # Tuned on 250-frame probes (round 4): upright descriptors (roll-
+    # stable driving rig; theta jitter was the dominant decorrelation),
+    # ratio 0.80, 25 BA iterations (BA fights the forward-motion scale
+    # shrink), 0.35 deg triangulation ray-angle gate.
+    cfg = VOConfig(
+        intrinsics=Intrinsics(fx, fy, cx, cy),
+        frontend=FrontendConfig(upright_desc=True),
+        kf_max_gap=3,
+        window=8,
+        track_min_landmarks=40,
+        min_parallax=0.03,
+        match_ratio=0.80,
+        ba_iterations=25,
+        tri_min_ray_angle_deg=0.35,
+        max_landmarks=65536,
+        loop_closure=True,
+        loop_closure_sim3=True,
+        loop_min_gap=50,
+        loop_cooldown=25,
+        loop_sig_capacity=4096,
+        loop_signature_threshold=0.8,
+    )
+    vo = DeviceVO(cfg)
+    ckpt = SlamCheckpointer(args.checkpoint_dir)
+    ckpt_frame = args.frames // 2
+
+    n_tracked_hist = []
+    promoted_frames = []
+    render_s = 0.0
+    ckpt_s = 0.0
+    t_run0 = time.perf_counter()
+    for k in range(args.frames):
+        t0 = time.perf_counter()
+        img = seq.render(k)
+        render_s += time.perf_counter() - t0
+        feats = hostvo._extract_features_jit(
+            jnp.asarray(img, jnp.float32), cfg.frontend
+        )
+        if vo.map is None:
+            vo.process_frame(feats)
+        else:
+            out = jax.device_get(vo.issue(feats))
+            vo.complete(feats, out)
+            n_tracked_hist.append(int(out.n_tracked))
+            if bool(out.promoted):
+                promoted_frames.append(k)
+        if k == ckpt_frame:
+            t0 = time.perf_counter()
+            ckpt.save(k, vo.sync_host())
+            ckpt_s = time.perf_counter() - t0
+        if (k + 1) % 200 == 0:
+            el = time.perf_counter() - t_run0
+            print(
+                f"[{k+1}/{args.frames}] kf={len(vo.state.keyframes)} "
+                f"lm={vo.state.num_landmarks} closures={vo.closures_accepted} "
+                f"{(k+1)/el:.1f} f/s", file=sys.stderr,
+            )
+    wall_s = time.perf_counter() - t_run0
+    mem = device_memory_stats()
+
+    state = vo.finalize()
+    gt_R, gt_t = seq.gt_arrays()
+    ids = [f for f, _, _ in state.trajectory]
+    Rs, ts = state.poses()
+    ate = float(ate_rmse(Rs, ts, gt_R[ids], gt_t[ids], align_scale=True))
+
+    # ---- measured bound inputs (no assumed constants) -------------------
+    # sigma_px / Z: reprojection residuals of keyframe landmarks
+    res_px, depths = [], []
+    for kf in state.keyframes[:: max(1, len(state.keyframes) // 100)]:
+        sel = kf.landmark_ids >= 0
+        if sel.sum() < 8:
+            continue
+        X = state.landmarks[kf.landmark_ids[sel]]
+        p = X @ kf.R.T + kf.t
+        ok = p[:, 2] > 1e-3
+        if not ok.any():
+            continue
+        u = fx * p[ok, 0] / p[ok, 2] + cx
+        v = fy * p[ok, 1] / p[ok, 2] + cy
+        yx = np.asarray(kf.features.yx)[sel][ok]
+        r = np.hypot(u - yx[:, 1], v - yx[:, 0])
+        res_px.extend(r[r < 20.0])  # exclude gross mismatches
+        depths.extend(p[ok, 2])
+    sigma_px = float(np.median(res_px)) if res_px else 1.0
+    Z = float(np.median(depths)) if depths else 8.0
+    N_lm = float(np.mean(n_tracked_hist)) if n_tracked_hist else 40.0
+    kf_ids = [kf.index for kf in state.keyframes]
+    centers = np.einsum("kij,kj->ki", gt_R[kf_ids].transpose(0, 2, 1), -gt_t[kf_ids])
+    B_kf = float(np.median(np.linalg.norm(np.diff(centers, axis=0), axis=1)))
+    hops = max(len(state.keyframes) - 1, 1)
+    per_hop = sigma_px / fx * Z**2 / (max(B_kf, 1e-6) * np.sqrt(max(N_lm, 1.0)))
+    bound = float(3.0 * np.sqrt(hops) * per_hop)
+
+    # ---- resume leg -----------------------------------------------------
+    from cvsteer_tpu.slam.vo import init_vo
+
+    vo2 = DeviceVO(cfg)
+    restored = ckpt.restore(init_vo(cfg))
+    vo2.adopt(restored)
+    resumed_tracked = 0
+    n_res = min(args.resume_frames, args.frames - ckpt_frame - 1)
+    for k in range(ckpt_frame + 1, ckpt_frame + 1 + n_res):
+        img = seq.render(k)
+        feats = hostvo._extract_features_jit(
+            jnp.asarray(img, jnp.float32), cfg.frontend
+        )
+        vo2.process_frame(feats)
+        tr = vo2.state.trajectory
+        if tr and tr[-1][0] == vo2.state.frame_count - 1:
+            if np.isfinite(tr[-1][1]).all() and np.isfinite(tr[-1][2]).all():
+                resumed_tracked += 1
+    st2 = vo2.finalize()
+    tail = [(f, R, t) for f, R, t in st2.trajectory if f > ckpt_frame]
+    if len(tail) >= 10:
+        ids2 = [p[0] for p in tail]
+        R2 = np.stack([p[1] for p in tail])
+        t2 = np.stack([p[2] for p in tail])
+        resume_ate = float(
+            ate_rmse(R2, t2, gt_R[ids2], gt_t[ids2], align_scale=True)
+        )
+    else:
+        resume_ate = None
+
+    out = {
+        "config": "4/5 fallback: real-texture synthetic city loop",
+        "dataset_fetch": fetch,
+        "sequence": {
+            "frames": args.frames, "laps": args.laps,
+            "image": [seq.h, seq.w], "fx": fx,
+            "perimeter_m": round(seq._perimeter, 1),
+            "speed_m_per_frame": round(seq._step, 3),
+            "generator": "cvsteer_tpu/io/synth.py (seeded, reproducible)",
+        },
+        "engine": {
+            "type": "DeviceVO (device-resident, 1 dispatch + 1 fetch/frame)",
+            "backend": jax.default_backend(),
+            "max_landmarks": cfg.max_landmarks,
+            "loop": {
+                "sim3": True, "min_gap": cfg.loop_min_gap,
+                "cooldown": cfg.loop_cooldown,
+                "signature_threshold": cfg.loop_signature_threshold,
+            },
+        },
+        "run": {
+            "frames": args.frames,
+            "keyframes": len(state.keyframes),
+            "pose_graph_poses": len(state.keyframes),
+            "landmarks_live": int(state.num_landmarks),
+            "closures_accepted": int(vo.closures_accepted),
+            "tracked_frames": len(state.trajectory),
+            "mean_pnp_inliers": round(N_lm, 1),
+            "wall_s": round(wall_s, 1),
+            "render_s_host": round(render_s, 1),
+            "checkpoint_save_s": round(ckpt_s, 2),
+            "frames_per_s_incl_render": round(args.frames / wall_s, 2),
+            "frames_per_s_engine": round(
+                args.frames / max(wall_s - render_s, 1e-9), 2
+            ),
+            "peak_device_memory": mem,
+        },
+        "ate": {
+            "ate_rmse_m_sim3_aligned": round(ate, 4),
+            "bound_m": round(bound, 4),
+            "pass": bool(ate < bound),
+            "bound_inputs_measured": {
+                "sigma_px_median_reproj": round(sigma_px, 3),
+                "Z_median_depth_m": round(Z, 2),
+                "N_lm_mean_inliers": round(N_lm, 1),
+                "B_kf_median_gt_baseline_m": round(B_kf, 3),
+                "keyframe_hops": hops,
+            },
+            "formula": "3 * sqrt(hops) * sigma_px/fx * Z^2 / (B_kf * sqrt(N_lm))",
+        },
+        "checkpoint_resume": {
+            "checkpoint_frame": ckpt_frame,
+            "resumed_frames": n_res,
+            "resumed_tracked": resumed_tracked,
+            "resume_tail_ate_m": (
+                round(resume_ate, 4) if resume_ate is not None else None
+            ),
+        },
+    }
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "metric": "slam_scale_ate_m", "value": out["ate"]["ate_rmse_m_sim3_aligned"],
+        "bound": out["ate"]["bound_m"], "pass": out["ate"]["pass"],
+        "frames": args.frames, "keyframes": len(state.keyframes),
+        "closures": int(vo.closures_accepted), "out": args.output,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
