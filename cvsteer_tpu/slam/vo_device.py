@@ -468,23 +468,93 @@ _device_step = functools.partial(
 )(precise(_device_step_body))
 
 
+def _fleet_promote(
+    ms, do_promote, tr, desc, fvalid, sig_new,
+    *, ba_iterations, huber_delta, tri_angle, promote_cap,
+):
+    """Batched fleet promotion, optionally COMPACTED to a sub-batch.
+
+    Without a cap, promotion vmaps over ALL S streams with per-stream
+    masking: at large S some stream promotes nearly every tick, so the
+    window BA runs for the whole batch every tick even though only a few
+    streams need it (the round-3 fleet's S=64 cost cliff — VERDICT r3
+    item 2). With ``promote_cap`` = PB (static), the first PB promoting
+    streams are prefix-sum-compacted into a [PB, ...] sub-batch, promoted
+    there, and scattered back; streams beyond the cap are DEFERRED — the
+    keyframe decision re-fires next tick (the force/low-track conditions
+    persist until served), so the cap reshapes promotion latency (+1 tick
+    under bursts), never drops keyframes.
+
+    Returns (ms2, served [S]) — ``served`` is which streams' promotions
+    actually ran this tick (callers must use it, not the raw promote
+    flag, for host mirrors and the pipelined block latch)."""
+    S = do_promote.shape[0]
+
+    def one(m, p, uv1, d1, fv1, i1, o1, R1, t1, s1):
+        m2 = _promote(
+            m, uv1, d1, fv1, i1, o1, R1, t1, s1,
+            iterations=ba_iterations, huber_delta=huber_delta,
+            tri_angle=tri_angle,
+        )
+        return jax.tree.map(lambda new, old: jnp.where(p, new, old), m2, m)
+
+    if not promote_cap or promote_cap >= S:
+        def promote_all(ms_in):
+            return jax.vmap(one)(
+                ms_in, do_promote, tr.uv_new, desc, fvalid,
+                tr.idx, tr.obs_pre, tr.R, tr.t, sig_new,
+            )
+
+        ms2 = lax.cond(jnp.any(do_promote), promote_all, lambda x: x, ms)
+        return ms2, do_promote
+
+    PB = int(promote_cap)
+    rank = jnp.cumsum(do_promote.astype(jnp.int32)) - 1
+    served = do_promote & (rank < PB)
+    # prefix-sum compaction: idx[r] = stream id of the r-th served
+    # promotion; pads carry the out-of-bounds sentinel S (dropped on
+    # scatter, masked on gather)
+    slots = jnp.full((S,), S, jnp.int32)
+    slots = slots.at[jnp.where(served, rank, S)].set(
+        jnp.arange(S, dtype=jnp.int32), mode="drop"
+    )
+    idx = slots[:PB]
+    gidx = jnp.minimum(idx, S - 1)
+    psub = served[gidx] & (idx < S)
+
+    def promote_sub(ms_in):
+        sub = jax.tree.map(lambda a: a[gidx], ms_in)
+        uv, d1, fv, ix, ob, R1, t1 = (
+            a[gidx] for a in (
+                tr.uv_new, desc, fvalid, tr.idx, tr.obs_pre, tr.R, tr.t
+            )
+        )
+        sg = None if sig_new is None else sig_new[gidx]
+        sub2 = jax.vmap(one)(sub, psub, uv, d1, fv, ix, ob, R1, t1, sg)
+        # pads (idx == S) drop; real indices are unique by construction
+        return jax.tree.map(
+            lambda a, b: a.at[idx].set(b, mode="drop"), ms_in, sub2
+        )
+
+    ms2 = lax.cond(jnp.any(served), promote_sub, lambda x: x, ms)
+    return ms2, served
+
+
 def _fleet_step_body(
     ms, active, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
     ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
-    tri_angle=1.0,
+    tri_angle=1.0, promote_cap=0,
 ):
     """vmapped fleet step over stacked DeviceMaps.
 
     ``active [S]`` masks streams whose slot holds live state — inactive
     slots' carries pass through unchanged (their outputs are garbage and
-    ignored host-side). Tracking vmaps every tick, but the (much heavier)
+    ignored host-side). Tracking vmaps every tick; the (much heavier)
     promotion — triangulation + slot allocation + windowed BA + culling —
-    runs under a SCALAR ``lax.cond`` on "any active stream promotes": a
-    per-stream cond under vmap would lower to a select that executes the
-    window BA for the whole batch EVERY tick, whereas keyframes are sparse
-    (a few percent of ticks). When at least one stream promotes, the
-    batched promotion runs once for the fleet with per-stream masking."""
+    runs under a SCALAR ``lax.cond`` on "any active stream promotes", and
+    optionally compacted to a ``promote_cap``-stream sub-batch
+    (:func:`_fleet_promote`)."""
 
     tr = jax.vmap(
         lambda m, yx1, d1, fv1, Rp1, tp1, f1: _track_phase(
@@ -501,30 +571,16 @@ def _fleet_step_body(
         )
     )(ms, desc, fvalid) if ms.sig is not None else (None, None, None)
 
-    do_promote = tr.promote & active  # [S]
-
-    def promote_all(ms_in):
-        def one(m, p, uv1, d1, fv1, i1, o1, R1, t1, s1):
-            m2 = _promote(
-                m, uv1, d1, fv1, i1, o1, R1, t1, s1,
-                iterations=ba_iterations, huber_delta=huber_delta,
-                tri_angle=tri_angle,
-            )
-            return jax.tree.map(
-                lambda new, old: jnp.where(p, new, old), m2, m
-            )
-
-        return jax.vmap(one)(
-            ms_in, do_promote, tr.uv_new, desc, fvalid,
-            tr.idx, tr.obs_pre, tr.R, tr.t, sig_new,
-        )
-
-    ms2 = lax.cond(jnp.any(do_promote), promote_all, lambda x: x, ms)
+    ms2, served = _fleet_promote(
+        ms, tr.promote & active, tr, desc, fvalid, sig_new,
+        ba_iterations=ba_iterations, huber_delta=huber_delta,
+        tri_angle=tri_angle, promote_cap=promote_cap,
+    )
 
     obs_new = ms2.kf_obs[:, -1]  # [S, N]
     out = StepOut(
         R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
-        promoted=tr.promote, lost=tr.lost,
+        promoted=served, lost=tr.lost,
         kf_R=ms2.kf_R, kf_t=ms2.kf_t, obs_new=obs_new,
         obs_gen=jnp.take_along_axis(
             ms2.lm_gen, jnp.maximum(obs_new, 0), axis=1
@@ -540,7 +596,7 @@ _fleet_step = functools.partial(
     static_argnames=(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map", "loop_min_gap",
-        "loop_cands", "tri_angle",
+        "loop_cands", "tri_angle", "promote_cap",
     ),
 )(precise(_fleet_step_body))
 
@@ -586,7 +642,7 @@ def _fleet_step_pipe_body(
     ms, aux: _FleetAux, active, yx, desc, fvalid,
     *, K, ratio, track_iters, huber_delta, min_track, kf_max_gap,
     motion_model, ba_iterations, local_map=False, loop_min_gap=6,
-    loop_cands=3, tri_angle=1.0,
+    loop_cands=3, tri_angle=1.0, promote_cap=0,
 ):
     """Pipelined fleet tick: like _fleet_step_body, but pose prediction
     and the keyframe-gap force flag come from device-side ``aux`` instead
@@ -618,30 +674,16 @@ def _fleet_step_pipe_body(
         )
     )(ms, desc, fvalid) if ms.sig is not None else (None, None, None)
 
-    do_promote = tr.promote & active & ~aux.block
-
-    def promote_all(ms_in):
-        def one(m, p, uv1, d1, fv1, i1, o1, R1, t1, s1):
-            m2 = _promote(
-                m, uv1, d1, fv1, i1, o1, R1, t1, s1,
-                iterations=ba_iterations, huber_delta=huber_delta,
-                tri_angle=tri_angle,
-            )
-            return jax.tree.map(
-                lambda new, old: jnp.where(p, new, old), m2, m
-            )
-
-        return jax.vmap(one)(
-            ms_in, do_promote, tr.uv_new, desc, fvalid,
-            tr.idx, tr.obs_pre, tr.R, tr.t, sig_new,
-        )
-
-    ms2 = lax.cond(jnp.any(do_promote), promote_all, lambda x: x, ms)
+    ms2, served = _fleet_promote(
+        ms, tr.promote & active & ~aux.block, tr, desc, fvalid, sig_new,
+        ba_iterations=ba_iterations, huber_delta=huber_delta,
+        tri_angle=tri_angle, promote_cap=promote_cap,
+    )
 
     obs_new = ms2.kf_obs[:, -1]
     out = StepOut(
         R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
-        promoted=do_promote, lost=tr.lost,
+        promoted=served, lost=tr.lost,
         kf_R=ms2.kf_R, kf_t=ms2.kf_t, obs_new=obs_new,
         obs_gen=jnp.take_along_axis(
             ms2.lm_gen, jnp.maximum(obs_new, 0), axis=1
@@ -656,8 +698,8 @@ def _fleet_step_pipe_body(
         jnp.isfinite(tr.R).all(axis=(1, 2)) & jnp.isfinite(tr.t).all(axis=1)
     )
     upd = (~tr.lost) & fin & active
-    newR = jnp.where(do_promote[:, None, None], ms2.kf_R[:, -1], tr.R)
-    newt = jnp.where(do_promote[:, None], ms2.kf_t[:, -1], tr.t)
+    newR = jnp.where(served[:, None, None], ms2.kf_R[:, -1], tr.R)
+    newt = jnp.where(served[:, None], ms2.kf_t[:, -1], tr.t)
     aux2 = _FleetAux(
         R1=jnp.where(upd[:, None, None], newR, aux.R1),
         t1=jnp.where(upd[:, None], newt, aux.t1),
@@ -666,10 +708,10 @@ def _fleet_step_pipe_body(
         traj_n=jnp.where(upd, jnp.minimum(aux.traj_n + 1, 2), aux.traj_n),
         since_kf=jnp.where(
             active,
-            jnp.where(do_promote, 1, aux.since_kf + 1),
+            jnp.where(served, 1, aux.since_kf + 1),
             aux.since_kf,
         ),
-        block=jnp.where(active, do_promote | tr.lost, aux.block),
+        block=jnp.where(active, served | tr.lost, aux.block),
     )
     return ms2, aux2, out
 
@@ -679,7 +721,7 @@ _fleet_step_pipe = functools.partial(
     static_argnames=(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "kf_max_gap", "motion_model", "ba_iterations", "local_map",
-        "loop_min_gap", "loop_cands", "tri_angle",
+        "loop_min_gap", "loop_cands", "tri_angle", "promote_cap",
     ),
 )(precise(_fleet_step_pipe_body))
 
@@ -1052,6 +1094,7 @@ class DeviceVOFleet:
         mesh=None,
         mesh_axis: str = "data",
         pipeline: bool = False,
+        promote_cap: int = 0,
     ):
         """``mesh``: optional jax.sharding.Mesh — shards the stream axis of
         the stacked state (and each tick's inputs) over ``mesh_axis``, so
@@ -1065,8 +1108,14 @@ class DeviceVOFleet:
         device-side :class:`_FleetAux` so a dispatch needs no host-mirror
         reads; host mirrors (trajectory, keyframes, events) update one
         tick late. On an event (loss/closure) the already-in-flight next
-        tick for that stream is dropped and counted as a skipped frame."""
+        tick for that stream is dropped and counted as a skipped frame.
+
+        ``promote_cap``: compact at most this many promotions per tick
+        into a sub-batch instead of running the window BA select over the
+        whole fleet (0 = uncapped); excess promotions defer one tick
+        (_fleet_promote). The serving-throughput lever for large S."""
         self.config = config
+        self.promote_cap = int(promote_cap)
         self.engines = [DeviceVO(config) for _ in range(n_streams)]
         self.stack: Optional[DeviceMap] = None
         self.active = np.zeros(n_streams, bool)
@@ -1238,6 +1287,7 @@ class DeviceVOFleet:
             loop_min_gap=cfg.loop_min_gap,
             loop_cands=cfg.loop_max_candidates,
             tri_angle=cfg.tri_min_ray_angle_deg,
+            promote_cap=self.promote_cap,
         )
         fetched: StepOut = jax.device_get(out)  # ONE round-trip, all streams
 
@@ -1319,6 +1369,7 @@ class DeviceVOFleet:
             loop_min_gap=cfg.loop_min_gap,
             loop_cands=cfg.loop_max_candidates,
             tri_angle=cfg.tri_min_ray_angle_deg,
+            promote_cap=self.promote_cap,
         )
         prev, self._pending = self._pending, [frames, tick, out, set()]
         self._process(prev)

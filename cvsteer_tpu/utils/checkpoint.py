@@ -54,10 +54,16 @@ def _state_to_tree(state: VOState) -> Dict[str, Any]:
             "R": np.asarray(kf.R),
             "t": np.asarray(kf.t),
             "landmark_ids": np.asarray(kf.landmark_ids),
-            "features": {k: np.asarray(v) for k, v in kf.features._asdict().items()},
+            # features may be DEVICE arrays — collected raw here and
+            # fetched in ONE device_get below: per-field np.asarray cost
+            # one blocking round-trip each (~25 ms through the tunnel), a
+            # 100+ second save at KITTI-scale keyframe counts
+            "features": dict(kf.features._asdict()),
         }
     tree["keyframes"] = kfs
-    return tree
+    import jax
+
+    return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
 def _tree_to_state(tree: Dict[str, Any], state: VOState) -> VOState:

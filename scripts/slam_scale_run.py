@@ -105,7 +105,7 @@ def main(argv=None) -> int:
         match_ratio=0.80,
         ba_iterations=25,
         tri_min_ray_angle_deg=0.35,
-        max_landmarks=65536,
+        max_landmarks=262144,
         loop_closure=True,
         loop_closure_sim3=True,
         loop_min_gap=50,
@@ -122,17 +122,27 @@ def main(argv=None) -> int:
     render_s = 0.0
     ckpt_s = 0.0
     t_run0 = time.perf_counter()
+    next_img = None
     for k in range(args.frames):
-        t0 = time.perf_counter()
-        img = seq.render(k)
-        render_s += time.perf_counter() - t0
+        if next_img is None:
+            t0 = time.perf_counter()
+            next_img = seq.render(k)
+            render_s += time.perf_counter() - t0
         feats = hostvo._extract_features_jit(
-            jnp.asarray(img, jnp.float32), cfg.frontend
+            jnp.asarray(next_img, jnp.float32), cfg.frontend
         )
+        next_img = None
         if vo.map is None:
             vo.process_frame(feats)
         else:
-            out = jax.device_get(vo.issue(feats))
+            handle = vo.issue(feats)  # async dispatch
+            if k + 1 < args.frames:
+                # render the NEXT frame while the device computes and the
+                # result streams back (hides the host render under the RTT)
+                t0 = time.perf_counter()
+                next_img = seq.render(k + 1)
+                render_s += time.perf_counter() - t0
+            out = jax.device_get(handle)
             vo.complete(feats, out)
             n_tracked_hist.append(int(out.n_tracked))
             if bool(out.promoted):
@@ -156,6 +166,13 @@ def main(argv=None) -> int:
     ids = [f for f, _, _ in state.trajectory]
     Rs, ts = state.poses()
     ate = float(ate_rmse(Rs, ts, gt_R[ids], gt_t[ids], align_scale=True))
+    # map-units -> meters scale from the same Sim(3) alignment the ATE
+    # uses (monocular scale is arbitrary; measured depths need meters)
+    from cvsteer_tpu.slam.evaluate import camera_centers, umeyama
+
+    s_align, _, _ = umeyama(
+        camera_centers(Rs, ts), camera_centers(gt_R[ids], gt_t[ids])
+    )
 
     # ---- measured bound inputs (no assumed constants) -------------------
     # sigma_px / Z: reprojection residuals of keyframe landmarks
@@ -176,7 +193,8 @@ def main(argv=None) -> int:
         res_px.extend(r[r < 20.0])  # exclude gross mismatches
         depths.extend(p[ok, 2])
     sigma_px = float(np.median(res_px)) if res_px else 1.0
-    Z = float(np.median(depths)) if depths else 8.0
+    # depths are MAP units; the bound's Z is meters
+    Z = float(np.median(depths) * s_align) if depths else 8.0
     N_lm = float(np.mean(n_tracked_hist)) if n_tracked_hist else 40.0
     kf_ids = [kf.index for kf in state.keyframes]
     centers = np.einsum("kij,kj->ki", gt_R[kf_ids].transpose(0, 2, 1), -gt_t[kf_ids])
