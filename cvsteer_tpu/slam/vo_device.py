@@ -1116,6 +1116,11 @@ class DeviceVOFleet:
         (_fleet_promote). The serving-throughput lever for large S."""
         self.config = config
         self.promote_cap = int(promote_cap)
+        # bench hook: when truthy, each tick stores a zero-arg closure
+        # replaying the exact dispatched computation (same state + inputs,
+        # no mutation) in ``_captured`` for device-trace profiling
+        self.capture_dispatch = False
+        self._captured = None
         self.engines = [DeviceVO(config) for _ in range(n_streams)]
         self.stack: Optional[DeviceMap] = None
         self.active = np.zeros(n_streams, bool)
@@ -1278,8 +1283,7 @@ class DeviceVOFleet:
         )
         if self._sharding is not None:
             inputs = jax.device_put(inputs, self._sharding)
-        self.stack, out = _fleet_step(
-            self.stack, *inputs,
+        kw = dict(
             K=cfg.intrinsics, ratio=cfg.match_ratio, track_iters=10,
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             dual_init=cfg.motion_model, ba_iterations=cfg.ba_iterations,
@@ -1289,6 +1293,12 @@ class DeviceVOFleet:
             tri_angle=cfg.tri_min_ray_angle_deg,
             promote_cap=self.promote_cap,
         )
+        if self.capture_dispatch:
+            stack0 = self.stack
+            self._captured = lambda: jax.block_until_ready(
+                _fleet_step(stack0, *inputs, **kw)
+            )
+        self.stack, out = _fleet_step(self.stack, *inputs, **kw)
         fetched: StepOut = jax.device_get(out)  # ONE round-trip, all streams
 
         for i in range(S):
@@ -1360,8 +1370,7 @@ class DeviceVOFleet:
         )
         if self._sharding is not None:
             inputs = jax.device_put(inputs, self._sharding)
-        self.stack, self.aux, out = _fleet_step_pipe(
-            self.stack, self.aux, *inputs,
+        kw = dict(
             K=cfg.intrinsics, ratio=cfg.match_ratio, track_iters=10,
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             kf_max_gap=cfg.kf_max_gap, motion_model=cfg.motion_model,
@@ -1370,6 +1379,14 @@ class DeviceVOFleet:
             loop_cands=cfg.loop_max_candidates,
             tri_angle=cfg.tri_min_ray_angle_deg,
             promote_cap=self.promote_cap,
+        )
+        if self.capture_dispatch:
+            stack0, aux0 = self.stack, self.aux
+            self._captured = lambda: jax.block_until_ready(
+                _fleet_step_pipe(stack0, aux0, *inputs, **kw)
+            )
+        self.stack, self.aux, out = _fleet_step_pipe(
+            self.stack, self.aux, *inputs, **kw
         )
         prev, self._pending = self._pending, [frames, tick, out, set()]
         self._process(prev)

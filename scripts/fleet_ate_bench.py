@@ -1,11 +1,23 @@
-"""Fleet tail-ATE benchmark across serving scales (VERDICT r2 item 3).
+"""Fleet serving benchmark: throughput, tail ATE, and DEVICE tick traces.
 
-Runs DeviceVOFleet at S in {8, 16, 32} over the standard 60-frame
-synthetic streams (worlds seed 10+s, noise rng 20+s — the exact
-configuration whose stream 19 measured ATE 0.286 in round 2) and writes
-per-stream median/max ATE plus aggregate frames/s to FLEET_r{N}.json.
-Too slow for bench.py's watchdog budget (three fleet jit shapes compile
-through the tunnel); run standalone on the chip.
+Round 4 (VERDICT r3 item 2): for each fleet size S, measures
+- aggregate + per-stream frames/s (wall),
+- per-stream ATE tail (median/max; the round-2 tail-bug regression guard),
+- the DEVICE time of the tick itself (jax.profiler trace of the exact
+  dispatched computation, captured via DeviceVOFleet.capture_dispatch),
+so the wall/device split — how much of a tick is chip vs tunnel/host —
+is measured, not guessed.
+
+Config sweep per S: the round-3 baseline (uncapped promotion, classic
+fetch) vs the serving levers landed this round: ``promote_cap`` (window
+BA compacted to a sub-batch instead of running batch-wide — the S=64
+cost cliff) and ``pipeline`` (one-tick-lagged fetch hides the tunnel
+RTT). The VERDICT bar: >=30 f/s per stream at S=32 (tick <=33 ms) or a
+trace-backed statement of the floor.
+
+Too slow for bench.py's watchdog budget (each (S, cap, pipe) shape is a
+fresh tunnel compile); run standalone on the chip:
+    python scripts/fleet_ate_bench.py FLEET_r04.json
 """
 
 from __future__ import annotations
@@ -26,12 +38,13 @@ from cvsteer_tpu.geometry.camera import Intrinsics
 from cvsteer_tpu.slam.evaluate import ate_rmse
 from cvsteer_tpu.slam.vo import VOConfig
 from cvsteer_tpu.slam.vo_device import DeviceVOFleet
+from cvsteer_tpu.utils.profiling import trace_device_us
 from test_vo import _gt_pose, _make_world, _render_features
 
 N_FRAMES, WARM = 60, 20
 
 
-def run_fleet(S: int) -> dict:
+def run_fleet(S: int, promote_cap: int = 0, pipeline: bool = False) -> dict:
     K = Intrinsics(500.0, 500.0, 320.0, 240.0)
     cfg = VOConfig(intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30)
     worlds = [_make_world(seed=10 + s) for s in range(S)]
@@ -41,24 +54,56 @@ def run_fleet(S: int) -> dict:
         [_render_features(worlds[s][0], worlds[s][1], R, t, rngs[s]) for s in range(S)]
         for R, t in gts
     ]
-    fleet = DeviceVOFleet(cfg, n_streams=S)
+    fleet = DeviceVOFleet(
+        cfg, n_streams=S, promote_cap=promote_cap, pipeline=pipeline
+    )
     for k in range(WARM):
         fleet.step(frames[k])
     t0 = time.perf_counter()
     for k in range(WARM, N_FRAMES):
         fleet.step(frames[k])
     dt = time.perf_counter() - t0
+    ticks = N_FRAMES - WARM
+
+    fleet._flush()
     gtR = np.stack([g[0] for g in gts])
     gtt = np.stack([g[1] for g in gts])
     ates = []
     for s in range(S):
         st = fleet.finalize(s)
         Rs, ts = st.poses()
-        ates.append(float(ate_rmse(Rs, ts, gtR, gtt, align_scale=True)))
+        frames_s = [f for f, _, _ in st.trajectory]
+        ates.append(
+            float(
+                ate_rmse(Rs, ts, gtR[frames_s], gtt[frames_s], align_scale=True)
+            )
+        )
     ates = np.asarray(ates)
+
+    # device trace of steady-state ticks (AFTER the ATE finalize — the
+    # replayed steps mutate fleet state): re-step the tail frames with
+    # capture on and profile the exact dispatched computation; several
+    # ticks because the promotion branch fires data-dependently
+    tick_us = []
+    fleet.capture_dispatch = True
+    for k in range(N_FRAMES - 4, N_FRAMES):
+        fleet.step(frames[k])  # timing only; state continuity irrelevant
+        if fleet._captured is not None:
+            tick_us.append(trace_device_us(fleet._captured, iters=2))
+            fleet._captured = None
+    fleet.capture_dispatch = False
+    fleet._flush()
     return {
         "streams": S,
-        "frames_per_s_aggregate": round(S * (N_FRAMES - WARM) / dt, 1),
+        "promote_cap": promote_cap,
+        "pipeline": pipeline,
+        "frames_per_s_aggregate": round(S * ticks / dt, 1),
+        "frames_per_s_per_stream": round(ticks / dt, 2),
+        "tick_wall_ms": round(dt / ticks * 1e3, 2),
+        "tick_device_ms_mean": round(float(np.mean(tick_us)) / 1e3, 2)
+        if tick_us else None,
+        "tick_device_ms_max": round(float(np.max(tick_us)) / 1e3, 2)
+        if tick_us else None,
         "ate_median_m": round(float(np.median(ates)), 4),
         "ate_max_m": round(float(ates.max()), 4),
         "ate_per_stream": [round(a, 4) for a in ates.tolist()],
@@ -66,13 +111,24 @@ def run_fleet(S: int) -> dict:
 
 
 def main() -> int:
-    out = {"bench": "DeviceVOFleet tail ATE",
-           "frames": N_FRAMES, "warmup": WARM, "results": []}
-    for S in (8, 16, 32, 64):
-        r = run_fleet(S)
+    out = {
+        "bench": "DeviceVOFleet serving: throughput + tail ATE + device tick",
+        "frames": N_FRAMES, "warmup": WARM, "results": [],
+    }
+    # (S, promote_cap, pipeline); cap S//4 matches the expected promotion
+    # rate (kf_max_gap=5 -> ~S/5 promotions/tick), so the window BA batch
+    # shrinks 4x while bursts defer at most a tick
+    sweep = [
+        (8, 0, False), (8, 2, True),
+        (16, 0, False), (16, 4, True),
+        (32, 0, False), (32, 8, False), (32, 8, True),
+        (64, 0, False), (64, 16, True),
+    ]
+    for S, cap, pipe in sweep:
+        r = run_fleet(S, promote_cap=cap, pipeline=pipe)
         out["results"].append(r)
-        print(json.dumps(r))
-    path = sys.argv[1] if len(sys.argv) > 1 else "FLEET_r03.json"
+        print(json.dumps(r), flush=True)
+    path = sys.argv[1] if len(sys.argv) > 1 else "FLEET_r04.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
