@@ -106,6 +106,132 @@ def bench_device(images) -> float:
     return B * UNROLL * DEVICE_ITERS / best
 
 
+def bench_g4(images) -> float:
+    """G4/H4 fused front-end throughput (VERDICT r3 item 5).
+
+    Same chained-dispatch harness as :func:`bench_device`, driving
+    ``g4_maps_pallas`` (11 basis filters at width 6 vs G2's 7 at width 4,
+    ~2.3x the VPU work) so the CLI's ``--filters g4`` path has measured
+    wall + device numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvsteer_tpu.filters.g4 import g4_bank
+    from cvsteer_tpu.ops.pallas_frontend import g4_maps_pallas
+
+    bank = g4_bank()
+    x = jnp.asarray(images)
+
+    @jax.jit
+    def step(x, carry):
+        for _ in range(UNROLL):
+            e, d, b = g4_maps_pallas(x + carry * 1e-6, bank.xtaps, bank.ytaps)
+            carry = carry + e[0, 0, 0] + d[0, 0, 0] + b[0, 0, 0]
+        return carry
+
+    c = jnp.float32(0.0)
+    c = step(x, c)
+    float(c)  # compile + warm
+
+    iters = DEVICE_ITERS // 2
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = jnp.float32(0.0)
+        for _ in range(iters):
+            c = step(x, c)
+        c = float(c)
+        dt = time.perf_counter() - t0
+        assert c == c, "NaN checksum"
+        best = min(best, dt)
+    try:
+        us = _trace_device_us(lambda: float(step(x, jnp.float32(0.0))))
+        _PARTIAL["extra"]["g4_frontend_device_us_per_frame"] = round(
+            us / (B * UNROLL), 2
+        )
+    except Exception as e:
+        print(f"g4 frontend trace failed: {e}", file=sys.stderr)
+    return B * UNROLL * iters / best
+
+
+def bench_twoview():
+    """Config-3 two-view reconstruction: stereo pair -> features -> match
+    -> E/RANSAC -> pose + triangulation, end to end (VERDICT r3 item 6).
+
+    Renders the test_twoview Gabor-world pair once host-side, then chains
+    jitted ``two_view_pose`` calls by data dependency (carry perturbs the
+    input at the 1e-6-px level so nothing memoizes while geometry is
+    unchanged). Returns (pairs_per_s, inliers)."""
+    import os as _os
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from tests.test_twoview import _render, K as TK
+
+    from cvsteer_tpu.features.frontend import FrontendConfig
+    from cvsteer_tpu.slam import se3
+    from cvsteer_tpu.slam.twoview import two_view_pose
+
+    rng = np.random.default_rng(5)
+    n_pts = 120
+    X = rng.uniform([-3, -2, 3], [3, 2, 9], (n_pts, 3)).astype(np.float32)
+    attrs = np.stack(
+        [
+            rng.uniform(0.5, 1.0, n_pts),
+            rng.uniform(0, np.pi, n_pts),
+            rng.uniform(2.0, 3.2, n_pts),
+            rng.uniform(0.8, 1.2, n_pts),
+        ],
+        1,
+    )
+    Rb_wc = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.06, 0.0], jnp.float32)))
+    cb = np.array([0.8, 0.05, 0.1], np.float32)
+    Rb = Rb_wc.T.astype(np.float32)
+    tb = (-Rb @ cb).astype(np.float32)
+    img_a = _render(X, attrs, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    img_b = _render(X, attrs, Rb, tb)
+
+    cfg = FrontendConfig(levels=2, keypoints_per_level=192, threshold=0.5)
+
+    @jax.jit
+    def step(a, b, carry):
+        res = two_view_pose(a + carry * 1e-6, b, TK, cfg=cfg)
+        return (
+            carry
+            + res.t[0] * 1e-6
+            + res.num_inliers.astype(jnp.float32) * 1e-9,
+            res.num_inliers,
+        )
+
+    a, b = jnp.asarray(img_a), jnp.asarray(img_b)
+    c = jnp.float32(0.0)
+    c, ninl = step(a, b, c)
+    float(c)  # compile + warm
+
+    iters = 24
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = jnp.float32(0.0)
+        for _ in range(iters):
+            c, ninl = step(a, b, c)
+        c = float(c)
+        dt = time.perf_counter() - t0
+        assert c == c, "NaN checksum"
+        best = min(best, dt)
+    try:
+        us = _trace_device_us(lambda: float(step(a, b, jnp.float32(0.0))[0]))
+        _PARTIAL["extra"]["twoview_device_ms_per_pair"] = round(us / 1e3, 2)
+    except Exception as e:
+        print(f"twoview trace failed: {e}", file=sys.stderr)
+    _PARTIAL["extra"]["twoview_inliers"] = int(ninl)
+    return iters / best
+
+
 def bench_reference_cpu(images) -> float:
     """The reference pipeline (OpenCV primitives, threaded across images)."""
     import concurrent.futures as cf
@@ -721,10 +847,12 @@ def main() -> int:
     _PARTIAL["vs_baseline"] = round(vs, 3)
     extra = _PARTIAL["extra"]  # sections record as they complete (watchdog)
     for name, fn in [
+        ("g4_frontend_frames_per_s_512x512", lambda: bench_g4(images)),
         ("feature_frames_per_s_480x640", bench_features),
         ("feature_tapered_frames_per_s_480x640",
          lambda: bench_features(decay=0.625, key="feature_tapered")),
         ("ba_iters_per_s_c8_l1024", bench_ba),
+        ("twoview_pairs_per_s", bench_twoview),
     ]:
         try:
             extra[name] = round(fn(), 2)
