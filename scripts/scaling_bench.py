@@ -163,6 +163,10 @@ def bench_pgo(n_devices: int, poses: int, edges_per_dev: int, iters: int) -> flo
 
 # Measured on the real chip (2026-08-19 device trace, C=8): BA LM-iteration
 # device time fits t = A_US + B_US_PER_LM * L over L in {1024, 8192}.
+# Round 4 (VERDICT r3 item 4): scripts/ba_trace_fit.py re-measures at
+# L up to 3e5 — covering the table's whole L range — and passes the
+# refit (plus the measured points) into analytic_ba_efficiency, so the
+# defaults below are only the historical fallback.
 _BA_A_US = 48.4
 _BA_B_US_PER_LM = 0.0193
 # Interconnect assumptions (documented inputs, not measurements): a v5e pod
@@ -172,7 +176,17 @@ _BA_B_US_PER_LM = 0.0193
 _LINKS = {"ici": (45e9, 8e-6), "dcn": (6e9, 60e-6)}
 
 
-def analytic_ba_efficiency(out_path: str = "SCALING_r03.json") -> dict:
+def analytic_ba_efficiency(
+    out_path: str = "SCALING_r03.json",
+    a_us: float = _BA_A_US,
+    b_us_per_lm: float = _BA_B_US_PER_LM,
+    measured_points=None,
+) -> dict:
+    """``measured_points``: optional [{'L':..,'iter_us':..}] device-trace
+    samples the (a_us, b_us_per_lm) fit came from — recorded in the JSON
+    so each table row's compute input can be checked as interpolated
+    (within the measured L range) rather than extrapolated."""
+    _BA_A_US, _BA_B_US_PER_LM = a_us, b_us_per_lm  # noqa: F841 (shadow)
     table = []
     for link, (bw, lat) in _LINKS.items():
         for C in (8, 16, 32):
@@ -198,6 +212,8 @@ def analytic_ba_efficiency(out_path: str = "SCALING_r03.json") -> dict:
         "model": "eff(n) = t1 / (n * (t1/n + lat + 2(n-1)/n * bytes/bw))",
         "inputs": {
             "ba_iter_us(C=8, L)": f"{_BA_A_US} + {_BA_B_US_PER_LM}*L (device trace, v5e chip)",
+            "measured_points": measured_points
+            or "historical fit over L in {1024, 8192} (round 3)",
             "psum_bytes": "4 * (36C^2 + 48C + 2) — pinned by tests/test_collectives_audit.py",
             "links": {k: {"bw_B_per_s": v[0], "latency_s": v[1]} for k, v in _LINKS.items()},
         },
