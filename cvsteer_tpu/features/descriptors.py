@@ -53,7 +53,8 @@ def _rotated_grid_coords(keypoints: Keypoints, grid: int, spacing: float):
 
 
 def _rotated_grid_samples(
-    basis: jax.Array, keypoints: Keypoints, grid: int, spacing: float
+    basis: jax.Array, keypoints: Keypoints, grid: int, spacing: float,
+    fp32: bool = False,
 ):
     """(samples [N, S, C], ct [N], st [N]): the C basis channels bilinearly
     sampled on the keypoint-oriented grid — shared by all filter orders.
@@ -63,8 +64,20 @@ def _rotated_grid_samples(
     LANES (a 4C-lane quad-table gather costs ~4x a C-lane one, so one quad
     gather loses to two 2C-lane pair gathers), making the pair table the
     sweet spot. Combine + steering stay fp32.
+
+    ``fp32``: sample in full fp32 via 4 corner row-gathers (no bf16 cast,
+    no Pallas kernel) — the max-accuracy mode and the oracle the bf16
+    accuracy class is measured against (scripts/desc_accuracy.py; ~2x the
+    sampling bytes).
     """
     ys, xs, ct, st = _rotated_grid_coords(keypoints, grid, spacing)
+    if fp32:
+        from cvsteer_tpu.ops.interp import bilinear_sample_channels_last
+
+        samples = bilinear_sample_channels_last(
+            jnp.moveaxis(basis, 0, -1), ys, xs
+        )
+        return samples, ct, st
     # bf16 cast before the transpose: all table-building layout passes move
     # 2-byte elements (the sampling path is bf16 regardless)
     samples = bilinear_sample_channels_last_pair_bf16(
@@ -95,7 +108,8 @@ def patch_dma_supported(grid: int, spacing: float, channels: int) -> bool:
 
 
 def _rotated_grid_samples_batch(
-    basis: jax.Array, keypoints: Keypoints, grid: int, spacing: float
+    basis: jax.Array, keypoints: Keypoints, grid: int, spacing: float,
+    fp32: bool = False,
 ):
     """Batched sampling: (samples [B, N, S, C], ct, st [B, N]).
 
@@ -109,6 +123,15 @@ def _rotated_grid_samples_batch(
     """
     ys, xs, ct, st = _rotated_grid_coords(keypoints, grid, spacing)
     c = basis.shape[1]
+    if fp32:
+        from cvsteer_tpu.ops.interp import bilinear_sample_channels_last
+
+        samples = jax.vmap(
+            lambda b, y, x: bilinear_sample_channels_last(
+                jnp.moveaxis(b, 0, -1), y, x
+            )
+        )(basis, ys, xs)
+        return samples, ct, st
     if jax.default_backend() == "tpu" and patch_dma_supported(
         grid, spacing, c
     ):
@@ -191,13 +214,18 @@ def phase_descriptors(
     grid: int = 4,
     spacing: float = 3.0,
     pi_invariant: bool = False,
+    fp32_sampling: bool = False,
 ) -> jax.Array:
     """Descriptors ``[N, grid*grid*2]`` for ``keypoints`` over ``basis [7, H, W]``.
 
     Batched use: vmap over a leading batch axis of both arguments, or call
     :func:`phase_descriptors_batch` (kernel-accelerated on TPU).
+    ``fp32_sampling`` selects the full-precision sampling oracle (see
+    _rotated_grid_samples).
     """
-    samples, ct, st = _rotated_grid_samples(basis, keypoints, grid, spacing)
+    samples, ct, st = _rotated_grid_samples(
+        basis, keypoints, grid, spacing, fp32=fp32_sampling
+    )
     return _steer_g2_normalize(
         samples, ct, st, keypoints.valid, pi_invariant=pi_invariant
     )
@@ -210,16 +238,18 @@ def phase_descriptors_batch(
     grid: int = 4,
     spacing: float = 3.0,
     pi_invariant: bool = False,
+    fp32_sampling: bool = False,
 ) -> jax.Array:
     """Batched :func:`phase_descriptors`: ``basis [B, 7, H, W]``, keypoint
     fields ``[B, N, ...]`` -> ``[B, N, grid*grid*2]``.
 
     On TPU the sampling runs through the Pallas patch-DMA kernel
     (one async copy per keypoint; see ops.pallas_desc); elsewhere it is
-    exactly the vmapped gather path.
+    exactly the vmapped gather path. ``fp32_sampling`` selects the
+    full-precision sampling oracle instead (see _rotated_grid_samples).
     """
     samples, ct, st = _rotated_grid_samples_batch(
-        basis, keypoints, grid, spacing
+        basis, keypoints, grid, spacing, fp32=fp32_sampling
     )
     return _steer_g2_normalize(
         samples, ct, st, keypoints.valid, pi_invariant=pi_invariant
@@ -233,6 +263,7 @@ def phase_descriptors_g4(
     grid: int = 4,
     spacing: float = 3.0,
     pi_invariant: bool = False,
+    fp32_sampling: bool = False,
 ) -> jax.Array:
     """4th-order phase descriptors ``[N, grid*grid*2]`` over ``basis [11, H, W]``.
 
@@ -254,10 +285,11 @@ def phase_descriptors_g4_batch(
     grid: int = 4,
     spacing: float = 3.0,
     pi_invariant: bool = False,
+    fp32_sampling: bool = False,
 ) -> jax.Array:
     """Batched :func:`phase_descriptors_g4` (Pallas patch-DMA on TPU)."""
     samples, _, _ = _rotated_grid_samples_batch(
-        basis, keypoints, grid, spacing
+        basis, keypoints, grid, spacing, fp32=fp32_sampling
     )
     return _steer_g4_normalize(samples, keypoints, pi_invariant=pi_invariant)
 

@@ -71,6 +71,13 @@ class FrontendConfig(NamedTuple):
     # Opt-in for rotation-rich, flip-prone imagery; redundant (and
     # mildly harmful) under upright_desc.
     desc_pi_invariant: bool = False
+    # Full-precision descriptor sampling: bypass the bf16 accuracy class
+    # (Pallas patch-DMA / bf16 pair-table gathers) and sample the basis in
+    # fp32 (4 corner row-gathers, ~2x the sampling bytes). The production
+    # default is bf16 — measured end-to-end deltas vs this oracle are in
+    # BENCH_NOTES.md (scripts/desc_accuracy.py); flip on when accuracy
+    # matters more than descriptor-stage throughput.
+    desc_fp32_sampling: bool = False
 
     def level_capacity(self, level: int) -> int:
         if self.level_capacity_decay == 1.0:
@@ -201,6 +208,7 @@ def _level_features(
                 basis, kp_d,
                 grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing,
                 pi_invariant=cfg.desc_pi_invariant,
+                fp32_sampling=cfg.desc_fp32_sampling,
             )
         else:
             desc = jax.vmap(
@@ -208,6 +216,7 @@ def _level_features(
                     b, k, grid=cfg.descriptor_grid,
                     spacing=cfg.descriptor_spacing,
                     pi_invariant=cfg.desc_pi_invariant,
+                    fp32_sampling=cfg.desc_fp32_sampling,
                 )
             )(basis, kp_d)
     scale = float(2**lvl)
@@ -299,6 +308,7 @@ def _extract_features_tpu(levels, bank, cfg: FrontendConfig, single: bool):
                 basis, kp_d,
                 grid=cfg.descriptor_grid, spacing=cfg.descriptor_spacing,
                 pi_invariant=cfg.desc_pi_invariant,
+                fp32_sampling=cfg.desc_fp32_sampling,
             )
         scale = float(2**lvl)
         parts.append(
