@@ -206,3 +206,28 @@ def test_g4_order_features_translated_match(fish_gray):
     same = lvl == np.asarray(fb.level)[np.asarray(m.index)[valid]]
     good = (np.abs((pa - pb) - dyx) < 1.5).all(axis=1) & same
     assert good.mean() > 0.8, f"only {good.mean():.2f} matches at expected offset"
+
+
+def test_fp32_sampling_matches_bf16_class(fish_gray):
+    """FrontendConfig.desc_fp32_sampling: identical keypoints, descriptors
+    within the bf16 sampling accuracy class of the production path (the
+    per-sample bound is 2e-2 rel — after steering + L2 normalization the
+    descriptor-level cosine stays near 1), and the fp32 path is genuinely
+    different code (bit-inequality guards against the flag silently
+    routing to the same sampler)."""
+    from cvsteer_tpu.features.frontend import FrontendConfig, extract_features
+
+    img = jnp.asarray(fish_gray)
+    f16 = extract_features(img, cfg=FrontendConfig(levels=2))
+    f32 = extract_features(
+        img, cfg=FrontendConfig(levels=2, desc_fp32_sampling=True)
+    )
+    v = np.asarray(f16.valid) & np.asarray(f32.valid)
+    assert v.sum() >= 50
+    np.testing.assert_array_equal(np.asarray(f16.yx), np.asarray(f32.yx))
+    da, db = np.asarray(f16.desc)[v], np.asarray(f32.desc)[v]
+    assert not np.array_equal(da, db), "flag did not switch sampling paths"
+    cos = np.sum(da * db, axis=1)
+    assert cos.min() > 0.995, f"descriptor cosine dropped to {cos.min()}"
+    norms = np.linalg.norm(db, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
