@@ -284,6 +284,34 @@ class CityLoop:
             img = img + rng.normal(0, self.noise_sigma, img.shape)
         return np.clip(img, 0, 255).astype(np.uint8).reshape(self.h, self.w)
 
+    def depth(self, k: int) -> np.ndarray:
+        """Ground-truth camera-z depth [H, W] for frame k (inf = sky).
+
+        The same plane intersection as render() without the texture pass;
+        used by drift/bias diagnostics (scripts/probe_tri_bias.py) to
+        compare triangulated landmark depths against analytic truth."""
+        R, t = self.pose(k)
+        R64, t64 = R.astype(np.float64), t.astype(np.float64)
+        C = -R64.T @ t64
+        dirs = self._rays @ R64
+        depth = np.full(self.h * self.w, np.inf)
+        for pl in self.planes:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                denom = dirs @ pl.n
+                s = ((pl.p0 - C) @ pl.n) / denom
+                ok = (s > 0.3) & (s < self.far) & np.isfinite(s)
+                if not ok.any():
+                    continue
+                s_safe = np.where(ok, s, 1.0)
+                P = C + s_safe[:, None] * dirs
+                ax = (P - pl.p0) @ pl.ex * pl.px_per_m
+                ay = (P - pl.p0) @ pl.ey * pl.px_per_m
+            th, tw = pl.tex.shape
+            ok &= (ax >= 0) & (ax < tw - 1) & (ay >= 0) & (ay < th - 1)
+            ok &= s_safe < depth
+            depth = np.where(ok, s_safe, depth)
+        return depth.reshape(self.h, self.w)
+
     def gt_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
         Rs, ts = zip(*(self.pose(k) for k in range(self.n_frames)))
         return np.stack(Rs), np.stack(ts)

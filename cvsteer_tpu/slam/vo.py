@@ -91,6 +91,22 @@ class VOConfig(NamedTuple):
     # survives feature dropout and viewpoint change that break
     # single-keyframe matching. The host engine ignores this flag.
     track_local_map: bool = False
+    # Projective rescue of associations the mutual-ratio match dropped
+    # (vo_core.guided_rescue): after the first PnP, unmatched landmark-
+    # bearing keyframe features accept the mutually-best frame feature
+    # within rescue_radius_px of their landmark's projection whose
+    # descriptor cosine clears rescue_min_cos, then a short re-refine
+    # runs on the merged set. Cuts landmark churn (the monocular scale-
+    # collapse driver measured on the city loop: ~50% of tracked
+    # landmarks re-triangulated every keyframe without it). 0 disables.
+    rescue_radius_px: float = 12.0
+    rescue_min_cos: float = 0.6
+
+    @property
+    def rescue_radius_norm(self) -> float:
+        """Rescue radius in normalized camera units (static jit constant)."""
+        f = 0.5 * (self.intrinsics.fx + self.intrinsics.fy)
+        return float(self.rescue_radius_px) / max(f, 1e-6)
 
 
 @dataclasses.dataclass
@@ -185,7 +201,8 @@ def _refine_pose_jit(X, uv, sel, R0, t0, *, iterations, huber_delta, lam0=1e-4):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ratio", "iterations", "huber_delta", "min_track", "dual_init", "dist"
+        "ratio", "iterations", "huber_delta", "min_track", "dual_init",
+        "dist", "rescue_radius", "rescue_min_cos",
     ),
 )
 @precise
@@ -193,6 +210,7 @@ def _track_fused_jit(
     desc_a, valid_a, X_slots, sel_slots, yx_b, desc_b, valid_b,
     R0, t0, R1, t1, K4,
     *, ratio, iterations, huber_delta, min_track, dual_init, dist,
+    rescue_radius=0.0, rescue_min_cos=0.6,
 ):
     """The whole steady-state tracking step in ONE dispatch / ONE fetch.
 
@@ -224,6 +242,19 @@ def _track_fused_jit(
         iterations=iterations, huber_delta=huber_delta,
         min_track=min_track, dual_init=dual_init,
     )
+    if float(rescue_radius) > 0.0:  # static branch (see vo_core)
+        idx = vo_core.guided_rescue(
+            desc_a, valid_a, X_slots, sel_slots, desc_b, valid_b,
+            uv_all, idx, Ra, ta,
+            radius_norm=rescue_radius, min_sim=rescue_min_cos,
+        )
+        use = (idx >= 0) & sel_slots
+        uv = jnp.where(use[:, None], uv_all[jnp.maximum(idx, 0)], 0.0)
+        Ra, ta, na = vo_core.pnp_dual_refine(
+            X_slots, uv, use, Ra, ta, R1, t1,
+            iterations=max(iterations // 2, 4), huber_delta=huber_delta,
+            min_track=min_track, dual_init=False,
+        )
     return Ra, ta, na, idx, jnp.sum(valid_b), uv_all, valid_b
 
 
@@ -390,6 +421,8 @@ def _track_issue(state: VOState, feats: Features):
         min_track=state.config.track_min_landmarks,
         dual_init=dual,
         dist=tuple(K.dist),
+        rescue_radius=state.config.rescue_radius_norm,
+        rescue_min_cos=state.config.rescue_min_cos,
     )
 
 

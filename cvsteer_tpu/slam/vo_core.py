@@ -77,6 +77,55 @@ def pnp_dual_refine(
     return R, t, n
 
 
+def guided_rescue(
+    desc_a, valid_a, X_slots, sel_slots, desc_b, valid_b, uv_all,
+    idx, R, t, *, radius_norm, min_sim,
+):
+    """Projective rescue of unmatched landmark-bearing keyframe features.
+
+    The mutual-ratio match (features.matching.match_descriptors) drops
+    ambiguous pairs; on self-similar texture this turns over ~half the
+    tracked landmarks every keyframe, and every re-triangulation re-draws
+    its depth from the noise-truncated low-parallax distribution — the
+    measured city-loop scale collapse (-0.8 %/keyframe from ~50 % churn x
+    ~1.5 % fresh-depth near-bias, compounding to e^-8 over 4,200 frames;
+    scripts/probe_tri_bias.py). Rescue pass, as in standard projective
+    local-map search: project each unmatched keyframe feature's landmark
+    with the refined pose (R, t) and accept the MUTUALLY-best frame
+    feature within ``radius_norm`` of the projection whose descriptor
+    cosine clears ``min_sim`` — the spatial gate replaces the ratio test,
+    which inside a small window rejects only true self-similarity.
+
+    ``idx [A]``: ratio-test match (keyframe feature -> frame feature index
+    or -1). Rescues never displace ratio matches or already-claimed frame
+    features. Returns the merged ``idx2 [A]``.
+    """
+    B = desc_b.shape[0]
+    claimed = jnp.zeros((B,), bool).at[
+        jnp.where(idx >= 0, idx, B)
+    ].set(True, mode="drop")
+    p = X_slots @ R.T + t
+    z = p[:, 2]
+    uv_pred = p[:, :2] / jnp.maximum(z[:, None], 1e-6)
+    elig_a = valid_a & sel_slots & (idx < 0) & (z > MIN_TRI_DEPTH)
+    elig_b = valid_b & ~claimed
+    d2 = jnp.sum(
+        (uv_pred[:, None, :] - uv_all[None, :, :]) ** 2, -1
+    )  # [A, B]
+    sim = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
+    ok = (
+        elig_a[:, None] & elig_b[None, :]
+        & (d2 < radius_norm * radius_norm) & (sim > min_sim)
+    )
+    s = jnp.where(ok, sim, -2.0)
+    best_j = jnp.argmax(s, axis=1)  # [A]
+    best_i = jnp.argmax(s, axis=0)  # [B]
+    hit = jnp.take_along_axis(s, best_j[:, None], 1)[:, 0] > -2.0
+    mutual = best_i[best_j] == jnp.arange(s.shape[0])
+    rescued = hit & mutual
+    return jnp.where(rescued, best_j, idx)
+
+
 def triangulation_gate(Xc, P1, P2, min_ray_angle_deg: float = 1.0):
     """Acceptance mask for triangulated candidates: positive depth in BOTH
     views, bounded coordinates, and sufficient RAY ANGLE between the two

@@ -347,7 +347,7 @@ class _TrackOut(NamedTuple):
 def _track_phase(
     m: DeviceMap, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
-    local_map=False,
+    local_map=False, rescue_radius=0.0, rescue_min_cos=0.6,
 ) -> _TrackOut:
     """Match + PnP tracking + the keyframe decision. Pure read of ``m``."""
     N = yx.shape[0]
@@ -394,6 +394,27 @@ def _track_phase(
         min_track=min_track, dual_init=dual_init,
     )
 
+    if not local_map and float(rescue_radius) > 0.0:  # static branch
+        # projective rescue of associations the ratio test dropped (the
+        # landmark-churn / scale-collapse fix — vo_core.guided_rescue),
+        # then a short re-refine with the merged inlier set
+        idx = vo_core.guided_rescue(
+            m.kf_desc, m.kf_fvalid[-1], X_t, obs_last >= 0, desc, fvalid,
+            uv_new, idx, R, t,
+            radius_norm=rescue_radius, min_sim=rescue_min_cos,
+        )
+        use = (idx >= 0) & (obs_last >= 0)
+        uv_t = jnp.where(use[:, None], uv_new[jnp.maximum(idx, 0)], 0.0)
+        obs_pre = jnp.full((N + 1,), -1, jnp.int32)
+        obs_pre = obs_pre.at[jnp.where(use, jnp.maximum(idx, 0), N)].set(
+            jnp.where(use, obs_last, -1)
+        )[:N]
+        R, t, n = vo_core.pnp_dual_refine(
+            X_t, uv_t, use, R, t, m.kf_R[-1], m.kf_t[-1],
+            iterations=max(track_iters // 2, 4), huber_delta=huber_delta,
+            min_track=min_track, dual_init=False,
+        )
+
     n_valid = jnp.sum(fvalid.astype(jnp.int32))
     lost = n < 8
     promote = (~lost) & ((n < min_track) | force_kf) & (n_valid >= 16)
@@ -421,7 +442,7 @@ def _device_step_body(
     m: DeviceMap, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
     ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
-    tri_angle=1.0,
+    tri_angle=1.0, rescue_radius=0.0, rescue_min_cos=0.6,
 ):
     """The whole VO frame in one dispatch; see module docstring."""
     tr = _track_phase(
@@ -429,6 +450,7 @@ def _device_step_body(
         K=K, ratio=ratio, track_iters=track_iters,
         huber_delta=huber_delta, min_track=min_track,
         dual_init=dual_init, local_map=local_map,
+        rescue_radius=rescue_radius, rescue_min_cos=rescue_min_cos,
     )
     sig_new, cand_idx, cand_score = _sig_phase(
         m, desc, fvalid, loop_min_gap=loop_min_gap, loop_cands=loop_cands
@@ -463,7 +485,7 @@ _device_step = functools.partial(
     static_argnames=(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map", "loop_min_gap",
-        "loop_cands", "tri_angle",
+        "loop_cands", "tri_angle", "rescue_radius", "rescue_min_cos",
     ),
 )(precise(_device_step_body))
 
@@ -544,7 +566,7 @@ def _fleet_step_body(
     ms, active, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
     ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
-    tri_angle=1.0, promote_cap=0,
+    tri_angle=1.0, promote_cap=0, rescue_radius=0.0, rescue_min_cos=0.6,
 ):
     """vmapped fleet step over stacked DeviceMaps.
 
@@ -562,6 +584,7 @@ def _fleet_step_body(
             K=K, ratio=ratio, track_iters=track_iters,
             huber_delta=huber_delta, min_track=min_track,
             dual_init=dual_init, local_map=local_map,
+            rescue_radius=rescue_radius, rescue_min_cos=rescue_min_cos,
         )
     )(ms, yx, desc, fvalid, Rp, tp, force_kf)
 
@@ -597,6 +620,7 @@ _fleet_step = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map", "loop_min_gap",
         "loop_cands", "tri_angle", "promote_cap",
+        "rescue_radius", "rescue_min_cos",
     ),
 )(precise(_fleet_step_body))
 
@@ -643,6 +667,7 @@ def _fleet_step_pipe_body(
     *, K, ratio, track_iters, huber_delta, min_track, kf_max_gap,
     motion_model, ba_iterations, local_map=False, loop_min_gap=6,
     loop_cands=3, tri_angle=1.0, promote_cap=0,
+    rescue_radius=0.0, rescue_min_cos=0.6,
 ):
     """Pipelined fleet tick: like _fleet_step_body, but pose prediction
     and the keyframe-gap force flag come from device-side ``aux`` instead
@@ -664,6 +689,7 @@ def _fleet_step_pipe_body(
             K=K, ratio=ratio, track_iters=track_iters,
             huber_delta=huber_delta, min_track=min_track,
             dual_init=motion_model, local_map=local_map,
+            rescue_radius=rescue_radius, rescue_min_cos=rescue_min_cos,
         )
 
     tr = jax.vmap(one_track)(ms, aux, yx, desc, fvalid)
@@ -722,6 +748,7 @@ _fleet_step_pipe = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "kf_max_gap", "motion_model", "ba_iterations", "local_map",
         "loop_min_gap", "loop_cands", "tri_angle", "promote_cap",
+        "rescue_radius", "rescue_min_cos",
     ),
 )(precise(_fleet_step_pipe_body))
 
@@ -913,6 +940,8 @@ class DeviceVO:
             loop_min_gap=cfg.loop_min_gap,
             loop_cands=cfg.loop_max_candidates,
             tri_angle=cfg.tri_min_ray_angle_deg,
+            rescue_radius=cfg.rescue_radius_norm,
+            rescue_min_cos=cfg.rescue_min_cos,
         )
         self._host_dirty = True
         return out
@@ -1291,6 +1320,8 @@ class DeviceVOFleet:
             loop_min_gap=cfg.loop_min_gap,
             loop_cands=cfg.loop_max_candidates,
             tri_angle=cfg.tri_min_ray_angle_deg,
+            rescue_radius=cfg.rescue_radius_norm,
+            rescue_min_cos=cfg.rescue_min_cos,
             promote_cap=self.promote_cap,
         )
         if self.capture_dispatch:
@@ -1378,6 +1409,8 @@ class DeviceVOFleet:
             loop_min_gap=cfg.loop_min_gap,
             loop_cands=cfg.loop_max_candidates,
             tri_angle=cfg.tri_min_ray_angle_deg,
+            rescue_radius=cfg.rescue_radius_norm,
+            rescue_min_cos=cfg.rescue_min_cos,
             promote_cap=self.promote_cap,
         )
         if self.capture_dispatch:
