@@ -181,12 +181,17 @@ def analytic_ba_efficiency(
     a_us: float = _BA_A_US,
     b_us_per_lm: float = _BA_B_US_PER_LM,
     measured_points=None,
+    t1_table=None,
+    c_scale=None,
 ) -> dict:
-    """``measured_points``: optional [{'L':..,'iter_us':..}] device-trace
-    samples the (a_us, b_us_per_lm) fit came from — recorded in the JSON
-    so each table row's compute input can be checked as interpolated
-    (within the measured L range) rather than extrapolated."""
+    """``t1_table``: {L: measured C=8 iter us} covering EXACTLY the table's
+    L values (scripts/ba_trace_fit.py) — when given, every row's compute
+    input is a measurement, and the affine (a_us, b_us_per_lm) fallback is
+    unused. ``c_scale``: {C: measured iter-time multiplier vs C=8} pinning
+    the linear-in-C assumption. ``measured_points``: the raw device-trace
+    samples, recorded in the JSON for auditability."""
     _BA_A_US, _BA_B_US_PER_LM = a_us, b_us_per_lm  # noqa: F841 (shadow)
+    c_scale = c_scale or {}
     table = []
     for link, (bw, lat) in _LINKS.items():
         for C in (8, 16, 32):
@@ -194,7 +199,11 @@ def analytic_ba_efficiency(
             # C and L (C=8 anchor; the C^3 reduced solve is negligible at
             # these window sizes)
             for L in (10_000, 100_000, 1_000_000):
-                t1 = (_BA_A_US + _BA_B_US_PER_LM * L) * (C / 8.0) * 1e-6
+                if t1_table and L in t1_table:
+                    mult = c_scale.get(C, C / 8.0)
+                    t1 = t1_table[L] * mult * 1e-6
+                else:
+                    t1 = (_BA_A_US + _BA_B_US_PER_LM * L) * (C / 8.0) * 1e-6
                 payload = 4 * (36 * C * C + 48 * C + 2)  # audited psum bytes
                 for n in (2, 4, 8, 16, 32):
                     t_comm = lat + 2 * (n - 1) / n * payload / bw
@@ -211,7 +220,12 @@ def analytic_ba_efficiency(
     out = {
         "model": "eff(n) = t1 / (n * (t1/n + lat + 2(n-1)/n * bytes/bw))",
         "inputs": {
-            "ba_iter_us(C=8, L)": f"{_BA_A_US} + {_BA_B_US_PER_LM}*L (device trace, v5e chip)",
+            "ba_iter_us(C=8, L)": (
+                {str(k): v for k, v in t1_table.items()}
+                if t1_table else
+                f"{_BA_A_US} + {_BA_B_US_PER_LM}*L (device trace, v5e chip)"
+            ),
+            "c_scale_measured": {str(k): v for k, v in (c_scale or {}).items()},
             "measured_points": measured_points
             or "historical fit over L in {1024, 8192} (round 3)",
             "psum_bytes": "4 * (36C^2 + 48C + 2) — pinned by tests/test_collectives_audit.py",
