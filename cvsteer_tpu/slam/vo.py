@@ -145,6 +145,14 @@ class VOState:
     trajectory: List[Tuple[int, np.ndarray, np.ndarray]] = dataclasses.field(
         default_factory=list
     )  # (frame_idx, R, t)
+    # parallel to ``trajectory``: None for keyframe entries, else
+    # (ref_kf_frame, R_rel, t_rel, prev_kf_frame, b_old) — the pose
+    # RELATIVE to the reference keyframe at track time plus the local
+    # baseline then, so finalize() can re-anchor non-keyframe poses onto
+    # closure-corrected keyframes (with first-order local scale); without
+    # this, a Sim(3) loop correction leaves 2/3 of the trajectory in the
+    # pre-correction frame and the full-trajectory ATE explodes
+    traj_ref: List[Optional[tuple]] = dataclasses.field(default_factory=list)
     initialized: bool = False
     frame_count: int = 0
     # bumped whenever landmark positions / keyframe poses mutate (BA, loop
@@ -362,10 +370,40 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
         Keyframe(state.frame_count, feats, R, t, lm_ids)
     )
     state.trajectory.append((state.frame_count, R, t))
+    state.traj_ref.append(None)  # keyframe entry: anchored to itself
     state.initialized = True
     state.track_version += 1  # fresh landmark registrations
     return True
 
+
+
+
+def _append_traj(state: "VOState", R, t) -> None:
+    """Trajectory append + relative-to-keyframe anchor (VOState.traj_ref).
+
+    Stores (ref_kf_frame, R_rel, t_rel, prev_kf_frame, b_old): the pose
+    relative to the CURRENT reference keyframe plus the inter-keyframe
+    baseline at append time, so finalize() re-anchors this entry onto the
+    keyframe's FINAL (closure-corrected) pose with a first-order local
+    scale correction b_new/b_old."""
+    R = np.asarray(R, np.float32)
+    t = np.asarray(t, np.float32)
+    state.trajectory.append((state.frame_count, R, t))
+    if not state.keyframes:
+        state.traj_ref.append(None)
+        return
+    kf = state.keyframes[-1]
+    R_rel = (R @ kf.R.T).astype(np.float32)
+    t_rel = (t - R_rel @ kf.t).astype(np.float32)
+    prev = state.keyframes[-2] if len(state.keyframes) >= 2 else None
+    if prev is not None:
+        c0 = -kf.R.T @ kf.t
+        c1 = -prev.R.T @ prev.t
+        b_old = float(np.linalg.norm(c0 - c1))
+        pidx = prev.index
+    else:
+        b_old, pidx = 0.0, -1
+    state.traj_ref.append((kf.index, R_rel, t_rel, pidx, b_old))
 
 def _predict_pose(state: VOState):
     """Constant-velocity prediction: apply the last inter-frame motion to
@@ -816,6 +854,7 @@ def process_frame(state: VOState, feats: Features) -> VOState:
         state.trajectory.append(
             (state.frame_count, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
         )
+        state.traj_ref.append(None)  # bootstrap keyframe entry
         state.frame_count += 1
         return state
 
@@ -823,7 +862,7 @@ def process_frame(state: VOState, feats: Features) -> VOState:
         if not _try_initialize(state, feats):
             # hold pose at last keyframe until baseline appears
             kf = state.keyframes[-1]
-            state.trajectory.append((state.frame_count, kf.R.copy(), kf.t.copy()))
+            _append_traj(state, kf.R, kf.t)
         state.frame_count += 1
         return state
 
@@ -843,7 +882,7 @@ def _decide_keyframe(
         reloc = _relocalize(state, feats)
         if reloc is not None:
             R, t, n_tracked, idx, valid, ref_kf = reloc
-    state.trajectory.append((state.frame_count, R, t))
+    _append_traj(state, R, t)
 
     gap = state.frame_count - state.keyframes[-1].index
     needs_kf = (
@@ -878,6 +917,8 @@ def _keyframe_epilogue(state: VOState) -> None:
     kf = state.keyframes[-1]
     # the windowed BA just refined this pose — reflect it in the trajectory
     state.trajectory[-1] = (state.frame_count, kf.R.copy(), kf.t.copy())
+    if state.traj_ref:
+        state.traj_ref[-1] = None  # keyframe entry: anchored to itself
 
 
 def _post_track(
@@ -904,15 +945,37 @@ def _post_track(
 def finalize(state: VOState) -> VOState:
     """Propagate the latest keyframe refinements into the trajectory.
 
-    Keyframe poses keep improving as later windows re-optimize them; this
-    rewrites their trajectory entries with the final estimates (non-keyframe
-    entries keep their tracked poses, as in standard VO evaluation).
+    Keyframe entries take their keyframes' final poses. Non-keyframe
+    entries are RE-ANCHORED onto their reference keyframe's final pose via
+    the relative pose stored at track time (VOState.traj_ref), with the
+    relative translation scaled by the local inter-keyframe baseline ratio
+    b_new/b_old — so Sim(3) loop-closure corrections (rotation,
+    translation AND scale) propagate to the whole trajectory instead of
+    only its keyframe third.
     """
     by_frame = {kf.index: kf for kf in state.keyframes}
+    refs = state.traj_ref
     for i, (f, R, t) in enumerate(state.trajectory):
         if f in by_frame:
             kf = by_frame[f]
             state.trajectory[i] = (f, kf.R.copy(), kf.t.copy())
+            continue
+        if i < len(refs) and refs[i] is not None:
+            ref, R_rel, t_rel, pidx, b_old = refs[i]
+            kf = by_frame.get(ref)
+            if kf is None:
+                continue  # reference culled: keep the tracked pose
+            s = 1.0
+            pkf = by_frame.get(pidx)
+            if pkf is not None and b_old > 1e-9:
+                c0 = -kf.R.T @ kf.t
+                c1 = -pkf.R.T @ pkf.t
+                s = float(
+                    np.clip(np.linalg.norm(c0 - c1) / b_old, 1e-3, 1e3)
+                )
+            Rn = (R_rel @ kf.R).astype(np.float32)
+            tn = (R_rel @ kf.t + s * t_rel).astype(np.float32)
+            state.trajectory[i] = (f, Rn, tn)
     return state
 
 

@@ -958,7 +958,7 @@ class DeviceVO:
         if not (np.isfinite(R).all() and np.isfinite(t).all()):
             self._handle_lost(feats)
             return
-        st.trajectory.append((st.frame_count, R, t))
+        hostvo._append_traj(st, R, t)
 
         if bool(fetched.promoted):
             kf_R = np.asarray(fetched.kf_R)
@@ -978,6 +978,7 @@ class DeviceVO:
             # observation tables refresh lazily at the next sync_host
             self._mirror_window(kf_R, kf_t)
             st.trajectory[-1] = (st.frame_count, kf_R[-1].copy(), kf_t[-1].copy())
+            st.traj_ref[-1] = None  # keyframe entry: anchored to itself
             if cfg.loop_closure:
                 # closure candidates rode home with the step fetch:
                 # detection cost the event zero extra round-trips, and a

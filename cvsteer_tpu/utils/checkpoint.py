@@ -46,6 +46,31 @@ def _state_to_tree(state: VOState) -> Dict[str, Any]:
         "traj_t": np.stack([t for _, _, t in state.trajectory])
         if state.trajectory
         else np.zeros((0, 3), np.float32),
+        # traj_ref rows (vo.VOState.traj_ref): keyframe entries (None)
+        # flatten to ref = -1 rows
+        "traj_ref_meta": np.asarray(
+            [
+                [r[0], r[3]] if r is not None else [-1, -1]
+                for r in state.traj_ref
+            ],
+            np.int64,
+        ).reshape(-1, 2),
+        "traj_ref_R": np.stack(
+            [
+                r[1] if r is not None else np.eye(3, dtype=np.float32)
+                for r in state.traj_ref
+            ]
+        )
+        if state.traj_ref
+        else np.zeros((0, 3, 3), np.float32),
+        "traj_ref_tb": np.asarray(
+            [
+                np.concatenate([r[2], [r[4]]]) if r is not None
+                else np.zeros(4, np.float32)
+                for r in state.traj_ref
+            ],
+            np.float32,
+        ).reshape(-1, 4),
     }
     kfs = {}
     for n, kf in enumerate(state.keyframes):
@@ -76,6 +101,21 @@ def _tree_to_state(tree: Dict[str, Any], state: VOState) -> VOState:
         (int(f), np.asarray(R), np.asarray(t))
         for f, R, t in zip(tree["traj_frames"], tree["traj_R"], tree["traj_t"])
     ]
+    state.traj_ref = [
+        None if int(m[0]) < 0 else (
+            int(m[0]), np.asarray(R, np.float32),
+            np.asarray(tb[:3], np.float32), int(m[1]), float(tb[3]),
+        )
+        for m, R, tb in zip(
+            tree.get("traj_ref_meta", np.zeros((0, 2), np.int64)),
+            tree.get("traj_ref_R", np.zeros((0, 3, 3), np.float32)),
+            tree.get("traj_ref_tb", np.zeros((0, 4), np.float32)),
+        )
+    ]
+    # older checkpoints carry no traj_ref: pad with None (keyframe-only
+    # propagation, the pre-round-4 behavior)
+    while len(state.traj_ref) < len(state.trajectory):
+        state.traj_ref.append(None)
     state.keyframes = []
     # an empty keyframes dict disappears through the flat .npz emergency form
     for n in sorted(tree.get("keyframes", {}), key=int):

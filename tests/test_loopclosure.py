@@ -209,6 +209,28 @@ def _inject_scale_drift(state, rate):
         )
     for k, kf in enumerate(kfs):
         kf.t = (-kf.R @ c_new[k]).astype(np.float32)
+    # the TRAJECTORY drifts too (real drift lives in every tracked pose,
+    # not only keyframes): each non-keyframe entry follows its reference
+    # keyframe's similarity, and its stored relative anchor
+    # (VOState.traj_ref) scales with the local map scale exactly as
+    # tracking in the drifted world would have recorded it
+    kf_by_frame = {kf.index: k for k, kf in enumerate(kfs)}
+    for i, (f, R, t) in enumerate(state.trajectory):
+        if f in kf_by_frame:
+            k = kf_by_frame[f]
+            state.trajectory[i] = (f, R, (-R @ c_new[k]).astype(np.float32))
+        elif i < len(state.traj_ref) and state.traj_ref[i] is not None:
+            ref, R_rel, t_rel, pidx, b_old = state.traj_ref[i]
+            k = kf_by_frame.get(ref)
+            if k is None:
+                continue
+            c = (-R.T @ t).astype(np.float64)
+            c2 = c_new[k] + s[k] * (c - centers[k])
+            state.trajectory[i] = (f, R, (-R @ c2).astype(np.float32))
+            state.traj_ref[i] = (
+                ref, R_rel, (s[k] * t_rel).astype(np.float32), pidx,
+                b_old * (s[k - 1] if k >= 1 else s[k]),
+            )
     return s[-1]
 
 
@@ -419,3 +441,38 @@ def test_vo_runs_with_sim3_closure_enabled(loop_world):
         state = process_frame(state, _render_features(X, desc, R, t, rng, pix_noise=0.1))
     assert state.initialized
     assert all(np.isfinite(kf.t).all() for kf in state.keyframes)
+
+
+def test_finalize_reanchors_full_trajectory(loop_world):
+    """Sim(3) closure corrections must reach NON-keyframe trajectory
+    entries: finalize() re-anchors each tracked pose onto its reference
+    keyframe's corrected pose via the stored relative pose + local scale
+    (VOState.traj_ref). Without re-anchoring (the pre-round-4 behavior,
+    emulated by clearing traj_ref), 2/3 of the trajectory stays in the
+    pre-correction frame and full-trajectory ATE stays drift-sized."""
+    import copy
+
+    from cvsteer_tpu.slam.evaluate import ate_rmse
+    from cvsteer_tpu.slam.loopclosure import close_loops_sim3
+    from cvsteer_tpu.slam.vo import finalize
+
+    state, gt = _run_loop_vo(loop_world)
+    assert state.initialized and len(state.keyframes) >= 10
+    _inject_scale_drift(state, rate=0.06)
+    n = close_loops_sim3(state, min_gap=6, min_inliers=20)
+    assert n >= 1
+
+    def full_ate(st):
+        st = finalize(st)
+        ids = [f for f, _, _ in st.trajectory]
+        Rs, ts = st.poses()
+        gtR = np.stack([gt[f][0] for f in ids])
+        gtt = np.stack([gt[f][1] for f in ids])
+        return ate_rmse(Rs, ts, gtR, gtt, align_scale=True)
+
+    legacy = copy.deepcopy(state)
+    legacy.traj_ref = [None] * len(legacy.trajectory)  # keyframe-only
+    ate_old = full_ate(legacy)
+    ate_new = full_ate(state)
+    # re-anchoring must beat keyframe-only propagation decisively
+    assert ate_new < 0.6 * ate_old, (ate_new, ate_old)
