@@ -95,16 +95,21 @@ def main(argv=None) -> int:
     # stable driving rig; theta jitter was the dominant decorrelation),
     # ratio 0.80, 25 BA iterations (BA fights the forward-motion scale
     # shrink), 0.35 deg triangulation ray-angle gate.
+    # Round-4 scale-drift campaign (probe_tri_bias + /tmp sweeps 2-4):
+    # guided rescue at 8 px (the champion: -0.084 %/frame decay vs -0.26
+    # without), window 12, gap 3; stronger tri gates and sparser keyframes
+    # both measured WORSE (rescue changes the landscape).
     cfg = VOConfig(
         intrinsics=Intrinsics(fx, fy, cx, cy),
         frontend=FrontendConfig(upright_desc=True),
         kf_max_gap=3,
-        window=8,
+        window=12,
         track_min_landmarks=40,
         min_parallax=0.03,
         match_ratio=0.80,
         ba_iterations=25,
         tri_min_ray_angle_deg=0.35,
+        rescue_radius_px=8.0,
         max_landmarks=262144,
         loop_closure=True,
         loop_closure_sim3=True,
@@ -173,6 +178,27 @@ def main(argv=None) -> int:
     s_align, _, _ = umeyama(
         camera_centers(Rs, ts), camera_centers(gt_R[ids], gt_t[ids])
     )
+
+    # ---- diagnostics: keyframe-only ATE + local-scale profile -----------
+    # (attributes a full-trajectory failure: keyframe-graph drift vs
+    # non-keyframe propagation vs scale collapse)
+    kf_R_all = np.stack([kf.R for kf in state.keyframes])
+    kf_t_all = np.stack([kf.t for kf in state.keyframes])
+    kf_idx_all = [kf.index for kf in state.keyframes]
+    kf_ate = float(ate_rmse(
+        kf_R_all, kf_t_all, gt_R[kf_idx_all], gt_t[kf_idx_all],
+        align_scale=True,
+    ))
+    c_kf_est = camera_centers(kf_R_all, kf_t_all)
+    c_kf_gt = camera_centers(gt_R[kf_idx_all], gt_t[kf_idx_all])
+    d_est = np.linalg.norm(np.diff(c_kf_est, axis=0), axis=1)
+    d_gt = np.linalg.norm(np.diff(c_kf_gt, axis=0), axis=1)
+    ratio = d_est / np.maximum(d_gt, 1e-12)
+    nseg = max(len(ratio) // 12, 1)
+    scale_profile = [
+        round(float(np.median(ratio[i:i + nseg]) * s_align), 4)
+        for i in range(0, len(ratio) - nseg + 1, nseg)
+    ]
 
     # ---- measured bound inputs (no assumed constants) -------------------
     # sigma_px / Z: reprojection residuals of keyframe landmarks
@@ -272,6 +298,11 @@ def main(argv=None) -> int:
         },
         "ate": {
             "ate_rmse_m_sim3_aligned": round(ate, 4),
+            "ate_keyframes_only_m": round(kf_ate, 4),
+            # est/gt inter-keyframe baseline ratio (meters, via the global
+            # Sim3 alignment), medianed over 12 equal segments of the run:
+            # flat ~1.0 = scale held; decaying = monocular scale drift
+            "local_scale_profile": scale_profile,
             "bound_m": round(bound, 4),
             "pass": bool(ate < bound),
             "bound_inputs_measured": {
