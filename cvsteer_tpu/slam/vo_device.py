@@ -41,6 +41,7 @@ tested against the host twin in tests/test_vo_device.py.
 from __future__ import annotations
 
 import functools
+import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -133,6 +134,16 @@ class StepOut(NamedTuple):
     # rode the step dispatch, the host only verifies
     cand_idx: Optional[jax.Array] = None  # [M] int32
     cand_score: Optional[jax.Array] = None  # [M] f32
+    # batched-serving promoted-row payload (fleet pipe path with a
+    # promote_cap): the capped promotion already COMPACTS the promoting
+    # streams on device, so their raw feature rows ride home with the one
+    # per-tick fetch and the host never issues a same-tick gather (which
+    # would queue behind the next tick's compute — measured ~60 ms).
+    # desc is bf16 (storage class; descriptors are unit vectors).
+    row_stream: Optional[jax.Array] = None  # [PB] int32 stream id, -1 pad
+    row_yx: Optional[jax.Array] = None  # [PB, N, 2] f32
+    row_desc: Optional[jax.Array] = None  # [PB, N, D] bf16
+    row_valid: Optional[jax.Array] = None  # [PB, N] bool
 
 
 
@@ -490,6 +501,86 @@ _device_step = functools.partial(
 )(precise(_device_step_body))
 
 
+_gather_rows_jit = jax.jit(lambda yx, d, f, ii: (yx[ii], d[ii], f[ii]))
+
+
+class _LazyFeatureRows:
+    """frames-list stand-in for DeviceVOFleet.step_batched: ``[i]``
+    materializes stream i's Features row (device-array slices) only when
+    the host mirror actually needs it — keyframe promotion or tracking
+    loss, a few streams per tick — so the common tracked-only tick slices
+    nothing. score/theta/level are not carried by the batched serving
+    input; they are zero-filled (downstream consumers — matching,
+    signatures, relocalization, closure verification — read yx/desc/valid
+    only)."""
+
+    def __init__(self, yx, desc, fvalid):
+        self.yx, self.desc, self.fvalid = yx, desc, fvalid
+
+    def __len__(self):
+        return self.yx.shape[0]
+
+    def __getitem__(self, i):
+        return self.materialize([i])[int(i)]
+
+    def materialize(self, idxs):
+        """{i: Features} for the requested streams, via ONE jitted gather
+        (row count padded to a power of two: a handful of compiled
+        variants) and ONE small fetch — per-stream eager slicing costs
+        ~1.5 ms/op through the remote tunnel (measured: 295 ms/tick of
+        host python at S=32 when every stream sliced eagerly)."""
+        if not len(idxs):
+            return {}
+        k = len(idxs)
+        pk = 1 << (k - 1).bit_length()
+        ii = np.zeros(pk, np.int32)
+        ii[:k] = np.asarray(idxs, np.int32)
+        yx, dsc, fv = jax.device_get(
+            _gather_rows_jit(self.yx, self.desc, self.fvalid, jnp.asarray(ii))
+        )
+        n = yx.shape[1]
+        z = np.zeros((n,), np.float32)
+        zi = np.zeros((n,), np.int32)
+        return {
+            int(i): Features(
+                yx=yx[j], score=z, theta=z, level=zi,
+                desc=dsc[j], valid=fv[j],
+            )
+            for j, i in enumerate(idxs)
+        }
+
+
+def _stack_features(frames, tick, N, D):
+    """Batch per-stream feature arrays for a fleet dispatch.
+
+    When every live stream's features are HOST (numpy) arrays — the
+    serving harness / demo case — stacking happens in numpy and crosses
+    to the device as ONE transfer per field. The naive jnp.stack over a
+    mixed numpy/device list dispatched ~30 EAGER device ops per field per
+    tick (expand_dims + concat per stream; measured 8.5 of 8.9 s of a
+    profiled S=32 CPU run, and the dominant wall-vs-device gap in
+    FLEET_r04). Device-array features (a batched on-device front-end)
+    fall back to jnp.stack, which is then S transfers, not an op storm.
+    """
+    S = len(frames)
+    host = all(
+        isinstance(f.yx, np.ndarray) for i, f in enumerate(frames) if tick[i]
+    )
+    xp = np if host else jnp
+    yx = [xp.zeros((N, 2), xp.float32)] * S
+    dsc = [xp.zeros((N, D), xp.float32)] * S
+    fv = [xp.zeros((N,), bool)] * S
+    for i, feats in enumerate(frames):
+        if tick[i]:
+            yx[i], dsc[i], fv[i] = feats.yx, feats.desc, feats.valid
+    if host:
+        return (
+            jnp.asarray(np.stack(yx)), jnp.asarray(np.stack(dsc)),
+            jnp.asarray(np.stack(fv)),
+        )
+    return jnp.stack(yx), jnp.stack(dsc), jnp.stack(fv)
+
+
 def _fleet_promote(
     ms, do_promote, tr, desc, fvalid, sig_new,
     *, ba_iterations, huber_delta, tri_angle, promote_cap,
@@ -528,7 +619,8 @@ def _fleet_promote(
             )
 
         ms2 = lax.cond(jnp.any(do_promote), promote_all, lambda x: x, ms)
-        return ms2, do_promote
+        comp = jnp.where(do_promote, jnp.arange(S, dtype=jnp.int32), -1)
+        return ms2, do_promote, comp
 
     PB = int(promote_cap)
     rank = jnp.cumsum(do_promote.astype(jnp.int32)) - 1
@@ -559,7 +651,7 @@ def _fleet_promote(
         )
 
     ms2 = lax.cond(jnp.any(served), promote_sub, lambda x: x, ms)
-    return ms2, served
+    return ms2, served, jnp.where(idx < S, idx, -1)
 
 
 def _fleet_step_body(
@@ -594,7 +686,7 @@ def _fleet_step_body(
         )
     )(ms, desc, fvalid) if ms.sig is not None else (None, None, None)
 
-    ms2, served = _fleet_promote(
+    ms2, served, _comp = _fleet_promote(
         ms, tr.promote & active, tr, desc, fvalid, sig_new,
         ba_iterations=ba_iterations, huber_delta=huber_delta,
         tri_angle=tri_angle, promote_cap=promote_cap,
@@ -700,11 +792,16 @@ def _fleet_step_pipe_body(
         )
     )(ms, desc, fvalid) if ms.sig is not None else (None, None, None)
 
-    ms2, served = _fleet_promote(
+    ms2, served, comp = _fleet_promote(
         ms, tr.promote & active & ~aux.block, tr, desc, fvalid, sig_new,
         ba_iterations=ba_iterations, huber_delta=huber_delta,
         tri_angle=tri_angle, promote_cap=promote_cap,
     )
+    # promoted-row payload (see StepOut): pads gather row 0, masked -1
+    gidx_r = jnp.maximum(comp, 0)
+    row_yx = yx[gidx_r]
+    row_desc = desc[gidx_r].astype(jnp.bfloat16)
+    row_valid = fvalid[gidx_r] & (comp >= 0)[:, None]
 
     obs_new = ms2.kf_obs[:, -1]
     out = StepOut(
@@ -716,6 +813,8 @@ def _fleet_step_pipe_body(
         ),
         lm_count=jnp.sum(ms2.lm_valid.astype(jnp.int32), axis=1),
         cand_idx=cand_idx, cand_score=cand_score,
+        row_stream=comp, row_yx=row_yx, row_desc=row_desc,
+        row_valid=row_valid,
     )
 
     # --- aux update (host-trajectory parity: a tracked frame appends its
@@ -1071,6 +1170,13 @@ class DeviceVOServer:
     def __init__(self, config: VOConfig = VOConfig(), n_streams: int = 8):
         self.engines = [DeviceVO(config) for _ in range(n_streams)]
 
+    def _lap(self, phase: str, t0: float) -> float:
+        if self.host_profile is None:
+            return 0.0
+        now = time.perf_counter()
+        self.host_profile[phase] = self.host_profile.get(phase, 0.0) + now - t0
+        return now
+
     @property
     def states(self):
         return [e.state for e in self.engines]
@@ -1125,6 +1231,7 @@ class DeviceVOFleet:
         mesh_axis: str = "data",
         pipeline: bool = False,
         promote_cap: int = 0,
+        pipeline_depth: int = 1,
     ):
         """``mesh``: optional jax.sharding.Mesh — shards the stream axis of
         the stacked state (and each tick's inputs) over ``mesh_axis``, so
@@ -1143,7 +1250,14 @@ class DeviceVOFleet:
         ``promote_cap``: compact at most this many promotions per tick
         into a sub-batch instead of running the window BA select over the
         whole fleet (0 = uncapped); excess promotions defer one tick
-        (_fleet_promote). The serving-throughput lever for large S."""
+        (_fleet_promote). The serving-throughput lever for large S.
+
+        ``pipeline_depth`` (step_batched only): in-flight ticks before the
+        host fetches results. The tunnel's dispatch->result latency spans
+        multiple ticks (~55 ms measured vs a 17 ms device tick at S=32);
+        depth D hides it at the cost of host mirrors (and loss/closure
+        events) lagging D ticks. Measured S=32 (batched, cap 8): depth 1
+        = 31 ms/tick, depth 3 = 16 ms, depth 6 = 7.5 ms dispatch-bound."""
         self.config = config
         self.promote_cap = int(promote_cap)
         # bench hook: when truthy, each tick stores a zero-arg closure
@@ -1151,13 +1265,22 @@ class DeviceVOFleet:
         # no mutation) in ``_captured`` for device-trace profiling
         self.capture_dispatch = False
         self._captured = None
+        # optional host-phase wall profile: set to {} to record cumulative
+        # seconds per tick phase (assemble/dispatch/copy_async/process)
+        self.host_profile = None
         self.engines = [DeviceVO(config) for _ in range(n_streams)]
         self.stack: Optional[DeviceMap] = None
         self.active = np.zeros(n_streams, bool)
         self._pipeline = bool(pipeline)
         self.aux: Optional[_FleetAux] = None
-        # in-flight tick: [frames, tick_mask, StepOut (device), drop_set]
-        self._pending = None
+        # in-flight ticks, oldest first: [frames, tick_mask, StepOut
+        # (device), drop_set]. step() keeps at most ONE in flight;
+        # step_batched keeps up to ``pipeline_depth`` — the tunnel's
+        # dispatch->result latency (~55 ms measured) spans several ticks,
+        # so a one-tick fetch lag still blocks; host mirrors simply lag
+        # depth ticks (loss/closure events a few frames late).
+        self._queue = []
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self._sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -1168,6 +1291,13 @@ class DeviceVOFleet:
                     f"mesh axis {mesh_axis}={mesh.shape[mesh_axis]}"
                 )
             self._sharding = NamedSharding(mesh, PartitionSpec(mesh_axis))
+
+    def _lap(self, phase: str, t0: float) -> float:
+        if self.host_profile is None:
+            return 0.0
+        now = time.perf_counter()
+        self.host_profile[phase] = self.host_profile.get(phase, 0.0) + now - t0
+        return now
 
     @property
     def states(self):
@@ -1288,16 +1418,12 @@ class DeviceVOFleet:
         # assemble batched inputs (zeros for inactive slots)
         N = self.stack.kf_uv.shape[2]
         D = self.stack.kf_desc.shape[2]
-        yx = [jnp.zeros((N, 2), jnp.float32)] * S
-        dsc = [jnp.zeros((N, D), jnp.float32)] * S
-        fv = [jnp.zeros((N,), bool)] * S
         Rp = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
         tp = np.zeros((S, 3), np.float32)
         force = np.zeros(S, bool)
         for i, feats in enumerate(frames):
             if not tick[i]:
                 continue
-            yx[i], dsc[i], fv[i] = feats.yx, feats.desc, feats.valid
             st = self.engines[i].state
             kf = st.keyframes[-1]
             if cfg.motion_model:
@@ -1306,9 +1432,9 @@ class DeviceVOFleet:
                 Rp[i], tp[i] = kf.R, kf.t
             force[i] = (st.frame_count - kf.index) >= cfg.kf_max_gap
 
+        yx, dsc, fv = _stack_features(frames, tick, N, D)
         inputs = (
-            jnp.asarray(tick),
-            jnp.stack(yx), jnp.stack(dsc), jnp.stack(fv),
+            jnp.asarray(tick), yx, dsc, fv,
             jnp.asarray(Rp), jnp.asarray(tp), jnp.asarray(force),
         )
         if self._sharding is not None:
@@ -1389,17 +1515,80 @@ class DeviceVOFleet:
         # assemble batched inputs: FEATURES ONLY — the device aux supplies
         # pose prediction and the keyframe-gap flag, so this dispatch does
         # not wait on the previous tick's fetch.
+        t_phase = time.perf_counter() if self.host_profile is not None else 0
         N = self.stack.kf_uv.shape[2]
         D = self.stack.kf_desc.shape[2]
-        yx = [jnp.zeros((N, 2), jnp.float32)] * S
-        dsc = [jnp.zeros((N, D), jnp.float32)] * S
-        fv = [jnp.zeros((N,), bool)] * S
-        for i, feats in enumerate(frames):
-            if tick[i]:
-                yx[i], dsc[i], fv[i] = feats.yx, feats.desc, feats.valid
-        inputs = (
-            jnp.asarray(tick), jnp.stack(yx), jnp.stack(dsc), jnp.stack(fv),
+        yx, dsc, fv = _stack_features(frames, tick, N, D)
+        inputs = (jnp.asarray(tick), yx, dsc, fv)
+        if self._sharding is not None:
+            inputs = jax.device_put(inputs, self._sharding)
+        t_phase = self._lap("assemble", t_phase)
+        kw = dict(
+            K=cfg.intrinsics, ratio=cfg.match_ratio, track_iters=10,
+            huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
+            kf_max_gap=cfg.kf_max_gap, motion_model=cfg.motion_model,
+            ba_iterations=cfg.ba_iterations, local_map=cfg.track_local_map,
+            loop_min_gap=cfg.loop_min_gap,
+            loop_cands=cfg.loop_max_candidates,
+            tri_angle=cfg.tri_min_ray_angle_deg,
+            rescue_radius=cfg.rescue_radius_norm,
+            rescue_min_cos=cfg.rescue_min_cos,
+            promote_cap=self.promote_cap,
         )
+        if self.capture_dispatch:
+            stack0, aux0 = self.stack, self.aux
+            self._captured = lambda: jax.block_until_ready(
+                _fleet_step_pipe(stack0, aux0, *inputs, **kw)
+            )
+        self.stack, self.aux, out = _fleet_step_pipe(
+            self.stack, self.aux, *inputs, **kw
+        )
+        t_phase = self._lap("dispatch", t_phase)
+        # start the device->host copy of this tick's result NOW: by the
+        # time the NEXT tick fetches it, the data is already on the host
+        # and device_get is a no-wait read instead of a blocking
+        # RTT+transfer through the tunnel (the pipelined fetch otherwise
+        # still paid the full round-trip every tick — the copy only
+        # started at device_get time)
+        for leaf in jax.tree.leaves(out):
+            leaf.copy_to_host_async()
+        t_phase = self._lap("copy_async", t_phase)
+        self._queue.append([frames, tick, out, set()])
+        while len(self._queue) > 1:
+            self._process(self._queue.pop(0))
+        self._lap("process", t_phase)
+
+    def _flush(self) -> None:
+        """Drain all in-flight ticks (pipelined mode; no-op otherwise)."""
+        q, self._queue = self._queue, []
+        for pending in q:
+            self._process(pending)
+
+    def step_batched(self, yx, desc, fvalid) -> None:
+        """Pipelined tick from BATCHED feature arrays (``yx [S, N, 2]``,
+        ``desc [S, N, D]``, ``fvalid [S, N]``), ideally already on device.
+
+        The camera-rate serving path: a batched on-device front-end
+        (features.extract_features over an [S, H, W] image stack) produces
+        exactly these arrays, so the tick consumes them with ZERO host
+        assembly and zero feature re-upload. The per-stream ``step()``
+        measured at S=32 spends ~10 ms/tick stacking host arrays and
+        ~50 ms/tick of its blocking fetch waiting on the ~2.6 MB/tick
+        feature upload crossing the tunnel ahead of the compute
+        (FLEET_r04 wall 63 ms vs device 17 ms); from device-resident
+        features both costs vanish. Host mirrors receive lazily-sliced
+        feature rows — materialized only for streams that promote (a
+        keyframe record) or lose tracking.
+
+        Requires every stream already active (bootstrap via step())."""
+        S = len(self.engines)
+        assert self._pipeline, "step_batched requires pipeline=True"
+        assert self.stack is not None and self.active.all(), (
+            "step_batched requires all streams active; bootstrap via step()"
+        )
+        cfg = self.config
+        tick = self.active.copy()
+        inputs = (jnp.asarray(tick), yx, desc, fvalid)
         if self._sharding is not None:
             inputs = jax.device_put(inputs, self._sharding)
         kw = dict(
@@ -1422,13 +1611,14 @@ class DeviceVOFleet:
         self.stack, self.aux, out = _fleet_step_pipe(
             self.stack, self.aux, *inputs, **kw
         )
-        prev, self._pending = self._pending, [frames, tick, out, set()]
-        self._process(prev)
-
-    def _flush(self) -> None:
-        """Drain the in-flight tick (pipelined mode; no-op otherwise)."""
-        prev, self._pending = self._pending, None
-        self._process(prev)
+        for leaf in jax.tree.leaves(out):
+            leaf.copy_to_host_async()
+        frames = _LazyFeatureRows(yx, desc, fvalid)
+        self._queue.append([frames, tick, out, set()])
+        t_prev = time.perf_counter() if self.host_profile is not None else 0
+        while len(self._queue) > max(self.pipeline_depth, 1):
+            self._process(self._queue.pop(0))
+        self._lap("process", t_prev)
 
     def _process(self, pending) -> None:
         """Apply a fetched tick to the host mirrors — the lagged twin of
@@ -1438,8 +1628,51 @@ class DeviceVOFleet:
         if pending is None:
             return
         frames, tick, out, drop = pending
+        t_f = time.perf_counter() if self.host_profile is not None else 0
         fetched: StepOut = jax.device_get(out)  # the ONE blocking RTT
+        t_f = self._lap("process.fetch", t_f)
         cfg = self.config
+        if isinstance(frames, _LazyFeatureRows):
+            # batched serving path: the mirror stores feature rows only
+            # for promotions and losses. Promoted rows arrived IN the
+            # fetch (StepOut.row_*, compacted on device) — zero extra
+            # round-trips; losses (rare) fall back to the gather, which
+            # queues behind the in-flight tick. Tracked-only streams pass
+            # feats=None (complete() never reads it).
+            S = len(self.engines)
+            rows = {}
+            if fetched.row_stream is not None:
+                n = fetched.row_yx.shape[1]
+                z = np.zeros((n,), np.float32)
+                zi = np.zeros((n,), np.int32)
+                for j, sid in enumerate(np.asarray(fetched.row_stream)):
+                    if sid >= 0:
+                        rows[int(sid)] = Features(
+                            yx=np.asarray(fetched.row_yx[j]),
+                            score=z, theta=z, level=zi,
+                            desc=np.asarray(
+                                fetched.row_desc[j], np.float32
+                            ),
+                            valid=np.asarray(fetched.row_valid[j]),
+                        )
+            fin = np.isfinite(fetched.R).all(axis=(1, 2)) & np.isfinite(
+                fetched.t
+            ).all(axis=1)
+            need = [
+                i for i in range(S)
+                if tick[i] and i not in drop and i not in rows and (
+                    bool(fetched.promoted[i]) or bool(fetched.lost[i])
+                    or not fin[i]
+                )
+            ]
+            rows.update(frames.materialize(need))
+            frames = [rows.get(i) for i in range(S)]
+        if fetched.row_stream is not None:
+            # row payload is [PB, ...], not per-stream: keep it out of the
+            # per-stream res slicing below
+            fetched = fetched._replace(
+                row_stream=None, row_yx=None, row_desc=None, row_valid=None
+            )
         for i in range(len(self.engines)):
             if not tick[i]:
                 continue
@@ -1465,8 +1698,10 @@ class DeviceVOFleet:
                 # stale w.r.t. the correction, the standard async-closure
                 # trade — unless the engine fell back to bootstrap.
                 if is_lost or not self.active[i]:
-                    if self._pending is not None and self._pending[1][i]:
-                        self._pending[3].add(i)
+                    for pend in self._queue:
+                        if pend[1][i]:
+                            pend[3].add(i)
             else:
                 eng._host_dirty = True
                 eng.complete(frames[i], res)
+        self._lap("process.python", t_f)

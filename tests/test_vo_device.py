@@ -907,3 +907,54 @@ def test_device_vo_fleet_promote_cap():
         assert abs(results[1][1][s] - results[0][1][s]) <= 2, (
             s, results[0][1], results[1][1]
         )
+
+
+def test_device_vo_fleet_step_batched_matches_per_stream():
+    """step_batched (the camera-rate serving path: batched device-array
+    features, depth-queued fetches, promoted feature rows riding the step
+    fetch) must track to the same result as the per-stream pipelined
+    step() on identical frames."""
+    from cvsteer_tpu.slam.vo_device import DeviceVOFleet
+
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    n_streams, n_frames, boot = 3, 30, 8
+    worlds = [_make_world(seed=40 + s) for s in range(n_streams)]
+    gt = [_gt_pose(k, n_frames) for k in range(n_frames)]
+
+    def run(batched, depth):
+        rngs = [np.random.default_rng(50 + s) for s in range(n_streams)]
+        flt = DeviceVOFleet(
+            cfg, n_streams=n_streams, pipeline=True,
+            promote_cap=1, pipeline_depth=depth,
+        )
+        frames = [
+            [_render_features(worlds[s][0], worlds[s][1], R, t, rngs[s])
+             for s in range(n_streams)]
+            for R, t in gt
+        ]
+        for k in range(boot):
+            flt.step(frames[k])
+        for k in range(boot, n_frames):
+            if batched and flt.active.all():
+                yx = jnp.asarray(np.stack([frames[k][s].yx for s in range(n_streams)]))
+                dsc = jnp.asarray(np.stack([frames[k][s].desc for s in range(n_streams)]))
+                fv = jnp.asarray(np.stack([frames[k][s].valid for s in range(n_streams)]))
+                flt.step_batched(yx, dsc, fv)
+            else:
+                flt.step(frames[k])
+        return [flt.finalize(s) for s in range(n_streams)]
+
+    ref = run(False, 1)
+    for depth in (1, 3):
+        got = run(True, depth)
+        for s in range(n_streams):
+            assert len(got[s].trajectory) == len(ref[s].trajectory)
+            assert len(got[s].keyframes) == len(ref[s].keyframes), (
+                depth, s, len(got[s].keyframes), len(ref[s].keyframes)
+            )
+            Ra, ta = ref[s].poses()
+            Rb, tb = got[s].poses()
+            np.testing.assert_allclose(ta, tb, atol=1e-5)
+            np.testing.assert_allclose(Ra, Rb, atol=1e-5)
