@@ -44,7 +44,14 @@ from test_vo import _gt_pose, _make_world, _render_features
 N_FRAMES, WARM = 60, 20
 
 
-def run_fleet(S: int, promote_cap: int = 0, pipeline: bool = False) -> dict:
+def run_fleet(
+    S: int, promote_cap: int = 0, pipeline: bool = False,
+    batched: bool = False, depth: int = 1,
+) -> dict:
+    """``batched``: drive DeviceVOFleet.step_batched from pre-staged
+    device-array batches — the camera-rate serving contract where the
+    batched front-end produces features ON device (no per-tick host
+    assembly / feature upload). ``depth``: in-flight fetch queue."""
     K = Intrinsics(500.0, 500.0, 320.0, 240.0)
     cfg = VOConfig(intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30)
     worlds = [_make_world(seed=10 + s) for s in range(S)]
@@ -55,14 +62,33 @@ def run_fleet(S: int, promote_cap: int = 0, pipeline: bool = False) -> dict:
         for R, t in gts
     ]
     fleet = DeviceVOFleet(
-        cfg, n_streams=S, promote_cap=promote_cap, pipeline=pipeline
+        cfg, n_streams=S, promote_cap=promote_cap,
+        pipeline=pipeline or batched, pipeline_depth=depth,
     )
     for k in range(WARM):
         fleet.step(frames[k])
-    t0 = time.perf_counter()
-    for k in range(WARM, N_FRAMES):
-        fleet.step(frames[k])
-    dt = time.perf_counter() - t0
+    if batched:
+        import jax
+        import jax.numpy as jnp
+
+        batches = [
+            tuple(
+                jnp.asarray(np.stack([getattr(frames[k][s], f) for s in range(S)]))
+                for f in ("yx", "desc", "valid")
+            )
+            for k in range(WARM, N_FRAMES)
+        ]
+        jax.block_until_ready(batches)
+        t0 = time.perf_counter()
+        for b in batches:
+            fleet.step_batched(*b)
+        fleet._flush()  # completion-bound: drain in-flight fetches
+        dt = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        for k in range(WARM, N_FRAMES):
+            fleet.step(frames[k])
+        dt = time.perf_counter() - t0
     ticks = N_FRAMES - WARM
 
     fleet._flush()
@@ -96,7 +122,9 @@ def run_fleet(S: int, promote_cap: int = 0, pipeline: bool = False) -> dict:
     return {
         "streams": S,
         "promote_cap": promote_cap,
-        "pipeline": pipeline,
+        "pipeline": pipeline or batched,
+        "batched": batched,
+        "fetch_depth": depth,
         "frames_per_s_aggregate": round(S * ticks / dt, 1),
         "frames_per_s_per_stream": round(ticks / dt, 2),
         "tick_wall_ms": round(dt / ticks * 1e3, 2),
@@ -119,13 +147,16 @@ def main() -> int:
     # rate (kf_max_gap=5 -> ~S/5 promotions/tick), so the window BA batch
     # shrinks 4x while bursts defer at most a tick
     sweep = [
-        (8, 0, False), (8, 2, True),
-        (16, 0, False), (16, 4, True),
-        (32, 0, False), (32, 8, False), (32, 8, True),
-        (64, 0, False), (64, 16, True),
+        # (S, cap, pipeline, batched, depth)
+        (8, 0, False, False, 1), (8, 2, True, False, 1),
+        (16, 0, False, False, 1), (16, 4, True, False, 1),
+        (32, 0, False, False, 1), (32, 8, True, False, 1),
+        # camera-rate serving path: batched on-device features
+        (32, 8, True, True, 1), (32, 8, True, True, 3),
+        (64, 0, False, False, 1), (64, 16, True, True, 3),
     ]
-    for S, cap, pipe in sweep:
-        r = run_fleet(S, promote_cap=cap, pipeline=pipe)
+    for S, cap, pipe, bat, depth in sweep:
+        r = run_fleet(S, promote_cap=cap, pipeline=pipe, batched=bat, depth=depth)
         out["results"].append(r)
         print(json.dumps(r), flush=True)
     path = sys.argv[1] if len(sys.argv) > 1 else "FLEET_r04.json"
