@@ -32,6 +32,16 @@ def _config_json(cfg) -> str:
     return json.dumps(conv(cfg), sort_keys=True)
 
 
+def _padded_refs(state: VOState):
+    """state.traj_ref padded with None to max(len(trajectory), 1): keeps
+    the serialized row count aligned with the trajectory (and non-zero,
+    which orbax requires)."""
+    n = max(len(state.trajectory), 1)
+    refs = list(state.traj_ref[:n])
+    refs += [None] * (n - len(refs))
+    return refs
+
+
 def _state_to_tree(state: VOState) -> Dict[str, Any]:
     tree: Dict[str, Any] = {
         "landmarks": np.asarray(state.landmarks),
@@ -47,27 +57,27 @@ def _state_to_tree(state: VOState) -> Dict[str, Any]:
         if state.trajectory
         else np.zeros((0, 3), np.float32),
         # traj_ref rows (vo.VOState.traj_ref): keyframe entries (None)
-        # flatten to ref = -1 rows
+        # flatten to ref = -1 rows; padded to len(trajectory) — states
+        # assembled without _append_traj carry an empty traj_ref, and
+        # orbax refuses zero-size arrays
         "traj_ref_meta": np.asarray(
             [
                 [r[0], r[3]] if r is not None else [-1, -1]
-                for r in state.traj_ref
+                for r in _padded_refs(state)
             ],
             np.int64,
         ).reshape(-1, 2),
         "traj_ref_R": np.stack(
             [
                 r[1] if r is not None else np.eye(3, dtype=np.float32)
-                for r in state.traj_ref
+                for r in _padded_refs(state)
             ]
-        )
-        if state.traj_ref
-        else np.zeros((0, 3, 3), np.float32),
+        ),
         "traj_ref_tb": np.asarray(
             [
                 np.concatenate([r[2], [r[4]]]) if r is not None
                 else np.zeros(4, np.float32)
-                for r in state.traj_ref
+                for r in _padded_refs(state)
             ],
             np.float32,
         ).reshape(-1, 4),
@@ -113,7 +123,8 @@ def _tree_to_state(tree: Dict[str, Any], state: VOState) -> VOState:
         )
     ]
     # older checkpoints carry no traj_ref: pad with None (keyframe-only
-    # propagation, the pre-round-4 behavior)
+    # propagation, the pre-round-4 behavior); drop save-time padding rows
+    state.traj_ref = state.traj_ref[: len(state.trajectory)]
     while len(state.traj_ref) < len(state.trajectory):
         state.traj_ref.append(None)
     state.keyframes = []
