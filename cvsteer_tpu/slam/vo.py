@@ -32,6 +32,10 @@ from cvsteer_tpu.slam import vo_core
 from cvsteer_tpu.utils.precision import precise
 
 
+#: consecutive lost frames (no reloc) before the engine restarts its map
+REBOOT_AFTER_LOST = 5
+
+
 class VOConfig(NamedTuple):
     intrinsics: Intrinsics = Intrinsics(500.0, 500.0, 320.0, 240.0)
     frontend: FrontendConfig = FrontendConfig()
@@ -158,6 +162,9 @@ class VOState:
     # bumped whenever landmark positions / keyframe poses mutate (BA, loop
     # closure, initialization) — invalidates per-keyframe track caches
     track_version: int = 0
+    # consecutive frames with < 8 tracked landmarks and no relocalization;
+    # at REBOOT_AFTER_LOST the engine re-bootstraps a fresh map
+    lost_streak: int = 0
     # lazily built device-resident SignatureIndex (slam.loopclosure);
     # NOT checkpointed — rebuilt from keyframe features after a restore
     sig_index: Optional[object] = dataclasses.field(default=None, repr=False)
@@ -882,6 +889,24 @@ def _decide_keyframe(
         reloc = _relocalize(state, feats)
         if reloc is not None:
             R, t, n_tracked, idx, valid, ref_kf = reloc
+    if n_tracked < 8:
+        state.lost_streak += 1
+        # n_valid >= 16: never re-bootstrap onto a featureless frame (a
+        # blank bootstrap keyframe would strand initialization)
+        if state.lost_streak >= REBOOT_AFTER_LOST and n_valid >= 16:
+            # persistent loss with no relocalization match: the map is
+            # unrecoverable from here (e.g. the landmark store starved or
+            # the scene changed completely). Re-bootstrap a FRESH map
+            # anchored at the last keyframe pose — monocular scale resets
+            # with it (unavoidable without an absolute reference), but the
+            # engine keeps serving instead of appending a frozen pose
+            # forever (the round-4 city-loop zombie failure).
+            kf = state.keyframes[-1]
+            _append_traj(state, kf.R, kf.t)
+            _rebootstrap(state, feats)
+            return None
+    else:
+        state.lost_streak = 0
     _append_traj(state, R, t)
 
     gap = state.frame_count - state.keyframes[-1].index
@@ -896,6 +921,26 @@ def _decide_keyframe(
     if needs_kf and has_content:
         return R, t, idx, valid, ref_kf
     return None
+
+
+def _rebootstrap(state: VOState, feats: Features) -> None:
+    """Restart the map after persistent tracking loss (lost_streak).
+
+    Appends ``feats`` as a fresh bootstrap keyframe at the last keyframe
+    pose and drops back to the two-view initialization state; existing
+    keyframes/trajectory/landmarks stay for output and later loop
+    closure. The next frames run the normal init machinery."""
+    kf = state.keyframes[-1]
+    n = feats.yx.shape[0]
+    state.keyframes.append(
+        Keyframe(
+            state.frame_count, feats, kf.R.copy(), kf.t.copy(),
+            np.full(n, -1, np.int64),
+        )
+    )
+    state.initialized = False
+    state.lost_streak = 0
+    state.track_version += 1
 
 
 def _keyframe_epilogue(state: VOState) -> None:

@@ -285,6 +285,27 @@ def _promote(m: DeviceMap, uv_new, desc, fvalid, idx, obs_pre, R, t,
     Xc = triangulate(P1, P2, x_prev, x_new)  # [N, 3]
     ok = fresh & enough & vo_core.triangulation_gate(Xc, P1, P2, tri_angle)
 
+    # --- capacity-pressure eviction: when the free slots cannot absorb
+    # the gated candidates, evict landmarks NO window keyframe observes —
+    # stale map from long-gone views, dead weight for sliding-window
+    # tracking (the last keyframe's landmarks are window-live by
+    # definition, so nothing tracking uses is ever evicted; slot
+    # generations keep recycled ids distinguishable host-side). Without
+    # this, a full store silently denies fresh triangulation and the
+    # engine starves within a few keyframes of hitting capacity
+    # (measured: kf landmark count 430 -> 7 over 30 frames at cap 4096).
+    obs_ok_w = m.kf_live[:, None] & m.kf_fvalid & (m.kf_obs >= 0)
+    window_live = jnp.zeros((Lmax + 1,), bool).at[
+        jnp.where(obs_ok_w, m.kf_obs, Lmax).reshape(-1)
+    ].set(True, mode="drop")[:Lmax]
+    wanted = jnp.sum(ok.astype(jnp.int32))
+    n_free0 = jnp.sum((~m.lm_valid).astype(jnp.int32))
+    evict = (wanted > n_free0) & m.lm_valid & ~window_live
+    m = m._replace(
+        lm_valid=m.lm_valid & ~evict,
+        lm_gen=m.lm_gen + evict.astype(m.lm_gen.dtype),
+    )
+
     # --- capacity + slot allocation: ring reuse of culled/free slots.
     free, n_free = _free_slots(m.lm_valid)
     ok = ok & (jnp.cumsum(ok.astype(jnp.int32)) <= n_free)
@@ -1100,10 +1121,16 @@ class DeviceVO:
 
     def _handle_lost(self, feats: Features) -> None:
         """Tracking loss: sync down, run the host relocalize/track path for
-        this frame, upload the (possibly corrected) state back."""
+        this frame, upload the (possibly corrected) state back. When the
+        host path RE-BOOTSTRAPPED (persistent loss — vo.REBOOT_AFTER_LOST),
+        the engine drops to the host bootstrap mode (map=None) until the
+        fresh two-view init completes, then re-uploads."""
         st = self.sync_host()
         res = hostvo._track(st, feats)
         hostvo._post_track(st, feats, *res)
+        if not st.initialized:
+            self.map = None  # re-bootstrap: host path serves until re-init
+            return
         self._upload()
 
     def _closure(self, candidates=None) -> None:
