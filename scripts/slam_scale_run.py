@@ -95,10 +95,14 @@ def main(argv=None) -> int:
     # stable driving rig; theta jitter was the dominant decorrelation),
     # ratio 0.80, 25 BA iterations (BA fights the forward-motion scale
     # shrink), 0.35 deg triangulation ray-angle gate.
-    # Round-4 scale-drift campaign (probe_tri_bias + /tmp sweeps 2-4):
-    # guided rescue at 8 px (the champion: -0.084 %/frame decay vs -0.26
-    # without), window 12, gap 3; stronger tri gates and sparser keyframes
-    # both measured WORSE (rescue changes the landscape).
+    # Round-4 scale-drift campaign (probe_tri_bias + the cliff probes):
+    # guided rescue at 8 px (halves the healthy-regime decay), window 12,
+    # gap 3, and tri gate 0.7 deg — the last one is the CLIFF guard: at
+    # 0.35 the end-of-street approach (all features near the FOE) admits
+    # a generation of noise-shell triangulations and the map scale
+    # collapses 75x in ~25 frames (measured frames 412-439); 0.7 blocks
+    # the shell with no measurable cost on healthy ground (ATE 1.17 vs
+    # 1.13 on the early window) while 1.2 starves tracking outright.
     cfg = VOConfig(
         intrinsics=Intrinsics(fx, fy, cx, cy),
         frontend=FrontendConfig(upright_desc=True),
@@ -108,7 +112,7 @@ def main(argv=None) -> int:
         min_parallax=0.03,
         match_ratio=0.80,
         ba_iterations=25,
-        tri_min_ray_angle_deg=0.35,
+        tri_min_ray_angle_deg=0.7,
         rescue_radius_px=8.0,
         max_landmarks=262144,
         loop_closure=True,
