@@ -297,7 +297,8 @@ def bench_reference_cpu(images) -> float:
     return B * iters / dt
 
 
-def bench_features(decay: float = 1.0, key: str = "feature") -> float:
+def bench_features(decay: float = 1.0, key: str = "feature",
+                   order: int = 2) -> float:
     """Feature-extraction frames/s (BASELINE config 2): batched pyramid ->
     G2 maps -> NMS keypoints -> phase descriptors, one jit.
 
@@ -315,7 +316,9 @@ def bench_features(decay: float = 1.0, key: str = "feature") -> float:
     # kernel made device time batch-flat (the XLA gather path degraded
     # superlinearly past b8, which is why round 3 first sat at b16)
     FB, FH, FW = 64, 480, 640
-    cfg = FrontendConfig(level_capacity_decay=decay)
+    if order == 4:  # g4_feature_* metric: the 11-filter 4th-order bank
+        FB = 32  # 2.3x the basis work; keep the dispatch under the budget
+    cfg = FrontendConfig(level_capacity_decay=decay, order=order)
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.uniform(0, 255, (FB, FH, FW)).astype("float32"))
 
@@ -851,6 +854,8 @@ def main() -> int:
         ("feature_frames_per_s_480x640", bench_features),
         ("feature_tapered_frames_per_s_480x640",
          lambda: bench_features(decay=0.625, key="feature_tapered")),
+        ("g4_feature_frames_per_s_480x640",
+         lambda: bench_features(key="g4_feature", order=4)),
         ("ba_iters_per_s_c8_l1024", bench_ba),
         ("twoview_pairs_per_s", bench_twoview),
     ]:
