@@ -323,10 +323,29 @@ def _kf_host_cache(state: VOState, kf: Keyframe):
 
 
 def _try_initialize(state: VOState, feats: Features) -> bool:
-    """Two-view initialization against keyframe 0."""
-    kf0 = state.keyframes[0]
+    """Two-view initialization against the current BOOTSTRAP keyframe.
+
+    For a fresh state that is keyframe 0; after a persistent-loss
+    re-bootstrap (_rebootstrap) it is the re-seeded LAST keyframe — using
+    keyframes[0] there matched the current frame against imagery from
+    thousands of frames ago and initialization never completed (the
+    round-4 city-loop stall). The recovered relative pose and the
+    triangulated points are composed onto the bootstrap keyframe's pose,
+    which is the identity for a fresh state."""
+    kf0 = state.keyframes[-1]
     idx, valid = _match(state, kf0.features, feats)
     if valid.sum() < state.config.init_min_inliers:
+        # forward motion accumulates parallax slowly and the reference
+        # goes stale (feature churn) before parallax arrives: re-seed the
+        # bootstrap keyframe with the CURRENT frame so the init pair is
+        # always matchable
+        n = feats.yx.shape[0]
+        state.keyframes.append(
+            Keyframe(
+                state.frame_count, feats, kf0.R.copy(), kf0.t.copy(),
+                np.full(n, -1, np.int64),
+            )
+        )
         return False
 
     x0 = _norm_pts(state, kf0.features)
@@ -351,7 +370,10 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
     pose = recover_pose(res.E, jnp.asarray(pts0), jnp.asarray(pts1), res.inliers)
 
     good = np.asarray(pose.cheirality)
-    X = np.asarray(pose.points)  # camera-0 == world frame (kf0 at identity)
+    # pose/points are relative to kf0; compose onto kf0's world pose
+    # (identity for a fresh state, the reboot anchor otherwise)
+    X_c0 = np.asarray(pose.points)
+    X = (X_c0 - kf0.t) @ kf0.R  # R0^T (X - t0): camera-0 -> world
     n_new = int(good.sum())
     if n_new < state.config.init_min_inliers:
         return False
@@ -368,11 +390,13 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
     lm_ids_kf0[feat_ids0] = new_ids
     kf0.landmark_ids = lm_ids_kf0
 
-    # new keyframe
+    # new keyframe: T_new = T_rel o T_kf0
     lm_ids = np.full(feats.yx.shape[0], -1, np.int64)
     lm_ids[idx[feat_ids0]] = new_ids
-    R = np.asarray(pose.R)
-    t = np.asarray(pose.t)
+    R_rel = np.asarray(pose.R)
+    t_rel = np.asarray(pose.t)
+    R = (R_rel @ kf0.R).astype(np.float32)
+    t = (R_rel @ kf0.t + t_rel).astype(np.float32)
     state.keyframes.append(
         Keyframe(state.frame_count, feats, R, t, lm_ids)
     )

@@ -958,3 +958,48 @@ def test_device_vo_fleet_step_batched_matches_per_stream():
             Rb, tb = got[s].poses()
             np.testing.assert_allclose(ta, tb, atol=1e-5)
             np.testing.assert_allclose(Ra, Rb, atol=1e-5)
+
+
+def test_device_vo_rebootstrap_after_persistent_loss():
+    """After REBOOT_AFTER_LOST consecutive untrackable frames, the engine
+    restarts its map (vo._rebootstrap) instead of freezing: tracking
+    resumes on the new scene, initialization matches against the
+    RE-SEEDED bootstrap keyframe (not the original keyframe 0 — the
+    round-4 stall), and the trajectory keeps advancing."""
+    from cvsteer_tpu.slam import vo as hostvo
+
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    n1, n_lost, n2 = 20, 8, 25
+    world_a = _make_world(seed=70)
+    world_b = _make_world(seed=71)  # a completely different scene
+    rng = np.random.default_rng(80)
+    vo = DeviceVO(cfg)
+    for k in range(n1):
+        R, t = _gt_pose(k, 60)
+        vo.process_frame(_render_features(world_a[0], world_a[1], R, t, rng))
+    assert vo.state.initialized and vo.map is not None
+    kf_before = len(vo.state.keyframes)
+
+    # scene cut: frames full of content that matches NOTHING in the map
+    for k in range(n_lost):
+        R, t = _gt_pose(k, 60)
+        vo.process_frame(_render_features(world_b[0], world_b[1], R, t, rng))
+    # the reboot dropped the engine to bootstrap mode at some point
+    assert vo.state.lost_streak == 0  # reboot consumed the streak
+
+    for k in range(n2):
+        R, t = _gt_pose(k, 60)
+        vo.process_frame(_render_features(world_b[0], world_b[1], R, t, rng))
+    st = vo.state
+    assert st.initialized, "engine failed to re-initialize on the new scene"
+    assert vo.map is not None, "device map not rebuilt after re-init"
+    assert len(st.trajectory) == n1 + n_lost + n2
+    assert len(st.keyframes) > kf_before + 1
+    # the tail of the trajectory moves again (not the frozen zombie pose)
+    cs = [
+        -R.T @ t for _, R, t in st.trajectory[-10:]
+    ]
+    steps = [np.linalg.norm(cs[i + 1] - cs[i]) for i in range(len(cs) - 1)]
+    assert max(steps) > 1e-4
