@@ -135,6 +135,11 @@ def _desc_patch_kernel(
             patch, xw.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # bf16 BY DESIGN (the kernel's accuracy class): pin DEFAULT so
+            # an ambient highest-precision context (utils.precision.precise
+            # callers like slam.twoview) cannot rewrite this into a
+            # multi-pass matmul Mosaic rejects ("Bad lhs type")
+            precision=jax.lax.Precision.DEFAULT,
         )                                      # [WIN_Y, LC]
         r = jnp.maximum(1.0 - jnp.abs(rr - yr), 0.0)  # y hat weight
         out_ref[j, :] = jnp.sum(xsel * r, axis=0)

@@ -491,9 +491,13 @@ def _g2_maps_tiled_kernel(
     clo = clo_ref[cls]
 
     dn = (((2,), (1,)), ((0,), (0,)))
+    # bf16x3 BY DESIGN: pin DEFAULT so an ambient highest-precision
+    # context (precise-wrapped callers) cannot rewrite these into
+    # multi-pass matmuls Mosaic rejects ("Bad lhs type")
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     # bf16x3: C*R = (Chi + Clo)(Rhi + Rlo) minus the negligible Clo*Rlo term
     basis = dot(chi, rows_hi) + dot(chi, rows_lo) + dot(clo, rows_hi)
@@ -663,9 +667,13 @@ def _g2_features_full_kernel(
     chi = chi_ref[cls]  # [K, tile_h + 2*ext, band_h] bf16
     clo = clo_ref[cls]
     dn = (((2,), (1,)), ((0,), (0,)))
+    # bf16x3 BY DESIGN: pin DEFAULT so an ambient highest-precision
+    # context (precise-wrapped callers) cannot rewrite these into
+    # multi-pass matmuls Mosaic rejects ("Bad lhs type")
     dot = functools.partial(
         jax.lax.dot_general, dimension_numbers=dn,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     basis = dot(chi, rows_hi) + dot(chi, rows_lo) + dot(clo, rows_hi)
     basis_ref[0] = basis[:, ext : ext + tile_h, :]
@@ -1432,18 +1440,21 @@ def _pyr_down_kernel(
     mc = mc_ref[cls]  # [th2, band_h] bf16 (exact)
     phi = padded.astype(jnp.bfloat16)
     plo = (padded - phi.astype(jnp.float32)).astype(jnp.bfloat16)
-    rows = (
-        jax.lax.dot_general(mc, phi, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(mc, plo, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    )  # [th2, wo] fp32: column blur + row decimation
+    _dn = (((1,), (0,)), ((), ()))
+    _dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=_dn,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,  # bf16 hi/lo split by design
+    )
+    rows = _dot(mc, phi) + _dot(mc, plo)  # [th2, wo]: col blur + row decim
     rhi = rows.astype(jnp.bfloat16)
     rlo = (rows - rhi.astype(jnp.float32)).astype(jnp.bfloat16)
     mx = mx_ref[:]
     out_ref[0] = (
-        jnp.dot(rhi, mx, preferred_element_type=jnp.float32)
-        + jnp.dot(rlo, mx, preferred_element_type=jnp.float32)
+        jnp.dot(rhi, mx, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+        + jnp.dot(rlo, mx, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     )  # row blur + lane decimation
 
 
