@@ -105,6 +105,19 @@ class VOConfig(NamedTuple):
     # landmarks re-triangulated every keyframe without it). 0 disables.
     rescue_radius_px: float = 12.0
     rescue_min_cos: float = 0.6
+    # Kinematic speed prior (opt-in; (0, 0) = off): on keyframe
+    # promotion, the new inter-keyframe baseline is clamped into
+    # [lo, hi] x rolling-median(last speed_prior_window accepted
+    # baselines); the promotion increment (pose + this promotion's FRESH
+    # landmarks, rescaled about the previous keyframe center) is
+    # corrected to the clamp. Monocular scale drift is a multiplicative
+    # random walk with occasional runaways (measured city-loop collapse:
+    # 75x in 25 frames); for platforms with bounded acceleration
+    # (vehicles, handheld video) this bounds the per-window drift to
+    # ~log(hi) without touching healthy operation (normal per-keyframe
+    # variation is +-30%, drift ~0.1%/keyframe).
+    speed_prior_band: Tuple[float, float] = (0.0, 0.0)
+    speed_prior_window: int = 64
 
     @property
     def rescue_radius_norm(self) -> float:
@@ -165,6 +178,8 @@ class VOState:
     # consecutive frames with < 8 tracked landmarks and no relocalization;
     # at REBOOT_AFTER_LOST the engine re-bootstraps a fresh map
     lost_streak: int = 0
+    # rolling accepted inter-keyframe baselines (speed prior; map units)
+    kf_baselines: List[float] = dataclasses.field(default_factory=list)
     # lazily built device-resident SignatureIndex (slam.loopclosure);
     # NOT checkpointed — rebuilt from keyframe features after a restore
     sig_index: Optional[object] = dataclasses.field(default=None, repr=False)
@@ -967,8 +982,63 @@ def _rebootstrap(state: VOState, feats: Features) -> None:
     state.track_version += 1
 
 
+def apply_speed_prior(state: VOState, fresh_ids=None) -> bool:
+    """Clamp the newest keyframe's baseline into the kinematic band
+    (VOConfig.speed_prior_band); returns True when a correction applied.
+
+    On violation, the promotion INCREMENT is rescaled about the previous
+    keyframe's center: the new pose moves to the clamped baseline and
+    ``fresh_ids`` landmarks (this promotion's fresh triangulations, whose
+    depths encode the bad baseline) rescale with it; pre-existing
+    landmarks keep their positions. The rolling median then absorbs the
+    corrected value, bounding cumulative runaway drift per window."""
+    lo, hi = state.config.speed_prior_band
+    if hi <= 0 or len(state.keyframes) < 2:
+        return False
+    kf, prev = state.keyframes[-1], state.keyframes[-2]
+    c_prev = -prev.R.T @ prev.t
+    c_new = -kf.R.T @ kf.t
+    b = float(np.linalg.norm(c_new - c_prev))
+    hist = state.kf_baselines
+    corrected = False
+    if len(hist) >= 8:
+        med = float(np.median(hist[-state.config.speed_prior_window:]))
+        b_cl = float(np.clip(b, lo * med, hi * med))
+        if b > 1e-12 and abs(b_cl - b) > 1e-9 * med:
+            r = b_cl / b
+            c_corr = c_prev + (c_new - c_prev) * r
+            kf.t = (-kf.R @ c_corr).astype(np.float32)
+            if fresh_ids is not None and len(fresh_ids):
+                X = state.landmarks[fresh_ids]
+                state.landmarks[fresh_ids] = (
+                    c_prev + (X - c_prev) * r
+                ).astype(np.float32)
+            state.trajectory[-1] = (state.frame_count, kf.R.copy(), kf.t.copy())
+            state.track_version += 1
+            b = b_cl
+            corrected = True
+    hist.append(b)
+    if len(hist) > 4 * state.config.speed_prior_window:
+        del hist[: -2 * state.config.speed_prior_window]
+    return corrected
+
+
+def _fresh_ids_of_last_kf(state: VOState) -> np.ndarray:
+    """Landmark ids observed by the newest keyframe but by no other
+    window keyframe — this promotion's fresh triangulations."""
+    seen: set = set()
+    for old in state.keyframes[-state.config.window:-1]:
+        seen.update(old.landmark_ids[old.landmark_ids >= 0].tolist())
+    ids = state.keyframes[-1].landmark_ids
+    return np.asarray(
+        [i for i in ids[ids >= 0].tolist() if i not in seen], np.int64
+    )
+
+
 def _keyframe_epilogue(state: VOState) -> None:
     """Loop closure + trajectory sync after a keyframe's windowed BA."""
+    if state.config.speed_prior_band[1] > 0:
+        apply_speed_prior(state, fresh_ids=_fresh_ids_of_last_kf(state))
     if state.config.loop_closure:
         from cvsteer_tpu.slam.loopclosure import close_loops, close_loops_sim3
 

@@ -1099,6 +1099,8 @@ class DeviceVO:
             self._mirror_window(kf_R, kf_t)
             st.trajectory[-1] = (st.frame_count, kf_R[-1].copy(), kf_t[-1].copy())
             st.traj_ref[-1] = None  # keyframe entry: anchored to itself
+            if cfg.speed_prior_band[1] > 0:
+                self._speed_prior()
             if cfg.loop_closure:
                 # closure candidates rode home with the step fetch:
                 # detection cost the event zero extra round-trips, and a
@@ -1118,6 +1120,30 @@ class DeviceVO:
                 ):
                     self._closure(cand)
         st.frame_count += 1
+
+    def _speed_prior(self) -> None:
+        """Kinematic clamp of the newest keyframe's baseline (see
+        vo.apply_speed_prior). The cheap check runs on the host pose
+        mirrors every promotion; only an actual violation pays the
+        sync + fresh-landmark rescale + re-upload round-trip."""
+        st = self.state
+        cfg = st.config
+        if len(st.keyframes) < 2:
+            return
+        kf, prev = st.keyframes[-1], st.keyframes[-2]
+        b = float(np.linalg.norm(-kf.R.T @ kf.t + prev.R.T @ prev.t))
+        hist = st.kf_baselines
+        if len(hist) >= 8:
+            med = float(np.median(hist[-cfg.speed_prior_window:]))
+            lo, hi = cfg.speed_prior_band
+            if not (lo * med <= b <= hi * med):
+                self.sync_host()
+                hostvo.apply_speed_prior(
+                    st, fresh_ids=hostvo._fresh_ids_of_last_kf(st)
+                )
+                self._upload()
+                return
+        hostvo.apply_speed_prior(st)  # in-band: just record the baseline
 
     def _handle_lost(self, feats: Features) -> None:
         """Tracking loss: sync down, run the host relocalize/track path for
