@@ -274,7 +274,9 @@ def phase_descriptors_g4(
     L2-normalized into the descriptor. The narrower 4th-order angular
     tuning trades some rotation tolerance for extra selectivity.
     """
-    samples, _, _ = _rotated_grid_samples(basis, keypoints, grid, spacing)
+    samples, _, _ = _rotated_grid_samples(
+        basis, keypoints, grid, spacing, fp32=fp32_sampling
+    )
     return _steer_g4_normalize(samples, keypoints, pi_invariant=pi_invariant)
 
 

@@ -300,10 +300,12 @@ def detect_keypoints_packed(
         pad = max_keypoints - kk
         vals = jnp.pad(vals, (0, pad), constant_values=-jnp.inf)
         cidx = jnp.pad(cidx, (0, pad))
-    # Masked cells carry the finite P3_SENTINEL EXACTLY (the cell pick is
-    # bit-exact); kk-padding stays -inf. Both fail a strict > against the
-    # sentinel itself, and every real packed score sits far above it.
-    valid = vals > P3_SENTINEL
+    # Masked cells carry the finite P3_SENTINEL (the cell pick is bit-exact
+    # today); kk-padding stays -inf. Compare with half-sentinel MARGIN so a
+    # backend change that rounds the one-hot pick by an ulp can't turn a
+    # masked cell into a valid keypoint — every real packed score sits
+    # orders of magnitude above the sentinel, so the margin costs nothing.
+    valid = vals > P3_SENTINEL * 0.5
     bits = lax.bitcast_convert_type(vals, jnp.int32)
     off = bits & 15
     score = lax.bitcast_convert_type(bits & ~15, jnp.float32)  # 2^-19-exact

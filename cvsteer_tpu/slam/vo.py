@@ -353,7 +353,17 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
         # forward motion accumulates parallax slowly and the reference
         # goes stale (feature churn) before parallax arrives: re-seed the
         # bootstrap keyframe with the CURRENT frame so the init pair is
-        # always matchable
+        # always matchable. Guards: (a) never seed a featureless frame
+        # (a blank bootstrap reference strands initialization — the same
+        # n_valid >= 16 rule _decide_keyframe applies), and (b) REPLACE a
+        # previous failed re-seed (a bootstrap keyframe that registered no
+        # landmarks) instead of appending — a blackout stretch otherwise
+        # grows one keyframe per frame, permanently consuming
+        # loop_sig_capacity rows and distorting window/min_gap semantics.
+        if int(np.asarray(feats.valid).sum()) < 16:
+            return False
+        if len(state.keyframes) >= 2 and not (kf0.landmark_ids >= 0).any():
+            state.keyframes.pop()
         n = feats.yx.shape[0]
         state.keyframes.append(
             Keyframe(

@@ -1130,6 +1130,10 @@ class DeviceVO:
         cfg = st.config
         if len(st.keyframes) < 2:
             return
+        # fleet rows hand the engine its map row before complete() runs
+        # (needs_map covers speed_prior_band); without it a violation's
+        # sync/rescale/upload would act on a dangling per-engine map
+        assert self.map is not None, "_speed_prior requires the device map"
         kf, prev = st.keyframes[-1], st.keyframes[-2]
         b = float(np.linalg.norm(-kf.R.T @ kf.t + prev.R.T @ prev.t))
         hist = st.kf_baselines
@@ -1520,7 +1524,10 @@ class DeviceVOFleet:
             needs_map = (
                 bool(res.lost)
                 or not (np.isfinite(res.R).all() and np.isfinite(res.t).all())
-                or (bool(res.promoted) and cfg.loop_closure)
+                or (
+                    bool(res.promoted)
+                    and (cfg.loop_closure or cfg.speed_prior_band[1] > 0)
+                )
             )
             if needs_map:
                 # event path (reloc / closure): hand the row to the engine,
@@ -1737,7 +1744,10 @@ class DeviceVOFleet:
             is_lost = bool(res.lost) or not (
                 np.isfinite(res.R).all() and np.isfinite(res.t).all()
             )
-            needs_map = is_lost or (bool(res.promoted) and cfg.loop_closure)
+            needs_map = is_lost or (
+                bool(res.promoted)
+                and (cfg.loop_closure or cfg.speed_prior_band[1] > 0)
+            )
             if needs_map:
                 self._gather_out(i)
                 eng.complete(frames[i], res)

@@ -39,8 +39,16 @@ def step_annotation(name: str, step: Optional[int] = None) -> Iterator[None]:
 
 
 def device_memory_stats() -> dict:
-    """Per-device memory stats (bytes) where the backend exposes them."""
+    """Per-device memory stats (bytes) where the backend exposes them.
+
+    Backends without allocator stats (``d.memory_stats()`` returns None —
+    e.g. the tunneled axon TPU client) fall back to live-array accounting:
+    the summed on-device bytes of every live jax.Array on that device.
+    That is bytes-in-use by program state (no allocator overhead or
+    transient scratch), so callers wanting a peak should SAMPLE it at
+    high-water moments (see utils.profiling.MemoryHighWater)."""
     out = {}
+    live = None
     for d in jax.devices():
         try:
             stats = d.memory_stats()
@@ -51,7 +59,43 @@ def device_memory_stats() -> dict:
                 "bytes_in_use": stats.get("bytes_in_use", 0),
                 "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
             }
+            continue
+        if live is None:
+            live = [a for a in jax.live_arrays() if a.is_fully_addressable]
+        n = 0
+        for a in live:
+            try:
+                if d in a.devices():
+                    n += a.nbytes // len(a.devices())
+            except Exception:
+                continue
+        out[str(d)] = {"live_array_bytes": int(n), "source": "live_arrays"}
     return out
+
+
+class MemoryHighWater:
+    """Rolling high-water mark over :func:`device_memory_stats` samples.
+
+    ``sample()`` after allocation-heavy moments (keyframe promotion,
+    closure events); ``peak`` holds the per-device maximum of every field
+    seen. Gives a real peak envelope on backends whose allocator exposes
+    none (the live-array fallback only measures the sampled instants)."""
+
+    def __init__(self):
+        self.peak: dict = {}
+        self.samples = 0
+
+    def sample(self) -> dict:
+        cur = device_memory_stats()
+        self.samples += 1
+        for dev, fields in cur.items():
+            slot = self.peak.setdefault(dev, {})
+            for k, v in fields.items():
+                if isinstance(v, (int, float)):
+                    slot[k] = max(slot.get(k, 0), v)
+                else:
+                    slot[k] = v
+        return cur
 
 
 def trace_device_events(run_once, iters: int = 4, logdir: str = "/tmp/cvsteer_trace"):
