@@ -138,6 +138,12 @@ class Keyframe:
     # whose slot now holds a DIFFERENT landmark). None on host-engine
     # keyframes — the host loop clears culled ids synchronously instead.
     landmark_gens: Optional[np.ndarray] = None
+    # landmark ids freshly TRIANGULATED at this keyframe's promotion
+    # (recorded at registration — the only reliable source: fresh ids are
+    # registered into the PREVIOUS keyframe's table too, so recomputing
+    # them later from observation tables finds nothing). Consumed by the
+    # speed prior's increment rescale. None = no fresh registrations.
+    fresh_ids: Optional[np.ndarray] = None
     # lazily computed global descriptor (loopclosure.keyframe_signature);
     # lives on the keyframe so its lifetime is tied to the owning object
     signature: Optional[np.ndarray] = None
@@ -178,8 +184,18 @@ class VOState:
     # consecutive frames with < 8 tracked landmarks and no relocalization;
     # at REBOOT_AFTER_LOST the engine re-bootstraps a fresh map
     lost_streak: int = 0
-    # rolling accepted inter-keyframe baselines (speed prior; map units)
+    # rolling accepted per-frame SPEEDS (inter-keyframe baseline / frame
+    # gap, map units/frame) — recorded at EVERY promotion; consumed by the
+    # speed prior's band clamp and by scale-continuous re-initialization
+    # (_try_initialize): monocular scale is arbitrary per two-view init,
+    # so a re-bootstrap would otherwise start a fresh scale REGIME (the
+    # round-4 campaign's 0.04x-2x segment profile)
     kf_baselines: List[float] = dataclasses.field(default_factory=list)
+    # diagnostic event log (None = off): engines append small dicts
+    # ({"ev": "kf"|"init"|"reboot"|"reseed"|"reloc"|"closure"|
+    # "speed_prior", "f": frame, ...}) when a list is installed here.
+    # Not checkpointed; costs nothing when None.
+    diag: Optional[list] = dataclasses.field(default=None, repr=False)
     # lazily built device-resident SignatureIndex (slam.loopclosure);
     # NOT checkpointed — rebuilt from keyframe features after a restore
     sig_index: Optional[object] = dataclasses.field(default=None, repr=False)
@@ -362,6 +378,7 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
         # loop_sig_capacity rows and distorting window/min_gap semantics.
         if int(np.asarray(feats.valid).sum()) < 16:
             return False
+        _diag(state, ev="reseed")
         if len(state.keyframes) >= 2 and not (kf0.landmark_ids >= 0).any():
             state.keyframes.pop()
         n = feats.yx.shape[0]
@@ -398,10 +415,28 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
     # pose/points are relative to kf0; compose onto kf0's world pose
     # (identity for a fresh state, the reboot anchor otherwise)
     X_c0 = np.asarray(pose.points)
-    X = (X_c0 - kf0.t) @ kf0.R  # R0^T (X - t0): camera-0 -> world
     n_new = int(good.sum())
     if n_new < state.config.init_min_inliers:
         return False
+
+    # SCALE-CONTINUOUS re-initialization: recover_pose's baseline is the
+    # essential decomposition's unit vector — arbitrary map scale. For a
+    # FRESH map that defines the gauge; after a re-bootstrap it would
+    # start a new, unrelated scale REGIME (the round-4 campaign profile:
+    # segments at 0.04x..2x of global scale = one regime per re-init).
+    # When a speed history exists, rescale the init increment so the
+    # bootstrap baseline matches rolling-median-speed x frames-elapsed —
+    # the new map continues the old map's scale to median accuracy.
+    s_init = 1.0
+    med = median_speed(state)
+    if med is not None and med > 1e-12:
+        s_init = med * max(state.frame_count - kf0.index, 1)
+    X_c0 = X_c0 * s_init
+    X = (X_c0 - kf0.t) @ kf0.R  # R0^T (X - t0): camera-0 -> world
+    _diag(
+        state, ev="init", kf0_frame=int(kf0.index), n_inliers=n_new,
+        scale=s_init,
+    )
 
     # register landmarks into the first free slots (for a fresh host state
     # that is the contiguous tail, so ids match the old monotone counter;
@@ -419,16 +454,23 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
     lm_ids = np.full(feats.yx.shape[0], -1, np.int64)
     lm_ids[idx[feat_ids0]] = new_ids
     R_rel = np.asarray(pose.R)
-    t_rel = np.asarray(pose.t)
+    t_rel = np.asarray(pose.t) * s_init  # same gauge as the scaled points
     R = (R_rel @ kf0.R).astype(np.float32)
     t = (R_rel @ kf0.t + t_rel).astype(np.float32)
     state.keyframes.append(
-        Keyframe(state.frame_count, feats, R, t, lm_ids)
+        Keyframe(state.frame_count, feats, R, t, lm_ids,
+                 fresh_ids=new_ids.astype(np.int64))
     )
     state.trajectory.append((state.frame_count, R, t))
     state.traj_ref.append(None)  # keyframe entry: anchored to itself
     state.initialized = True
     state.track_version += 1  # fresh landmark registrations
+    # seed the speed history with the init pair's implied per-frame speed
+    # (== the rolling median when continuity applied; the fresh-map gauge
+    # speed otherwise) so re-inits hold scale even before 8 promotions
+    state.kf_baselines.append(
+        s_init / max(state.frame_count - kf0.index, 1)
+    )
     return True
 
 
@@ -871,6 +913,7 @@ def _kf_fused_complete(state: VOState, fetched, ctx):
         lm_ids[np.maximum(idx, 0)[ok_slots]] = new_ids
 
     _kf_append(state, feats, R, t, lm_ids, x_new, fvalid)
+    state.keyframes[-1].fresh_ids = new_ids.astype(np.int64)
     if not ba_valid:
         state.track_version += 1  # fresh registrations moved the map
         return
@@ -938,24 +981,35 @@ def _decide_keyframe(
         reloc = _relocalize(state, feats)
         if reloc is not None:
             R, t, n_tracked, idx, valid, ref_kf = reloc
+            _diag(state, ev="reloc", ref_kf=int(ref_kf), n=int(n_tracked))
     if n_tracked < 8:
+        # LOST (relocalization failed too). The PnP pose behind (R, t) is
+        # a fit on < 8 associations — garbage. It must neither enter the
+        # trajectory nor, critically, become a KEYFRAME: a garbage-pose
+        # keyframe re-anchors the map at an arbitrary pose AND scale, and
+        # tracking then continues happily against it — the round-4
+        # campaign's discrete scale-regime failure (measured: a 1-inlier
+        # promotion with baseline 42.8 at a scene cut, after which the
+        # map ran at 0.6x the previous scale with no reboot ever firing).
+        # Hold the last keyframe pose; after REBOOT_AFTER_LOST frames
+        # re-bootstrap (scale-continuous re-init preserves the gauge).
         state.lost_streak += 1
+        _diag(state, ev="lost", n=int(n_tracked), streak=state.lost_streak)
+        kf = state.keyframes[-1]
+        _append_traj(state, kf.R, kf.t)
         # n_valid >= 16: never re-bootstrap onto a featureless frame (a
         # blank bootstrap keyframe would strand initialization)
         if state.lost_streak >= REBOOT_AFTER_LOST and n_valid >= 16:
             # persistent loss with no relocalization match: the map is
             # unrecoverable from here (e.g. the landmark store starved or
             # the scene changed completely). Re-bootstrap a FRESH map
-            # anchored at the last keyframe pose — monocular scale resets
-            # with it (unavoidable without an absolute reference), but the
-            # engine keeps serving instead of appending a frozen pose
-            # forever (the round-4 city-loop zombie failure).
-            kf = state.keyframes[-1]
-            _append_traj(state, kf.R, kf.t)
+            # anchored at the last keyframe pose — the engine keeps
+            # serving instead of appending a frozen pose forever (the
+            # round-4 city-loop zombie failure), and the scale-continuous
+            # re-init carries the map scale across the reset.
             _rebootstrap(state, feats)
-            return None
-    else:
-        state.lost_streak = 0
+        return None
+    state.lost_streak = 0
     _append_traj(state, R, t)
 
     gap = state.frame_count - state.keyframes[-1].index
@@ -990,30 +1044,54 @@ def _rebootstrap(state: VOState, feats: Features) -> None:
     state.initialized = False
     state.lost_streak = 0
     state.track_version += 1
+    _diag(state, ev="reboot", n_kf=len(state.keyframes))
+
+
+def _diag(state: VOState, **ev) -> None:
+    """Append a diagnostic event when VOState.diag is installed."""
+    if state.diag is not None:
+        ev.setdefault("f", state.frame_count)
+        state.diag.append(ev)
+
+
+def median_speed(state: VOState) -> Optional[float]:
+    """Rolling-median per-frame speed (map units/frame) over the last
+    ``speed_prior_window`` accepted promotions; None below 8 samples."""
+    hist = state.kf_baselines
+    if len(hist) < 8:
+        return None
+    return float(np.median(hist[-state.config.speed_prior_window:]))
 
 
 def apply_speed_prior(state: VOState, fresh_ids=None) -> bool:
-    """Clamp the newest keyframe's baseline into the kinematic band
-    (VOConfig.speed_prior_band); returns True when a correction applied.
+    """Record the newest keyframe's per-frame speed; when the kinematic
+    band (VOConfig.speed_prior_band) is enabled, clamp the baseline into
+    [lo, hi] x rolling-median-speed x frame-gap first. Returns True when
+    a correction applied.
 
     On violation, the promotion INCREMENT is rescaled about the previous
     keyframe's center: the new pose moves to the clamped baseline and
     ``fresh_ids`` landmarks (this promotion's fresh triangulations, whose
     depths encode the bad baseline) rescale with it; pre-existing
     landmarks keep their positions. The rolling median then absorbs the
-    corrected value, bounding cumulative runaway drift per window."""
-    lo, hi = state.config.speed_prior_band
-    if hi <= 0 or len(state.keyframes) < 2:
+    corrected value, bounding cumulative runaway drift per window.
+
+    Speeds (baseline / frame gap) rather than raw baselines make the
+    history gap-policy-independent: parallax-driven keyframing promotes
+    at variable gaps, and a vehicle's bounded acceleration bounds speed,
+    not inter-keyframe distance."""
+    if len(state.keyframes) < 2:
         return False
+    lo, hi = state.config.speed_prior_band
     kf, prev = state.keyframes[-1], state.keyframes[-2]
+    gap = max(kf.index - prev.index, 1)
     c_prev = -prev.R.T @ prev.t
     c_new = -kf.R.T @ kf.t
     b = float(np.linalg.norm(c_new - c_prev))
-    hist = state.kf_baselines
+    med = median_speed(state)
     corrected = False
-    if len(hist) >= 8:
-        med = float(np.median(hist[-state.config.speed_prior_window:]))
-        b_cl = float(np.clip(b, lo * med, hi * med))
+    if hi > 0 and med is not None:
+        b_cl = float(np.clip(b, lo * med * gap, hi * med * gap))
         if b > 1e-12 and abs(b_cl - b) > 1e-9 * med:
             r = b_cl / b
             c_corr = c_prev + (c_new - c_prev) * r
@@ -1025,43 +1103,55 @@ def apply_speed_prior(state: VOState, fresh_ids=None) -> bool:
                 ).astype(np.float32)
             state.trajectory[-1] = (state.frame_count, kf.R.copy(), kf.t.copy())
             state.track_version += 1
+            _diag(state, ev="speed_prior", b=b, b_clamped=b_cl, gap=gap)
             b = b_cl
             corrected = True
-    hist.append(b)
+    hist = state.kf_baselines
+    hist.append(b / gap)
     if len(hist) > 4 * state.config.speed_prior_window:
         del hist[: -2 * state.config.speed_prior_window]
     return corrected
 
 
 def _fresh_ids_of_last_kf(state: VOState) -> np.ndarray:
-    """Landmark ids observed by the newest keyframe but by no other
-    window keyframe — this promotion's fresh triangulations."""
-    seen: set = set()
-    for old in state.keyframes[-state.config.window:-1]:
-        seen.update(old.landmark_ids[old.landmark_ids >= 0].tolist())
-    ids = state.keyframes[-1].landmark_ids
-    return np.asarray(
-        [i for i in ids[ids >= 0].tolist() if i not in seen], np.int64
-    )
+    """This promotion's fresh triangulations (Keyframe.fresh_ids).
+
+    Recorded at registration time — an observation-table recomputation
+    cannot work, because fresh ids are registered into the PREVIOUS
+    keyframe's table in the same promotion (both engines) and so appear
+    'already seen' immediately."""
+    ids = state.keyframes[-1].fresh_ids
+    return ids if ids is not None else np.empty(0, np.int64)
 
 
 def _keyframe_epilogue(state: VOState) -> None:
     """Loop closure + trajectory sync after a keyframe's windowed BA."""
     if state.config.speed_prior_band[1] > 0:
         apply_speed_prior(state, fresh_ids=_fresh_ids_of_last_kf(state))
+    else:
+        apply_speed_prior(state)  # record-only: feeds scale-continuous init
     if state.config.loop_closure:
+        import time as _time
+
         from cvsteer_tpu.slam.loopclosure import close_loops, close_loops_sim3
 
         closer = (
             close_loops_sim3 if state.config.loop_closure_sim3 else close_loops
         )
-        closer(
+        t0 = _time.perf_counter()
+        n_closed = closer(
             state,
             min_gap=state.config.loop_min_gap,
             min_inliers=state.config.loop_min_inliers,
             huber_delta=state.config.loop_robust_delta,
             signature_threshold=state.config.loop_signature_threshold,
         )
+        if state.diag is not None:
+            _diag(
+                state, ev="closure", accepted=int(n_closed or 0),
+                K=len(state.keyframes),
+                solve_ms=round((_time.perf_counter() - t0) * 1e3, 2),
+            )
         state.track_version += 1  # closure may rewrite poses + landmarks
     kf = state.keyframes[-1]
     # the windowed BA just refined this pose — reflect it in the trajectory
@@ -1087,6 +1177,26 @@ def _post_track(
             x_new=x_new, fvalid=fvalid,
         )
         _keyframe_epilogue(state)
+        if state.diag is not None and len(state.keyframes) >= 2:
+            kf, prev = state.keyframes[-1], state.keyframes[-2]
+            _diag(
+                state, ev="kf", n_kf=len(state.keyframes),
+                b=float(np.linalg.norm(-kf.R.T @ kf.t + prev.R.T @ prev.t)),
+                gap=int(kf.index - prev.index), n_tracked=int(n_tracked),
+                reason=(
+                    "track"
+                    if n_tracked < state.config.track_min_landmarks
+                    else "gap"
+                ),
+                fresh=int(
+                    (kf.landmark_ids >= 0).sum()
+                    - np.isin(
+                        kf.landmark_ids, prev.landmark_ids[
+                            prev.landmark_ids >= 0
+                        ]
+                    ).sum()
+                ),
+            )
     state.frame_count += 1
     return state
 

@@ -1085,13 +1085,33 @@ class DeviceVO:
             kf_t = np.asarray(fetched.kf_t)
             st.num_landmarks = int(fetched.lm_count)
             obs_new = np.asarray(fetched.obs_new).astype(np.int64)
+            obs_gen = np.where(
+                obs_new >= 0, np.asarray(fetched.obs_gen), 0
+            ).astype(np.int32)
+            # fresh triangulations of THIS promotion: (id, gen) pairs in
+            # obs_new absent from every window keyframe's host mirror —
+            # valid exactly HERE, before any sync refreshes the previous
+            # keyframe's table (the device registered the fresh slots
+            # there too). Consumed by the speed prior's increment rescale.
+            sel = obs_new >= 0
+            key_new = obs_new[sel] << 32 | obs_gen[sel].astype(np.int64)
+            seen = [np.empty(0, np.int64)]
+            for kf in st.keyframes[-(cfg.window - 1):]:
+                ids = kf.landmark_ids
+                ksel = ids >= 0
+                gens = (
+                    kf.landmark_gens
+                    if kf.landmark_gens is not None
+                    else np.zeros(ids.shape[0], np.int32)
+                )
+                seen.append(ids[ksel] << 32 | gens[ksel].astype(np.int64))
+            fresh = obs_new[sel][~np.isin(key_new, np.concatenate(seen))]
             st.keyframes.append(
                 Keyframe(
                     st.frame_count, feats, kf_R[-1].copy(), kf_t[-1].copy(),
                     obs_new,
-                    landmark_gens=np.where(
-                        obs_new >= 0, np.asarray(fetched.obs_gen), 0
-                    ).astype(np.int32),
+                    landmark_gens=obs_gen,
+                    fresh_ids=fresh,
                 )
             )
             # poses refresh every promote; the OLDER window keyframes'
@@ -1099,8 +1119,22 @@ class DeviceVO:
             self._mirror_window(kf_R, kf_t)
             st.trajectory[-1] = (st.frame_count, kf_R[-1].copy(), kf_t[-1].copy())
             st.traj_ref[-1] = None  # keyframe entry: anchored to itself
-            if cfg.speed_prior_band[1] > 0:
-                self._speed_prior()
+            self._speed_prior()  # record-only when the band is off
+            if st.diag is not None and len(st.keyframes) >= 2:
+                kf, prev = st.keyframes[-1], st.keyframes[-2]
+                hostvo._diag(
+                    st, ev="kf", n_kf=len(st.keyframes),
+                    b=float(np.linalg.norm(
+                        -kf.R.T @ kf.t + prev.R.T @ prev.t
+                    )),
+                    gap=int(kf.index - prev.index),
+                    n_tracked=int(fetched.n_tracked),
+                    reason=(
+                        "track"
+                        if int(fetched.n_tracked) < cfg.track_min_landmarks
+                        else "gap"
+                    ),
+                )
             if cfg.loop_closure:
                 # closure candidates rode home with the step fetch:
                 # detection cost the event zero extra round-trips, and a
@@ -1130,24 +1164,28 @@ class DeviceVO:
         cfg = st.config
         if len(st.keyframes) < 2:
             return
-        # fleet rows hand the engine its map row before complete() runs
-        # (needs_map covers speed_prior_band); without it a violation's
-        # sync/rescale/upload would act on a dangling per-engine map
-        assert self.map is not None, "_speed_prior requires the device map"
         kf, prev = st.keyframes[-1], st.keyframes[-2]
+        gap = max(kf.index - prev.index, 1)
         b = float(np.linalg.norm(-kf.R.T @ kf.t + prev.R.T @ prev.t))
-        hist = st.kf_baselines
-        if len(hist) >= 8:
-            med = float(np.median(hist[-cfg.speed_prior_window:]))
-            lo, hi = cfg.speed_prior_band
-            if not (lo * med <= b <= hi * med):
-                self.sync_host()
-                hostvo.apply_speed_prior(
-                    st, fresh_ids=hostvo._fresh_ids_of_last_kf(st)
-                )
-                self._upload()
-                return
-        hostvo.apply_speed_prior(st)  # in-band: just record the baseline
+        med = hostvo.median_speed(st)
+        lo, hi = cfg.speed_prior_band
+        if hi > 0 and med is not None and not (
+            lo * med * gap <= b <= hi * med * gap
+        ):
+            # violation: the correction rewrites poses + fresh landmarks —
+            # it needs this engine's device map row (the fleet's needs_map
+            # hands the row over before complete() when the band is on;
+            # without it _upload would write a dangling per-engine map)
+            assert self.map is not None, (
+                "_speed_prior clamp requires the device map"
+            )
+            self.sync_host()
+            hostvo.apply_speed_prior(
+                st, fresh_ids=hostvo._fresh_ids_of_last_kf(st)
+            )
+            self._upload()
+            return
+        hostvo.apply_speed_prior(st)  # in-band: record the speed only
 
     def _handle_lost(self, feats: Features) -> None:
         """Tracking loss: sync down, run the host relocalize/track path for
@@ -1166,7 +1204,9 @@ class DeviceVO:
     def _closure(self, candidates=None) -> None:
         from cvsteer_tpu.slam.loopclosure import close_loops, close_loops_sim3
 
+        t0 = time.perf_counter()
         st = self.sync_host()
+        t_sync = time.perf_counter()
         cfg = st.config
         closer = close_loops_sim3 if cfg.loop_closure_sim3 else close_loops
         n = closer(
@@ -1180,6 +1220,12 @@ class DeviceVO:
         if n:
             self.closures_accepted += n
             self._closure_cooldown = cfg.loop_cooldown
+        if st.diag is not None:
+            hostvo._diag(
+                st, ev="closure", accepted=int(n), K=len(st.keyframes),
+                sync_ms=round((t_sync - t0) * 1e3, 2),
+                solve_ms=round((time.perf_counter() - t_sync) * 1e3, 2),
+            )
         st.track_version += 1
         # refresh the latest trajectory entry from the corrected keyframe
         kf = st.keyframes[-1]

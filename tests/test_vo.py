@@ -409,3 +409,111 @@ def test_vo_with_lens_distortion():
         f"pinhole-on-distorted ATE {ate_pinhole:.3f} vs {ate_corrected:.3f} "
         "— coefficients not applied?"
     )
+
+
+# ---- kinematic speed prior + scale-continuous re-init (round 5) ----------
+
+
+def _two_kf_state(b, gap=3, speeds=(0.1,) * 10, band=(0.5, 1.6)):
+    """State with a speed history and two keyframes ``b`` apart (x axis)."""
+    from cvsteer_tpu.slam.vo import Keyframe
+
+    cfg = VOConfig(intrinsics=K, speed_prior_band=band)
+    state = init_vo(cfg)
+    state.kf_baselines = list(speeds)
+    Re = np.eye(3, dtype=np.float32)
+    state.keyframes.append(
+        Keyframe(0, None, Re.copy(), np.zeros(3, np.float32),
+                 np.full(4, -1, np.int64))
+    )
+    c = np.array([b, 0.0, 0.0], np.float32)
+    state.keyframes.append(
+        Keyframe(gap, None, Re.copy(), (-Re @ c).astype(np.float32),
+                 np.full(4, -1, np.int64))
+    )
+    state.frame_count = gap
+    state.trajectory.append((gap, Re.copy(), state.keyframes[-1].t.copy()))
+    return state
+
+
+def test_speed_prior_inband_noop():
+    """A baseline inside [lo, hi] x med_speed x gap records and changes
+    nothing."""
+    from cvsteer_tpu.slam.vo import apply_speed_prior
+
+    state = _two_kf_state(b=0.3, gap=3)  # band = [0.15, 0.48]
+    t_before = state.keyframes[-1].t.copy()
+    assert apply_speed_prior(state) is False
+    np.testing.assert_array_equal(state.keyframes[-1].t, t_before)
+    assert state.kf_baselines[-1] == pytest.approx(0.1)  # speed = b / gap
+
+
+def test_speed_prior_clamps_runaway():
+    """A runaway baseline is clamped to the band edge; fresh landmarks
+    rescale about the PREVIOUS keyframe's center; the recorded speed is
+    the corrected one."""
+    from cvsteer_tpu.slam.vo import apply_speed_prior
+
+    state = _two_kf_state(b=0.9, gap=3)  # hi edge = 1.6 * 0.1 * 3 = 0.48
+    fid = np.array([5], np.int64)
+    state.landmarks[5] = np.array([2.0, 0.0, 5.0], np.float32)
+    state.landmark_valid[5] = True
+    assert apply_speed_prior(state, fresh_ids=fid) is True
+    c_new = -state.keyframes[-1].R.T @ state.keyframes[-1].t
+    assert np.linalg.norm(c_new) == pytest.approx(0.48, rel=1e-5)
+    r = 0.48 / 0.9
+    np.testing.assert_allclose(
+        state.landmarks[5], np.array([2.0, 0.0, 5.0]) * r, rtol=1e-5
+    )
+    assert state.kf_baselines[-1] == pytest.approx(0.48 / 3, rel=1e-5)
+    # trajectory entry mirrors the corrected pose
+    np.testing.assert_array_equal(
+        state.trajectory[-1][2], state.keyframes[-1].t
+    )
+
+
+def test_speed_prior_collapse_clamped():
+    """The round-4 failure shape: a collapsing baseline (75x over ~25
+    keyframes would be ~0.84x per keyframe) is held at the lo edge."""
+    from cvsteer_tpu.slam.vo import apply_speed_prior
+
+    state = _two_kf_state(b=0.02, gap=3)  # lo edge = 0.5 * 0.1 * 3 = 0.15
+    assert apply_speed_prior(state) is True
+    c_new = -state.keyframes[-1].R.T @ state.keyframes[-1].t
+    assert np.linalg.norm(c_new) == pytest.approx(0.15, rel=1e-5)
+
+
+def test_scale_continuous_reinit():
+    """A mid-run re-bootstrap (scene changes completely) must CONTINUE the
+    old map's scale: the two-view re-init baseline is set from the rolling
+    median speed instead of the essential decomposition's arbitrary unit
+    vector (the round-4 campaign's discrete scale-regime failure)."""
+    XA, descA = _make_world(seed=3)
+    XB, descB = _make_world(seed=44)  # disjoint scene, new descriptors
+    # place scene B along the second half of the path (in front of the
+    # camera there): shift by the mid-path camera position
+    s_mid = np.array([3.0 * 0.55, 0.0, 2.0 * 0.55], np.float32)
+    XB = XB + s_mid
+    rng = np.random.default_rng(9)
+    cfg = VOConfig(intrinsics=K, kf_max_gap=4, window=8,
+                   track_min_landmarks=30)
+    state = init_vo(cfg)
+    state.diag = []
+    n_frames = 90
+    for k in range(n_frames):
+        R, t = _gt_pose(k, n_frames)
+        X, desc = (XA, descA) if k < 45 else (XB, descB)
+        state = process_frame(state, _render_features(X, desc, R, t, rng))
+    evs = [e["ev"] for e in state.diag]
+    assert "reboot" in evs, f"no re-bootstrap happened: {evs}"
+    inits = [e for e in state.diag if e["ev"] == "init"]
+    assert inits, "re-init never completed"
+    # the re-init must have applied a non-unit scale from the history
+    assert any(abs(e["scale"] - 1.0) > 1e-6 for e in inits)
+    # post-reinit keyframe speeds continue the pre-reinit median within 2x
+    pre = [e for e in state.diag if e["ev"] == "kf" and e["f"] < 45]
+    post = [e for e in state.diag if e["ev"] == "kf" and e["f"] > 50]
+    assert len(pre) >= 4 and len(post) >= 2, (len(pre), len(post))
+    med_pre = np.median([e["b"] / e["gap"] for e in pre])
+    med_post = np.median([e["b"] / e["gap"] for e in post])
+    assert 0.5 < med_post / med_pre < 2.0, (med_pre, med_post)
