@@ -104,7 +104,26 @@ class SignatureIndex:
         self.n = 0  # keyframes indexed so far (== next row)
 
     def extend(self, keyframes) -> None:
-        """Index ``keyframes[self.n:]`` (one tiny dispatch per new row)."""
+        """Index ``keyframes[self.n:]`` (one tiny dispatch per new row).
+
+        Keyframes beyond ``capacity`` are NOT indexed (the scatter drops
+        out-of-range rows): detection keeps working against the first
+        ``capacity`` keyframes, so loops onto EARLY map regions still
+        close, but revisits of late regions are silently undetectable —
+        warn LOUDLY once when the run crosses the cliff (policy: raise
+        VOConfig.loop_sig_capacity for full-sequence detection; memory is
+        capacity x D x 4 bytes — 4096 x 48 = 768 KB)."""
+        if len(keyframes) > self.capacity and self.n <= self.capacity:
+            import warnings
+
+            warnings.warn(
+                f"SignatureIndex full: {len(keyframes)} keyframes > "
+                f"capacity {self.capacity}; keyframes beyond capacity are "
+                "not indexed for closure detection (loops onto them will "
+                "not be found). Raise VOConfig.loop_sig_capacity.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         for k in range(self.n, len(keyframes)):
             f = keyframes[k].features
             self.sigs = _sig_set_row_jit(
@@ -171,6 +190,53 @@ def _verify_candidates_jit(
     return jax.vmap(one)(fa_stack, keys)
 
 
+#: keyframes per closure-gate REGION bucket (closure_gate / the rejection
+#: cooldown): candidates within the same bucket count as the same place
+GATE_REGION_KF = 8
+
+
+def closure_gate(
+    state: VOState, cand_idx, scores, *, min_gap: int, threshold: float
+) -> bool:
+    """Cheap pre-event gate: should this promotion PAY a closure event?
+
+    Runs on already-fetched candidate arrays (no device work) BEFORE the
+    expensive part — the device engine's state sync and the vmapped
+    geometric verification. Three rules:
+
+    1. threshold + separation: at least one candidate must clear the
+       signature-cosine threshold at ``min_gap`` keyframes of separation
+       (the round-4 rule);
+    2. temporal consistency (VOConfig.loop_consistency): the top
+       candidate must point at the same map region (GATE_REGION_KF
+       buckets) for N consecutive promotions — single-promotion hits on
+       self-similar texture are overwhelmingly geometry-rejected
+       (measured city loop: ~700 ms of rejected verification on nearly
+       every promotion);
+    3. rejection cooldown (VOConfig.loop_reject_cooldown): a region
+       whose verification just failed is not re-verified for M keyframes.
+
+    Mutates state.loop_streak; the caller owning verification updates
+    state.loop_reject_until on rejection (find_loop_closures does)."""
+    j = len(state.keyframes) - 1
+    cand = [
+        int(i) for i, s in zip(cand_idx, scores)
+        if s >= threshold and 0 <= i <= j - min_gap
+    ]
+    if not cand:
+        state.loop_streak = (-1, 0)
+        return False
+    region = cand[0] // GATE_REGION_KF
+    last, streak = state.loop_streak
+    streak = streak + 1 if region == last else 1
+    state.loop_streak = (region, streak)
+    if streak < getattr(state.config, "loop_consistency", 1):
+        return False
+    if j <= state.loop_reject_until.get(region, -1):
+        return False
+    return True
+
+
 def find_loop_closures(
     state: VOState,
     *,
@@ -209,6 +275,15 @@ def find_loop_closures(
         cand_idx, scores = index.query(
             kfs[j].features, min_gap=min_gap, top=max_candidates
         )
+        # the device engine gates BEFORE its state sync (vo_device
+        # .complete calls closure_gate on the in-step candidates and only
+        # then enters the event); the host path gates here, before the
+        # verification dispatch
+        if not closure_gate(
+            state, cand_idx, scores,
+            min_gap=min_gap, threshold=signature_threshold,
+        ):
+            return []
     else:
         cand_idx, scores = (np.asarray(a) for a in candidates)
 
@@ -250,6 +325,11 @@ def find_loop_closures(
                 i=i, j=j, R=np.asarray(res.R), t=t, num_inliers=n_inl, result=res
             )
         )
+    if not closures:
+        cd = getattr(state.config, "loop_reject_cooldown", 0)
+        if cd:
+            for i in set(c // GATE_REGION_KF for c in cand[:n_real]):
+                state.loop_reject_until[i] = j + cd
     return closures
 
 

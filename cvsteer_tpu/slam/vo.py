@@ -83,6 +83,20 @@ class VOConfig(NamedTuple):
     # same loop every promotion, and each accepted event is a full
     # pose-graph solve (long-run serving hygiene; 0 = off)
     loop_cooldown: int = 0
+    # require the top closure candidate to point at the same map REGION
+    # (8-keyframe buckets) for this many CONSECUTIVE promotions before
+    # paying the verification event (state sync + vmapped RANSAC + PGO).
+    # Self-similar streetscapes keep single-promotion signature hits above
+    # threshold that geometry then rejects — measured on the city loop:
+    # a ~700 ms rejected event on nearly EVERY promotion (the campaign
+    # throughput killer). Temporal consistency is the standard fix
+    # (ORB-SLAM's covisibility-consistent groups). 1 = verify on first
+    # detection (round-4 behavior).
+    loop_consistency: int = 1
+    # after a REJECTED verification, suppress re-verifying the same
+    # candidate region for this many keyframes (0 = off). Bounds the
+    # rejected-event rate on perceptually-aliased maps.
+    loop_reject_cooldown: int = 0
     # solver-level robust kernel width for the closure pose graph (0 = off;
     # loopclosure defaults the kernel to redescending tukey)
     loop_robust_delta: float = 0.0
@@ -199,6 +213,12 @@ class VOState:
     # lazily built device-resident SignatureIndex (slam.loopclosure);
     # NOT checkpointed — rebuilt from keyframe features after a restore
     sig_index: Optional[object] = dataclasses.field(default=None, repr=False)
+    # closure-event gate bookkeeping (loopclosure.closure_gate): the
+    # (region, streak) of the last promotion's top candidate, and
+    # region -> keyframe-index cooldowns after rejected verifications.
+    # Not checkpointed (a restore restarts the streak — safe).
+    loop_streak: Tuple[int, int] = (-1, 0)
+    loop_reject_until: dict = dataclasses.field(default_factory=dict)
 
     def poses(self) -> Tuple[np.ndarray, np.ndarray]:
         """Trajectory as (R [F, 3, 3], t [F, 3])."""

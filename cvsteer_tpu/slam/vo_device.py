@@ -1141,6 +1141,20 @@ class DeviceVO:
                 # below-threshold frame skips the event ENTIRELY (no state
                 # sync, no verification dispatch) — detection at serving
                 # scale is the in-step matvec, nothing else
+                from cvsteer_tpu.slam.loopclosure import closure_gate
+
+                if len(st.keyframes) == cfg.loop_sig_capacity + 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"device signature store full: keyframe "
+                        f"{len(st.keyframes)} > loop_sig_capacity "
+                        f"{cfg.loop_sig_capacity}; later keyframes are "
+                        "not indexed for closure detection. Raise "
+                        "VOConfig.loop_sig_capacity.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 cand = None
                 if fetched.cand_idx is not None:
                     cand = (
@@ -1149,9 +1163,13 @@ class DeviceVO:
                     )
                 if self._closure_cooldown > 0:
                     self._closure_cooldown -= 1
-                elif cand is None or (
-                    cand[1].max() >= cfg.loop_signature_threshold
+                elif cand is None or closure_gate(
+                    st, cand[0], cand[1],
+                    min_gap=cfg.loop_min_gap,
+                    threshold=cfg.loop_signature_threshold,
                 ):
+                    # the gate ran on in-step candidates: a skipped event
+                    # costs zero syncs and zero dispatches
                     self._closure(cand)
         st.frame_count += 1
 

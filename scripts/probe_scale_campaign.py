@@ -80,6 +80,8 @@ def main(argv=None) -> int:
         loop_cooldown=25,
         loop_sig_capacity=4096,
         loop_signature_threshold=0.8,
+        loop_consistency=2,
+        loop_reject_cooldown=15,
         speed_prior_band=(lo, hi),
     )
 

@@ -121,6 +121,11 @@ def main(argv=None) -> int:
         loop_cooldown=25,
         loop_sig_capacity=4096,
         loop_signature_threshold=0.8,
+        # round 5: verify only temporally-consistent candidates and put
+        # rejected regions on cooldown — the self-similar streetscape kept
+        # a rejected ~700 ms verification on nearly every promotion
+        loop_consistency=2,
+        loop_reject_cooldown=15,
     )
     vo = DeviceVO(cfg)
     ckpt = SlamCheckpointer(args.checkpoint_dir)

@@ -476,3 +476,73 @@ def test_finalize_reanchors_full_trajectory(loop_world):
     ate_new = full_ate(state)
     # re-anchoring must beat keyframe-only propagation decisively
     assert ate_new < 0.6 * ate_old, (ate_new, ate_old)
+
+
+def test_closure_gate_consistency_and_cooldown():
+    """closure_gate: threshold filter, temporal-consistency streak, and
+    the rejected-region cooldown — the cheap pre-event rules that keep
+    perceptually-aliased maps from paying a verification every promotion."""
+    import numpy as np
+
+    from cvsteer_tpu.slam.loopclosure import GATE_REGION_KF, closure_gate
+    from cvsteer_tpu.slam.vo import VOConfig, init_vo
+
+    cfg = VOConfig(loop_consistency=2, loop_reject_cooldown=10)
+    state = init_vo(cfg)
+    state.keyframes = [object()] * 30  # only len() is consulted
+
+    idx = np.array([4, 11, 2])
+    good = np.array([0.9, 0.85, 0.1])
+    bad = np.array([0.5, 0.4, 0.1])
+
+    # below threshold: never gates through, resets the streak
+    assert closure_gate(state, idx, bad, min_gap=5, threshold=0.8) is False
+    # first consistent hit: streak 1 < 2 -> wait
+    assert closure_gate(state, idx, good, min_gap=5, threshold=0.8) is False
+    # second consecutive hit on the same region -> verify
+    assert closure_gate(state, idx, good, min_gap=5, threshold=0.8) is True
+    # a hit on a DIFFERENT region restarts the streak
+    far = np.array([20, 4, 2])
+    assert closure_gate(state, far, good, min_gap=5, threshold=0.8) is False
+    assert closure_gate(state, far, good, min_gap=5, threshold=0.8) is True
+
+    # rejected-verification cooldown: region blocked until j > until
+    region = 4 // GATE_REGION_KF
+    state.loop_streak = (-1, 0)
+    state.loop_reject_until[region] = len(state.keyframes) - 1 + 5
+    assert closure_gate(state, idx, good, min_gap=5, threshold=0.8) is False
+    assert closure_gate(state, idx, good, min_gap=5, threshold=0.8) is False
+    state.keyframes = [object()] * 40  # past the cooldown horizon
+    assert closure_gate(state, idx, good, min_gap=5, threshold=0.8) is True
+
+
+def test_signature_index_capacity_warns():
+    """Crossing loop_sig_capacity must warn loudly, not silently stop
+    indexing (VERDICT r4 item 6)."""
+    import warnings
+
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from cvsteer_tpu.features.frontend import Features
+    from cvsteer_tpu.slam.loopclosure import SignatureIndex
+
+    def feat(seed):
+        rng = np.random.default_rng(seed)
+        d = rng.normal(size=(8, 16)).astype(np.float32)
+        return Features(
+            yx=jnp.zeros((8, 2)), score=jnp.ones(8), theta=jnp.zeros(8),
+            level=jnp.zeros(8, jnp.int32), desc=jnp.asarray(d),
+            valid=jnp.ones(8, bool),
+        )
+
+    class KF:
+        def __init__(self, s):
+            self.features = feat(s)
+
+    idx = SignatureIndex(16, capacity=4)
+    idx.extend([KF(i) for i in range(4)])  # at capacity: no warning
+    kfs = [KF(i) for i in range(6)]
+    with pytest.warns(RuntimeWarning, match="loop_sig_capacity"):
+        idx.extend(kfs)
