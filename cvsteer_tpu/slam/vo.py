@@ -35,6 +35,23 @@ from cvsteer_tpu.utils.precision import precise
 #: consecutive lost frames (no reloc) before the engine restarts its map
 REBOOT_AFTER_LOST = 5
 
+#: ground prior: ignore scale errors below this (log-ratio) — bounds the
+#: correction cadence; drift accumulates to the deadband in ~3-4
+#: keyframes at the measured -0.46 %/kf decay
+GROUND_DEADBAND = 0.015
+#: ground prior: proportional gain on the log-scale error. Height
+#: observations carry ~+-10-20 % single-frame cluster noise while the
+#: drift being fought is ~0.5 %/keyframe; full-gain corrections limit-
+#: cycled +-15 % (measured), half gain with the fine step cap converges
+GROUND_GAIN = 0.5
+#: per-promotion step cap near convergence (log-ratio)
+GROUND_MAX_STEP = 0.05
+#: step cap while FAR from the reference (|error| > GROUND_FAR): the
+#: init transient (no absolute anchor until enough ground points) spans
+#: a ~2.5x scale error — crawl out at 15 %/promotion, then fine-step
+GROUND_FAR = 0.15
+GROUND_MAX_STEP_FAR = 0.15
+
 
 class VOConfig(NamedTuple):
     intrinsics: Intrinsics = Intrinsics(500.0, 500.0, 320.0, 240.0)
@@ -50,6 +67,15 @@ class VOConfig(NamedTuple):
     init_min_inliers: int = 30
     track_min_landmarks: int = 40  # below this -> new keyframe
     kf_max_gap: int = 10  # force a keyframe every N frames
+    # flow-driven keyframe promotion (0 = off): promote when the MEDIAN
+    # image displacement of matched keyframe features exceeds this many
+    # pixels — i.e. when parallax has actually accumulated, instead of on
+    # a fixed frame gap. Longer straight-line gaps mean longer
+    # triangulation baselines (the forward-motion fresh-depth bias that
+    # drives monocular scale decay shrinks quadratically with ray angle),
+    # while turns auto-promote densely from rotational flow. kf_max_gap
+    # stays as the backstop.
+    kf_min_flow_px: float = 0.0
     window: int = 8  # BA window (keyframes)
     ba_iterations: int = 12
     huber_delta: float = 4e-3
@@ -132,12 +158,31 @@ class VOConfig(NamedTuple):
     # variation is +-30%, drift ~0.1%/keyframe).
     speed_prior_band: Tuple[float, float] = (0.0, 0.0)
     speed_prior_window: int = 64
+    # Ground-plane height prior (0 = off): the camera's height above the
+    # ground plane in METERS. For ground vehicles / rigs at fixed height
+    # this is an ABSOLUTE per-promotion scale reference — the standard
+    # automotive monocular-VO scale anchor: the median camera-frame
+    # height of bottom-of-image tracked landmarks measures the map's
+    # current metric scale every frame (vo_core.ground_height_obs), so a
+    # scale controller can hold map units == meters against the slow
+    # multiplicative drift that no RELATIVE band can stop (measured city
+    # loop: -0.46 %/keyframe from fresh-triangulation depth bias —
+    # scripts/probe_tri_bias.py). Corrections apply to the promotion
+    # increment (pose + fresh landmarks) within GROUND_DEADBAND /
+    # GROUND_MAX_STEP; two-view init rescales the whole fresh map.
+    ground_height_m: float = 0.0
 
     @property
     def rescue_radius_norm(self) -> float:
         """Rescue radius in normalized camera units (static jit constant)."""
         f = 0.5 * (self.intrinsics.fx + self.intrinsics.fy)
         return float(self.rescue_radius_px) / max(f, 1e-6)
+
+    @property
+    def kf_min_flow_norm(self) -> float:
+        """Flow-promotion threshold in normalized units (static constant)."""
+        f = 0.5 * (self.intrinsics.fx + self.intrinsics.fy)
+        return float(self.kf_min_flow_px) / max(f, 1e-6)
 
 
 @dataclasses.dataclass
@@ -219,6 +264,10 @@ class VOState:
     # Not checkpointed (a restore restarts the streak — safe).
     loop_streak: Tuple[int, int] = (-1, 0)
     loop_reject_until: dict = dataclasses.field(default_factory=dict)
+    # rolling ground-height observations (ground prior smoothing): the
+    # per-promotion median-of-5 tames the +-10 % single-frame observation
+    # noise that otherwise ripples the scale controller
+    ground_hist: List[float] = dataclasses.field(default_factory=list)
 
     def poses(self) -> Tuple[np.ndarray, np.ndarray]:
         """Trajectory as (R [F, 3, 3], t [F, 3])."""
@@ -268,15 +317,17 @@ def _refine_pose_jit(X, uv, sel, R0, t0, *, iterations, huber_delta, lam0=1e-4):
     jax.jit,
     static_argnames=(
         "ratio", "iterations", "huber_delta", "min_track", "dual_init",
-        "dist", "rescue_radius", "rescue_min_cos",
+        "dist", "rescue_radius", "rescue_min_cos", "kf_min_flow",
+        "ground_prior",
     ),
 )
 @precise
 def _track_fused_jit(
-    desc_a, valid_a, X_slots, sel_slots, yx_b, desc_b, valid_b,
+    desc_a, valid_a, X_slots, sel_slots, yx_a, yx_b, desc_b, valid_b,
     R0, t0, R1, t1, K4,
     *, ratio, iterations, huber_delta, min_track, dual_init, dist,
-    rescue_radius=0.0, rescue_min_cos=0.6,
+    rescue_radius=0.0, rescue_min_cos=0.6, kf_min_flow=0.0,
+    ground_prior=False,
 ):
     """The whole steady-state tracking step in ONE dispatch / ONE fetch.
 
@@ -321,7 +372,37 @@ def _track_fused_jit(
             iterations=max(iterations // 2, 4), huber_delta=huber_delta,
             min_track=min_track, dual_init=False,
         )
-    return Ra, ta, na, idx, jnp.sum(valid_b), uv_all, valid_b
+    # median matched-feature flow (normalized units) for the flow-driven
+    # keyframe policy — rides home with the same fetch; see the device
+    # twin in vo_device._track_phase
+    if float(kf_min_flow) > 0.0:  # static branch
+        uv_kf = jnp.stack(
+            [(yx_a[:, 1] - K4[2]) / K4[0], (yx_a[:, 0] - K4[3]) / K4[1]], -1
+        )
+        if any(float(d) != 0.0 for d in dist):  # static branch
+            from cvsteer_tpu.geometry.camera import undistort_normalized
+
+            uv_kf = undistort_normalized(uv_kf, dist)
+        matched = (idx >= 0) & valid_a
+        disp = jnp.linalg.norm(
+            uv_kf - uv_all[jnp.maximum(idx, 0)], axis=-1
+        )
+        d_m = jnp.where(matched, disp, jnp.inf)
+        cnt = jnp.sum(matched.astype(jnp.int32))
+        flow = jnp.where(
+            cnt > 0, jnp.sort(d_m)[jnp.maximum(cnt // 2, 0)], 0.0
+        )
+    else:
+        flow = jnp.float32(0.0)
+    if ground_prior:  # static branch — vo_device._track_phase is the twin
+        ground_h = vo_core.ground_height_obs(
+            X_slots, use, yx_b[jnp.maximum(idx, 0), 0], Ra, ta, K4[3]
+        )
+    else:
+        ground_h = jnp.float32(0.0)
+    return (
+        Ra, ta, na, idx, jnp.sum(valid_b), uv_all, valid_b, flow, ground_h
+    )
 
 
 def _kf_track_cache(state: VOState, kf: Keyframe):
@@ -451,6 +532,26 @@ def _try_initialize(state: VOState, feats: Features) -> bool:
     med = median_speed(state)
     if med is not None and med > 1e-12:
         s_init = med * max(state.frame_count - kf0.index, 1)
+    if state.config.ground_height_m > 0:
+        # absolute anchor: set the init gauge from the ground plane (map
+        # units == meters from frame one); overrides the speed history
+        v = np.asarray(kf0.features.yx)[:, 0]
+        y_c = X_c0[:, 1]
+        sel = (
+            good & (v > 1.25 * state.config.intrinsics.cy)
+            & (y_c > 1e-3) & (X_c0[:, 2] > 1e-3)
+        )
+        if sel.sum() >= 8:
+            # dominant-height cluster, as in vo_core.ground_height_obs
+            pair = (
+                (np.abs(y_c[None, :] - y_c[:, None]) < 0.08 * y_c[:, None])
+                & sel[None, :] & sel[:, None]
+            )
+            band = pair[np.argmax(pair.sum(1))]
+            if band.sum() >= 8:
+                h_raw = float(y_c[band].mean())
+                if h_raw > 1e-9:
+                    s_init = state.config.ground_height_m / h_raw
     X_c0 = X_c0 * s_init
     X = (X_c0 - kf0.t) @ kf0.R  # R0^T (X - t0): camera-0 -> world
     _diag(
@@ -567,7 +668,7 @@ def _track_issue(state: VOState, feats: Features):
     K = state.config.intrinsics
     return _track_fused_jit(
         kf.features.desc, kf.features.valid, X_dev, sel_dev,
-        feats.yx, feats.desc, feats.valid,
+        kf.features.yx, feats.yx, feats.desc, feats.valid,
         jnp.asarray(Rp), jnp.asarray(tp),
         jnp.asarray(kf.R), jnp.asarray(kf.t),
         jnp.asarray([K.fx, K.fy, K.cx, K.cy], jnp.float32),
@@ -579,18 +680,21 @@ def _track_issue(state: VOState, feats: Features):
         dist=tuple(K.dist),
         rescue_radius=state.config.rescue_radius_norm,
         rescue_min_cos=state.config.rescue_min_cos,
+        kf_min_flow=state.config.kf_min_flow_norm,
+        ground_prior=state.config.ground_height_m > 0,
     )
 
 
 def _track_complete(state: VOState, fetched):
     """Host-side tail of the tracking step from a FETCHED result tuple.
 
-    Returns (R, t, n_tracked, idx, valid, n_valid, x_new, fvalid): the
-    last two are the new frame's normalized pixels and feature validity,
-    fetched alongside the track result (a keyframe promotion consumes
-    them without another round-trip)."""
+    Returns (R, t, n_tracked, idx, valid, n_valid, x_new, fvalid, flow):
+    x_new/fvalid are the new frame's normalized pixels and feature
+    validity, fetched alongside the track result (a keyframe promotion
+    consumes them without another round-trip); flow is the median
+    matched-feature displacement for the flow-driven keyframe policy."""
     kf = state.keyframes[-1]
-    R, t, n, idx, n_valid, uv_all, valid_b = fetched
+    R, t, n, idx, n_valid, uv_all, valid_b, flow, ground_h = fetched
     n_tracked = int(n)
     idx = np.asarray(idx)
     if not (np.isfinite(R).all() and np.isfinite(t).all()):
@@ -598,6 +702,7 @@ def _track_complete(state: VOState, fetched):
     return (
         np.asarray(R), np.asarray(t), n_tracked, idx, idx >= 0,
         int(n_valid), np.asarray(uv_all, np.float32), np.asarray(valid_b),
+        float(flow), float(ground_h),
     )
 
 
@@ -989,7 +1094,8 @@ def process_frame(state: VOState, feats: Features) -> VOState:
 
 
 def _decide_keyframe(
-    state: VOState, feats: Features, R, t, n_tracked, idx, valid, n_valid
+    state: VOState, feats: Features, R, t, n_tracked, idx, valid, n_valid,
+    flow=0.0,
 ):
     """Relocalization fallback + trajectory append + keyframe decision.
 
@@ -1033,9 +1139,11 @@ def _decide_keyframe(
     _append_traj(state, R, t)
 
     gap = state.frame_count - state.keyframes[-1].index
+    flow_thresh = state.config.kf_min_flow_norm
     needs_kf = (
         n_tracked < state.config.track_min_landmarks
         or gap >= state.config.kf_max_gap
+        or (flow_thresh > 0.0 and flow > flow_thresh)
     )
     # never promote a degenerate frame (blackout/blur): a featureless
     # keyframe would become the tracking reference and strand the VO
@@ -1133,6 +1241,91 @@ def apply_speed_prior(state: VOState, fresh_ids=None) -> bool:
     return corrected
 
 
+def ground_violation(config: VOConfig, h_obs: float) -> bool:
+    """Does a height observation warrant a ground-prior correction?
+    Pure host arithmetic — the fleet uses it to decide whether a promoted
+    row needs its map gathered at all (deadband hits cost nothing)."""
+    target = config.ground_height_m
+    if target <= 0.0 or h_obs <= 1e-9:
+        return False
+    return abs(np.log(target / float(h_obs))) >= GROUND_DEADBAND
+
+
+def smoothed_ground(state: VOState, h_obs: float) -> float:
+    """Record a ground-height observation; return the rolling median-of-3
+    the controller corrects against (balances the +-10-20 % single-frame
+    cluster noise against control lag — longer medians measurably
+    oscillated; see GROUND_GAIN)."""
+    state.ground_hist.append(float(h_obs))
+    del state.ground_hist[:-9]
+    return float(np.median(state.ground_hist[-3:]))
+
+
+def ground_correction_ratio(config: VOConfig, h_sm: float):
+    """The shared control law: smoothed height observation -> scale step.
+
+    Returns the per-promotion correction ratio r (apply as a similarity
+    about the newest camera center), or None inside the deadband.
+    Proportional on the LOG error with gain GROUND_GAIN, capped at
+    GROUND_MAX_STEP near convergence and GROUND_MAX_STEP_FAR while far
+    (the init transient). Both engines' controllers call this."""
+    target = config.ground_height_m
+    if target <= 0.0 or h_sm <= 1e-9:
+        return None
+    e = float(np.log(target / h_sm))
+    if abs(e) < GROUND_DEADBAND:
+        return None
+    cap = GROUND_MAX_STEP_FAR if abs(e) > GROUND_FAR else GROUND_MAX_STEP
+    return float(np.exp(np.clip(GROUND_GAIN * e, -cap, cap)))
+
+
+def apply_ground_prior(state: VOState, h_obs: float) -> bool:
+    """Hold map scale to the ground-plane reference (config.ground_height_m).
+
+    ``h_obs``: the fused track step's median camera-frame height of
+    bottom-of-image tracked landmarks (vo_core.ground_height_obs), in map
+    units. When it deviates from the rig's known height by more than
+    GROUND_DEADBAND (log-ratio), the WHOLE live map — every keyframe pose
+    and every live landmark — is rescaled about the newest camera center
+    by r = clamp(target / h_obs, 1 +- GROUND_MAX_STEP).
+
+    A global similarity is a GAUGE transform of the reprojection
+    objective: every residual is exactly invariant, so windowed BA cannot
+    fight the correction (rescaling only the promotion increment, by
+    contrast, leaves the new pose constrained by old-scale landmarks and
+    the next BA largely reverts it). Scaling about the newest center
+    keeps the current pose fixed — no trajectory jump — and finalize()
+    re-anchors non-keyframe trajectory entries onto the corrected
+    keyframe poses exactly as it does after a Sim(3) loop closure."""
+    target = state.config.ground_height_m
+    if target <= 0.0 or h_obs <= 1e-9 or not state.keyframes:
+        return False
+    r = ground_correction_ratio(
+        state.config, smoothed_ground(state, h_obs)
+    )
+    if r is None:
+        return False
+    kf = state.keyframes[-1]
+    c0 = -kf.R.T @ kf.t
+    # rescale ONLY what windowed BA sees: the window keyframes + the live
+    # map. Out-of-window keyframes keep their at-time poses — corrections
+    # must not rewrite history (rescaling every keyframe compounded the
+    # per-correction product into the EARLY trajectory: measured 2.4x
+    # inflation of the first segments over a 76-correction run); global
+    # reconciliation across epochs is the loop closures' job.
+    for k in state.keyframes[-state.config.window:]:
+        c = c0 + ((-k.R.T @ k.t) - c0) * r
+        k.t = (-k.R @ c).astype(np.float32)
+    live = state.landmark_valid
+    state.landmarks[live] = (
+        c0 + (state.landmarks[live] - c0) * r
+    ).astype(np.float32)
+    state.track_version += 1
+    state.trajectory[-1] = (state.frame_count, kf.R.copy(), kf.t.copy())
+    _diag(state, ev="ground", h=float(h_obs), r=r)
+    return True
+
+
 def _fresh_ids_of_last_kf(state: VOState) -> np.ndarray:
     """This promotion's fresh triangulations (Keyframe.fresh_ids).
 
@@ -1144,8 +1337,11 @@ def _fresh_ids_of_last_kf(state: VOState) -> np.ndarray:
     return ids if ids is not None else np.empty(0, np.int64)
 
 
-def _keyframe_epilogue(state: VOState) -> None:
+def _keyframe_epilogue(state: VOState, ground_h: float = 0.0) -> None:
     """Loop closure + trajectory sync after a keyframe's windowed BA."""
+    if state.config.ground_height_m > 0 and ground_h > 0:
+        # absolute scale first, so the speed prior records corrected speeds
+        apply_ground_prior(state, ground_h)
     if state.config.speed_prior_band[1] > 0:
         apply_speed_prior(state, fresh_ids=_fresh_ids_of_last_kf(state))
     else:
@@ -1182,21 +1378,23 @@ def _keyframe_epilogue(state: VOState) -> None:
 
 def _post_track(
     state: VOState, feats: Features, R, t, n_tracked, idx, valid, n_valid,
-    x_new=None, fvalid=None,
+    x_new=None, fvalid=None, flow=0.0, ground_h=0.0,
 ) -> VOState:
     """Everything after the fused tracking fetch: relocalization fallback,
     trajectory append, keyframe promotion, loop closure. Shared by the
     sequential loop (process_frame) and the batched server (vo_server).
     ``x_new``/``fvalid`` (from the track fetch) spare the promotion its
     pixel round-trip."""
-    req = _decide_keyframe(state, feats, R, t, n_tracked, idx, valid, n_valid)
+    req = _decide_keyframe(
+        state, feats, R, t, n_tracked, idx, valid, n_valid, flow=flow
+    )
     if req is not None:
         R2, t2, idx2, valid2, ref_kf = req
         _add_keyframe(
             state, feats, R2, t2, idx2, valid2, ref_kf=ref_kf,
             x_new=x_new, fvalid=fvalid,
         )
-        _keyframe_epilogue(state)
+        _keyframe_epilogue(state, ground_h=ground_h)
         if state.diag is not None and len(state.keyframes) >= 2:
             kf, prev = state.keyframes[-1], state.keyframes[-2]
             _diag(

@@ -160,6 +160,52 @@ def triangulation_gate(Xc, P1, P2, min_ray_angle_deg: float = 1.0):
     return ok
 
 
+def ground_height_obs(X, use, v_pix, R, t, cy, *, min_pts=8):
+    """Median camera-frame height of bottom-of-image tracked landmarks.
+
+    The ground-plane scale observation (standard automotive monocular-VO
+    scale anchoring: the camera's height above the road is rig-constant,
+    so the median y_c of ground landmarks measures the map's CURRENT
+    metric scale every frame — an ABSOLUTE reference that, unlike any
+    relative band, cannot drift with the map). For a roll/pitch-free rig
+    every ground point satisfies y_c == cam_height exactly, independent
+    of depth; moderate pitch adds a depth-dependent term the median
+    tolerates. Selection: tracked associations whose observing pixel sits
+    in the bottom of the image (v > 1.25 * cy, i.e. the bottom ~37% for a
+    centered principal point), with positive height and depth.
+
+    ``X [A, 3]`` slot landmark positions, ``use [A]`` tracked-inlier
+    mask, ``v_pix [A]`` the observing pixel's row in the CURRENT frame,
+    (R, t) the refined pose. Returns the height of the dominant
+    consistent-height cluster, or 0.0 when fewer than ``min_pts`` points
+    support it (caller skips the update). Shared by both engines' fused
+    track steps.
+
+    Cluster, not median: the below-horizon region also contains WALL
+    points below camera height, whose y_c spreads over (0, h] and drags
+    a plain median low (measured: a 0.76x steady-state scale error on
+    the city loop). Ground points all share y_c == h exactly, so the
+    MODE of the height distribution is the ground: each point votes for
+    the points within a +-8 % relative band of its own height, the
+    best-supported point wins, and the estimate is the mean of its band
+    ([A, A] mask matmul — one MXU op at A <= 1024)."""
+    p = X @ R.T + t
+    y = p[:, 1]
+    sel = (
+        use & (v_pix > 1.25 * cy) & (y > 1e-3) & (p[:, 2] > MIN_TRI_DEPTH)
+    )
+    pair_ok = (
+        (jnp.abs(y[None, :] - y[:, None]) < 0.08 * y[:, None])
+        & sel[None, :] & sel[:, None]
+    )
+    score = jnp.sum(pair_ok.astype(jnp.float32), axis=1)  # [A] votes
+    best = jnp.argmax(score)
+    band = pair_ok[best]
+    cnt = jnp.sum(band.astype(jnp.float32))
+    h = jnp.sum(jnp.where(band, y, 0.0)) / jnp.maximum(cnt, 1.0)
+    return jnp.where(cnt >= min_pts, h, 0.0)
+
+
 def masked_mean_reproj(final, problem):
     """[L] mask-weighted mean reprojection-error norm per landmark column
     of a BA solution — the shared culling signal (zero where unobserved)."""

@@ -128,6 +128,9 @@ class StepOut(NamedTuple):
     obs_new: jax.Array  # [N] the NEW keyframe's obs table (post-culling)
     obs_gen: jax.Array  # [N] generation stamps paired with obs_new
     lm_count: jax.Array  # occupied landmark slots
+    # ground-plane scale observation (median y_c of bottom-image tracked
+    # landmarks; 0.0 = off / too few points) — vo_core.ground_height_obs
+    ground_h: jax.Array
     # closure candidates for THIS frame as a new keyframe (None when the
     # signature store is off; meaningful only when ``promoted``): top-M
     # store rows by signature cosine, masked rows scored -inf — detection
@@ -374,12 +377,17 @@ class _TrackOut(NamedTuple):
     n_valid: jax.Array
     lost: jax.Array
     promote: jax.Array
+    # median camera-frame height (y_c, +down) of bottom-of-image tracked
+    # landmarks — the ground-plane scale observation (0.0 = too few
+    # points or the prior is off); see vo_core.ground_height_obs
+    ground_h: jax.Array
 
 
 def _track_phase(
     m: DeviceMap, yx, desc, fvalid, Rp, tp, force_kf,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
     local_map=False, rescue_radius=0.0, rescue_min_cos=0.6,
+    kf_min_flow=0.0, ground_prior=False,
 ) -> _TrackOut:
     """Match + PnP tracking + the keyframe decision. Pure read of ``m``."""
     N = yx.shape[0]
@@ -449,10 +457,38 @@ def _track_phase(
 
     n_valid = jnp.sum(fvalid.astype(jnp.int32))
     lost = n < 8
-    promote = (~lost) & ((n < min_track) | force_kf) & (n_valid >= 16)
+    # flow-driven promotion (VOConfig.kf_min_flow_px; static, 0 = off):
+    # median image displacement of matched keyframe features — promote
+    # when enough PARALLAX has accumulated instead of on a fixed frame
+    # gap. Straights promote sparsely (long triangulation baselines: the
+    # forward-motion fresh-depth bias shrinks quadratically with ray
+    # angle — the monocular scale-decay driver), turns promote densely
+    # (rotational flow), and promotion work tracks scene dynamics.
+    if float(kf_min_flow) > 0.0:  # static branch
+        matched = (idx >= 0) & m.kf_fvalid[-1]
+        disp = jnp.linalg.norm(
+            m.kf_uv[-1] - uv_new[jnp.maximum(idx, 0)], axis=-1
+        )
+        d = jnp.where(matched, disp, jnp.inf)
+        cnt = jnp.sum(matched.astype(jnp.int32))
+        med = jnp.sort(d)[jnp.maximum(cnt // 2, 0)]
+        flow_kf = (cnt > 0) & (med > kf_min_flow)
+    else:
+        flow_kf = False
+    promote = (
+        (~lost) & ((n < min_track) | force_kf | flow_kf) & (n_valid >= 16)
+    )
+    if ground_prior:  # static branch (VOConfig.ground_height_m > 0)
+        v_of = idx_lm if local_map else idx  # static: mode's match table
+        ground_h = vo_core.ground_height_obs(
+            X_t, use, yx[jnp.maximum(v_of, 0), 0], R, t, float(K.cy)
+        )
+    else:
+        ground_h = jnp.float32(0.0)
     return _TrackOut(
         uv_new=uv_new, idx=idx, obs_pre=obs_pre, R=R, t=t,
         n=n, n_valid=n_valid, lost=lost, promote=promote,
+        ground_h=ground_h,
     )
 
 
@@ -475,6 +511,7 @@ def _device_step_body(
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
     ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
     tri_angle=1.0, rescue_radius=0.0, rescue_min_cos=0.6,
+    kf_min_flow=0.0, ground_prior=False,
 ):
     """The whole VO frame in one dispatch; see module docstring."""
     tr = _track_phase(
@@ -483,6 +520,7 @@ def _device_step_body(
         huber_delta=huber_delta, min_track=min_track,
         dual_init=dual_init, local_map=local_map,
         rescue_radius=rescue_radius, rescue_min_cos=rescue_min_cos,
+        kf_min_flow=kf_min_flow, ground_prior=ground_prior,
     )
     sig_new, cand_idx, cand_score = _sig_phase(
         m, desc, fvalid, loop_min_gap=loop_min_gap, loop_cands=loop_cands
@@ -500,7 +538,7 @@ def _device_step_body(
     obs_new = m2.kf_obs[-1]
     out = StepOut(
         R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
-        promoted=tr.promote, lost=tr.lost,
+        promoted=tr.promote, lost=tr.lost, ground_h=tr.ground_h,
         kf_R=m2.kf_R, kf_t=m2.kf_t, obs_new=obs_new,
         obs_gen=m2.lm_gen[jnp.maximum(obs_new, 0)],
         lm_count=jnp.sum(m2.lm_valid.astype(jnp.int32)),
@@ -518,11 +556,28 @@ _device_step = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map", "loop_min_gap",
         "loop_cands", "tri_angle", "rescue_radius", "rescue_min_cos",
+        "kf_min_flow", "ground_prior",
     ),
 )(precise(_device_step_body))
 
 
 _gather_rows_jit = jax.jit(lambda yx, d, f, ii: (yx[ii], d[ii], f[ii]))
+
+
+@jax.jit
+def _ground_rescale_jit(m: DeviceMap, r, c0):
+    """Gauge-exact similarity about point ``c0``: live landmarks and the
+    ring keyframe camera centers scale by ``r`` (rotations unchanged).
+    Reprojection residuals are exactly invariant, so windowed BA cannot
+    revert the correction (slam.vo.apply_ground_prior is the host-mirror
+    twin). Padding ring rows and free landmark slots are untouched."""
+    X = jnp.where(m.lm_valid[:, None], c0 + (m.X - c0) * r, m.X)
+    C = -jnp.einsum("wij,wi->wj", m.kf_R, m.kf_t)  # centers (R^T t)
+    Cs = c0 + (C - c0) * r
+    kf_t = jnp.where(
+        m.kf_live[:, None], -jnp.einsum("wij,wj->wi", m.kf_R, Cs), m.kf_t
+    )
+    return m._replace(X=X, kf_t=kf_t)
 
 
 class _LazyFeatureRows:
@@ -680,6 +735,7 @@ def _fleet_step_body(
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
     ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
     tri_angle=1.0, promote_cap=0, rescue_radius=0.0, rescue_min_cos=0.6,
+    kf_min_flow=0.0, ground_prior=False,
 ):
     """vmapped fleet step over stacked DeviceMaps.
 
@@ -698,6 +754,7 @@ def _fleet_step_body(
             huber_delta=huber_delta, min_track=min_track,
             dual_init=dual_init, local_map=local_map,
             rescue_radius=rescue_radius, rescue_min_cos=rescue_min_cos,
+            kf_min_flow=kf_min_flow, ground_prior=ground_prior,
         )
     )(ms, yx, desc, fvalid, Rp, tp, force_kf)
 
@@ -716,7 +773,7 @@ def _fleet_step_body(
     obs_new = ms2.kf_obs[:, -1]  # [S, N]
     out = StepOut(
         R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
-        promoted=served, lost=tr.lost,
+        promoted=served, lost=tr.lost, ground_h=tr.ground_h,
         kf_R=ms2.kf_R, kf_t=ms2.kf_t, obs_new=obs_new,
         obs_gen=jnp.take_along_axis(
             ms2.lm_gen, jnp.maximum(obs_new, 0), axis=1
@@ -733,7 +790,8 @@ _fleet_step = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map", "loop_min_gap",
         "loop_cands", "tri_angle", "promote_cap",
-        "rescue_radius", "rescue_min_cos",
+        "rescue_radius", "rescue_min_cos", "kf_min_flow",
+        "ground_prior",
     ),
 )(precise(_fleet_step_body))
 
@@ -780,7 +838,8 @@ def _fleet_step_pipe_body(
     *, K, ratio, track_iters, huber_delta, min_track, kf_max_gap,
     motion_model, ba_iterations, local_map=False, loop_min_gap=6,
     loop_cands=3, tri_angle=1.0, promote_cap=0,
-    rescue_radius=0.0, rescue_min_cos=0.6,
+    rescue_radius=0.0, rescue_min_cos=0.6, kf_min_flow=0.0,
+    ground_prior=False,
 ):
     """Pipelined fleet tick: like _fleet_step_body, but pose prediction
     and the keyframe-gap force flag come from device-side ``aux`` instead
@@ -803,6 +862,7 @@ def _fleet_step_pipe_body(
             huber_delta=huber_delta, min_track=min_track,
             dual_init=motion_model, local_map=local_map,
             rescue_radius=rescue_radius, rescue_min_cos=rescue_min_cos,
+            kf_min_flow=kf_min_flow, ground_prior=ground_prior,
         )
 
     tr = jax.vmap(one_track)(ms, aux, yx, desc, fvalid)
@@ -827,7 +887,7 @@ def _fleet_step_pipe_body(
     obs_new = ms2.kf_obs[:, -1]
     out = StepOut(
         R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
-        promoted=served, lost=tr.lost,
+        promoted=served, lost=tr.lost, ground_h=tr.ground_h,
         kf_R=ms2.kf_R, kf_t=ms2.kf_t, obs_new=obs_new,
         obs_gen=jnp.take_along_axis(
             ms2.lm_gen, jnp.maximum(obs_new, 0), axis=1
@@ -868,7 +928,8 @@ _fleet_step_pipe = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "kf_max_gap", "motion_model", "ba_iterations", "local_map",
         "loop_min_gap", "loop_cands", "tri_angle", "promote_cap",
-        "rescue_radius", "rescue_min_cos",
+        "rescue_radius", "rescue_min_cos", "kf_min_flow",
+        "ground_prior",
     ),
 )(precise(_fleet_step_pipe_body))
 
@@ -1062,6 +1123,8 @@ class DeviceVO:
             tri_angle=cfg.tri_min_ray_angle_deg,
             rescue_radius=cfg.rescue_radius_norm,
             rescue_min_cos=cfg.rescue_min_cos,
+            kf_min_flow=cfg.kf_min_flow_norm,
+            ground_prior=cfg.ground_height_m > 0,
         )
         self._host_dirty = True
         return out
@@ -1119,6 +1182,8 @@ class DeviceVO:
             self._mirror_window(kf_R, kf_t)
             st.trajectory[-1] = (st.frame_count, kf_R[-1].copy(), kf_t[-1].copy())
             st.traj_ref[-1] = None  # keyframe entry: anchored to itself
+            if cfg.ground_height_m > 0:
+                self._ground_prior(float(fetched.ground_h))
             self._speed_prior()  # record-only when the band is off
             if st.diag is not None and len(st.keyframes) >= 2:
                 kf, prev = st.keyframes[-1], st.keyframes[-2]
@@ -1172,6 +1237,36 @@ class DeviceVO:
                     # costs zero syncs and zero dispatches
                     self._closure(cand)
         st.frame_count += 1
+
+    def _ground_prior(self, h_obs: float) -> None:
+        """Ground-plane scale hold (see vo.apply_ground_prior): one
+        gauge-exact device dispatch (_ground_rescale_jit) over the live
+        map + a host-mirror pose sweep — no sync, no fetch. Deadband hits
+        cost nothing (one float compare on the step's fetched ground_h)."""
+        st = self.state
+        if h_obs <= 1e-9:
+            return
+        r = hostvo.ground_correction_ratio(
+            st.config, hostvo.smoothed_ground(st, h_obs)
+        )
+        if r is None:
+            return
+        kf = st.keyframes[-1]
+        c0 = -kf.R.T @ kf.t
+        assert self.map is not None, "_ground_prior requires the device map"
+        self.map = _ground_rescale_jit(
+            self.map, jnp.float32(r), jnp.asarray(c0, jnp.float32)
+        )
+        # host mirrors of the RING keyframes only — matching the device
+        # rescale exactly; older keyframes keep their at-time poses (see
+        # vo.apply_ground_prior: corrections must not rewrite history)
+        for k in st.keyframes[-st.config.window:]:
+            c = c0 + ((-k.R.T @ k.t) - c0) * r
+            k.t = (-k.R @ c).astype(np.float32)
+        self._host_dirty = True  # landmark mirror refreshes at next sync
+        st.track_version += 1
+        st.trajectory[-1] = (st.frame_count, kf.R.copy(), kf.t.copy())
+        hostvo._diag(st, ev="ground", h=float(h_obs), r=r)
 
     def _speed_prior(self) -> None:
         """Kinematic clamp of the newest keyframe's baseline (see
@@ -1570,6 +1665,8 @@ class DeviceVOFleet:
             tri_angle=cfg.tri_min_ray_angle_deg,
             rescue_radius=cfg.rescue_radius_norm,
             rescue_min_cos=cfg.rescue_min_cos,
+            kf_min_flow=cfg.kf_min_flow_norm,
+            ground_prior=cfg.ground_height_m > 0,
             promote_cap=self.promote_cap,
         )
         if self.capture_dispatch:
@@ -1590,7 +1687,13 @@ class DeviceVOFleet:
                 or not (np.isfinite(res.R).all() and np.isfinite(res.t).all())
                 or (
                     bool(res.promoted)
-                    and (cfg.loop_closure or cfg.speed_prior_band[1] > 0)
+                    and (
+                        cfg.loop_closure
+                        or cfg.speed_prior_band[1] > 0
+                        or hostvo.ground_violation(
+                            cfg, float(res.ground_h)
+                        )
+                    )
                 )
             )
             if needs_map:
@@ -1657,6 +1760,8 @@ class DeviceVOFleet:
             tri_angle=cfg.tri_min_ray_angle_deg,
             rescue_radius=cfg.rescue_radius_norm,
             rescue_min_cos=cfg.rescue_min_cos,
+            kf_min_flow=cfg.kf_min_flow_norm,
+            ground_prior=cfg.ground_height_m > 0,
             promote_cap=self.promote_cap,
         )
         if self.capture_dispatch:
@@ -1725,6 +1830,8 @@ class DeviceVOFleet:
             tri_angle=cfg.tri_min_ray_angle_deg,
             rescue_radius=cfg.rescue_radius_norm,
             rescue_min_cos=cfg.rescue_min_cos,
+            kf_min_flow=cfg.kf_min_flow_norm,
+            ground_prior=cfg.ground_height_m > 0,
             promote_cap=self.promote_cap,
         )
         if self.capture_dispatch:
@@ -1810,7 +1917,11 @@ class DeviceVOFleet:
             )
             needs_map = is_lost or (
                 bool(res.promoted)
-                and (cfg.loop_closure or cfg.speed_prior_band[1] > 0)
+                and (
+                    cfg.loop_closure
+                    or cfg.speed_prior_band[1] > 0
+                    or hostvo.ground_violation(cfg, float(res.ground_h))
+                )
             )
             if needs_map:
                 self._gather_out(i)

@@ -81,10 +81,10 @@ class VOServer:
         for i, res in fetched.items():
             st = self.states[i]
             out = _track_complete(st, res)
-            req = _decide_keyframe(st, frames[i], *out[:6])
+            req = _decide_keyframe(st, frames[i], *out[:6], flow=out[8])
             if req is not None:
                 kf_req[i] = req
-                pix[i] = out[6:]  # (x_new, fvalid)
+                pix[i] = out[6:8]  # (x_new, fvalid)
 
         if kf_req:
             fused = {}

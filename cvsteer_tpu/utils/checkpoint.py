@@ -49,6 +49,15 @@ def _state_to_tree(state: VOState) -> Dict[str, Any]:
         "num_landmarks": np.asarray(state.num_landmarks),
         "frame_count": np.asarray(state.frame_count),
         "initialized": np.asarray(state.initialized),
+        # scale-governor rolling histories (round 5): a restore must keep
+        # the speed continuity for re-inits and the ground smoothing warm
+        # (padded with a leading count so zero-length survives orbax)
+        "kf_speeds": np.asarray(
+            [len(state.kf_baselines)] + list(state.kf_baselines), np.float32
+        ),
+        "ground_hist": np.asarray(
+            [len(state.ground_hist)] + list(state.ground_hist), np.float32
+        ),
         "traj_frames": np.asarray([f for f, _, _ in state.trajectory], np.int64),
         "traj_R": np.stack([R for _, R, _ in state.trajectory])
         if state.trajectory
@@ -107,6 +116,11 @@ def _tree_to_state(tree: Dict[str, Any], state: VOState) -> VOState:
     state.num_landmarks = int(tree["num_landmarks"])
     state.frame_count = int(tree["frame_count"])
     state.initialized = bool(tree["initialized"])
+    for key, attr in (("kf_speeds", "kf_baselines"),
+                      ("ground_hist", "ground_hist")):
+        rows = np.asarray(tree.get(key, np.zeros(1, np.float32)))
+        n_h = int(rows[0]) if rows.size else 0
+        setattr(state, attr, [float(x) for x in rows[1:1 + n_h]])
     state.trajectory = [
         (int(f), np.asarray(R), np.asarray(t))
         for f, R, t in zip(tree["traj_frames"], tree["traj_R"], tree["traj_t"])

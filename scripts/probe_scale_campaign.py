@@ -35,9 +35,14 @@ def main(argv=None) -> int:
     ap.add_argument("--engine", default="device", choices=["device", "host"])
     ap.add_argument("--platform", default="default")
     ap.add_argument("--kf-gap", type=int, default=3)
+    ap.add_argument("--flow-px", type=float, default=0.0,
+                    help="flow-driven promotion threshold (px; 0=off)")
     ap.add_argument("--window", type=int, default=12)
     ap.add_argument("--ba-iters", type=int, default=25)
     ap.add_argument("--band", default="0,0", help="speed prior lo,hi (0,0=off)")
+    ap.add_argument("--ground", type=float, default=0.0,
+                    help="ground-plane height prior in meters (0=off; the "
+                    "city loop rig is 1.5)")
     ap.add_argument("--min-track", type=int, default=40)
     ap.add_argument("--loop", action="store_true", default=True)
     ap.add_argument("--no-loop", dest="loop", action="store_false")
@@ -66,6 +71,7 @@ def main(argv=None) -> int:
         intrinsics=Intrinsics(fx, fy, cx, cy),
         frontend=FrontendConfig(upright_desc=True),
         kf_max_gap=args.kf_gap,
+        kf_min_flow_px=args.flow_px,
         window=args.window,
         track_min_landmarks=args.min_track,
         min_parallax=0.03,
@@ -83,6 +89,7 @@ def main(argv=None) -> int:
         loop_consistency=2,
         loop_reject_cooldown=15,
         speed_prior_band=(lo, hi),
+        ground_height_m=args.ground,
     )
 
     if args.engine == "device":
@@ -139,10 +146,15 @@ def main(argv=None) -> int:
     d_est = np.linalg.norm(np.diff(c_est, axis=0), axis=1)
     d_gt = np.linalg.norm(np.diff(c_gt, axis=0), axis=1)
     ratio = d_est / np.maximum(d_gt, 1e-12) * s_align
+    raw = d_est / np.maximum(d_gt, 1e-12)  # no alignment: map-unit scale
     nseg = max(len(ratio) // 12, 1)
     profile = [
         round(float(np.median(ratio[i:i + nseg])), 4)
         for i in range(0, len(ratio) - nseg + 1, nseg)
+    ]
+    profile_raw = [
+        round(float(np.median(raw[i:i + nseg])), 4)
+        for i in range(0, len(raw) - nseg + 1, nseg)
     ]
 
     diag = state.diag or []
@@ -160,6 +172,7 @@ def main(argv=None) -> int:
         "ate_m": round(ate, 3),
         "s_align": round(float(s_align), 4),
         "scale_profile": profile,
+        "scale_profile_raw": profile_raw,
         "scale_ratio_minmax": [
             round(float(np.min(ratio)), 4), round(float(np.max(ratio)), 4)
         ],
@@ -170,6 +183,15 @@ def main(argv=None) -> int:
             {"f": e["f"] + f0, "scale": round(e["scale"], 4)}
             for e in by_ev.get("init", [])
         ],
+        "ground_events": len(by_ev.get("ground", [])),
+        "ground_r_minmax": (
+            [
+                round(min(e["r"] for e in by_ev["ground"]), 4),
+                round(max(e["r"] for e in by_ev["ground"]), 4),
+            ]
+            if by_ev.get("ground")
+            else None
+        ),
         "speed_prior_hits": [
             {"f": e["f"] + f0, "b": round(e["b"], 4),
              "b_clamped": round(e["b_clamped"], 4)}

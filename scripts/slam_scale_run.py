@@ -56,6 +56,34 @@ def log_fetch_attempt() -> dict:
         }
 
 
+def _summarize_diag(diag) -> dict:
+    """Event summary for the artifact: counts per event class, every
+    closure event with its measured sync/solve cost (VERDICT r4 item 6),
+    and the scale-governor correction stats."""
+    diag = diag or []
+    by = {}
+    for e in diag:
+        by.setdefault(e["ev"], []).append(e)
+    grounds = by.get("ground", [])
+    return {
+        "counts": {k: len(v) for k, v in by.items()},
+        "closure_events": [
+            {"f": e["f"], "accepted": e["accepted"], "K": e["K"],
+             "sync_ms": e.get("sync_ms"), "solve_ms": e.get("solve_ms")}
+            for e in by.get("closure", [])
+        ],
+        "ground_corrections": {
+            "n": len(grounds),
+            "r_min": round(min(e["r"] for e in grounds), 4) if grounds else None,
+            "r_max": round(max(e["r"] for e in grounds), 4) if grounds else None,
+        },
+        "speed_prior_clamps": len(by.get("speed_prior", [])),
+        "lost_frames": len(by.get("lost", [])),
+        "reboots": len(by.get("reboot", [])),
+        "relocalizations": len(by.get("reloc", [])),
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2400)
@@ -103,10 +131,27 @@ def main(argv=None) -> int:
     # collapses 75x in ~25 frames (measured frames 412-439); 0.7 blocks
     # the shell with no measurable cost on healthy ground (ATE 1.17 vs
     # 1.13 on the early window) while 1.2 starves tracking outright.
+    # Round-5 config. The round-4 campaign failed its gate on monocular
+    # scale instability (SLAM_r04.json: ATE 36.6 vs bound 5.8, scale
+    # regimes 0.04x-2x); the diagnosis (scripts/probe_scale_campaign.py,
+    # probe_tri_bias.py) found three mechanisms, each now countered:
+    #  1. garbage keyframes promoted during tracking loss re-anchored the
+    #     map at arbitrary scale -> promotion now requires a sane track
+    #     (vo._decide_keyframe), re-inits are scale-continuous;
+    #  2. a smooth -0.46 %/keyframe multiplicative decay from fresh-
+    #     triangulation depth bias -> the ground-plane height prior
+    #     (ground_height_m; the rig height is part of config 4/5's
+    #     calibration, as in automotive monocular VO) holds absolute
+    #     scale with gauge-exact window rescales;
+    #  3. rejected ~700 ms closure verifications nearly every promotion
+    #     -> temporal-consistency gate + rejected-region cooldown.
+    # Keyframing is flow-driven (kf_min_flow_px): straights stretch the
+    # triangulation baseline, turns stay dense; gap 12 is the backstop.
     cfg = VOConfig(
         intrinsics=Intrinsics(fx, fy, cx, cy),
         frontend=FrontendConfig(upright_desc=True),
-        kf_max_gap=3,
+        kf_max_gap=12,
+        kf_min_flow_px=18.0,
         window=12,
         track_min_landmarks=40,
         min_parallax=0.03,
@@ -121,19 +166,26 @@ def main(argv=None) -> int:
         loop_cooldown=25,
         loop_sig_capacity=4096,
         loop_signature_threshold=0.8,
-        # round 5: verify only temporally-consistent candidates and put
-        # rejected regions on cooldown — the self-similar streetscape kept
-        # a rejected ~700 ms verification on nearly every promotion
         loop_consistency=2,
         loop_reject_cooldown=15,
+        ground_height_m=1.5,
+        speed_prior_band=(0.5, 2.0),
     )
+    from cvsteer_tpu.utils.profiling import MemoryHighWater
+
     vo = DeviceVO(cfg)
+    vo.state.diag = []  # event log: closures, ground/speed corrections
     ckpt = SlamCheckpointer(args.checkpoint_dir)
     ckpt_frame = args.frames // 2
+    highwater = MemoryHighWater()
 
     n_tracked_hist = []
     promoted_frames = []
-    render_s = 0.0
+    # host-side per-phase profile (VERDICT r4 item 4): where each frame's
+    # wall time goes — render / feature dispatch / step dispatch / fetch /
+    # host completion (promotions, closures, priors live inside complete)
+    phase = {"render": 0.0, "features": 0.0, "issue": 0.0,
+             "fetch": 0.0, "complete": 0.0, "bootstrap": 0.0}
     ckpt_s = 0.0
     t_run0 = time.perf_counter()
     next_img = None
@@ -141,23 +193,33 @@ def main(argv=None) -> int:
         if next_img is None:
             t0 = time.perf_counter()
             next_img = seq.render(k)
-            render_s += time.perf_counter() - t0
+            phase["render"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         feats = hostvo._extract_features_jit(
             jnp.asarray(next_img, jnp.float32), cfg.frontend
         )
+        phase["features"] += time.perf_counter() - t0
         next_img = None
         if vo.map is None:
+            t0 = time.perf_counter()
             vo.process_frame(feats)
+            phase["bootstrap"] += time.perf_counter() - t0
         else:
+            t0 = time.perf_counter()
             handle = vo.issue(feats)  # async dispatch
+            phase["issue"] += time.perf_counter() - t0
             if k + 1 < args.frames:
                 # render the NEXT frame while the device computes and the
                 # result streams back (hides the host render under the RTT)
                 t0 = time.perf_counter()
                 next_img = seq.render(k + 1)
-                render_s += time.perf_counter() - t0
+                phase["render"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             out = jax.device_get(handle)
+            phase["fetch"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             vo.complete(feats, out)
+            phase["complete"] += time.perf_counter() - t0
             n_tracked_hist.append(int(out.n_tracked))
             if bool(out.promoted):
                 promoted_frames.append(k)
@@ -165,7 +227,9 @@ def main(argv=None) -> int:
             t0 = time.perf_counter()
             ckpt.save(k, vo.sync_host())
             ckpt_s = time.perf_counter() - t0
+            highwater.sample()
         if (k + 1) % 200 == 0:
+            highwater.sample()
             el = time.perf_counter() - t_run0
             print(
                 f"[{k+1}/{args.frames}] kf={len(vo.state.keyframes)} "
@@ -173,7 +237,9 @@ def main(argv=None) -> int:
                 f"{(k+1)/el:.1f} f/s", file=sys.stderr,
             )
     wall_s = time.perf_counter() - t_run0
-    mem = device_memory_stats()
+    highwater.sample()
+    mem = highwater.peak
+    render_s = phase["render"]
 
     state = vo.finalize()
     gt_R, gt_t = seq.gt_arrays()
@@ -265,8 +331,22 @@ def main(argv=None) -> int:
         resume_ate = float(
             ate_rmse(R2, t2, gt_R[ids2], gt_t[ids2], align_scale=True)
         )
+        # A/B against the UNINTERRUPTED run's same frames (VERDICT r4
+        # item 7): the main run tracked this exact span without the
+        # save/restore cycle — its tail ATE is the resume leg's baseline
+        main_tail = [
+            (f, R, t) for f, R, t in state.trajectory
+            if ckpt_frame < f <= ckpt_frame + n_res
+        ]
+        idsm = [p[0] for p in main_tail]
+        main_tail_ate = float(ate_rmse(
+            np.stack([p[1] for p in main_tail]),
+            np.stack([p[2] for p in main_tail]),
+            gt_R[idsm], gt_t[idsm], align_scale=True,
+        )) if len(main_tail) >= 10 else None
     else:
         resume_ate = None
+        main_tail_ate = None
 
     out = {
         "config": "4/5 fallback: real-texture synthetic city loop",
@@ -303,8 +383,13 @@ def main(argv=None) -> int:
             "frames_per_s_engine": round(
                 args.frames / max(wall_s - render_s, 1e-9), 2
             ),
+            # host wall time by phase (seconds over the whole run); note
+            # render overlaps the device step (pipelined), so phases sum
+            # past the engine wall
+            "host_profile_s": {k: round(v, 1) for k, v in phase.items()},
             "peak_device_memory": mem,
         },
+        "events": _summarize_diag(vo.state.diag),
         "ate": {
             "ate_rmse_m_sim3_aligned": round(ate, 4),
             "ate_keyframes_only_m": round(kf_ate, 4),
@@ -329,6 +414,17 @@ def main(argv=None) -> int:
             "resumed_tracked": resumed_tracked,
             "resume_tail_ate_m": (
                 round(resume_ate, 4) if resume_ate is not None else None
+            ),
+            # A/B: the uninterrupted run's ATE over the SAME frames, and
+            # the gate — resume quality must be within 2x of it (plus a
+            # 5 cm floor for noise on short spans)
+            "uninterrupted_tail_ate_m": (
+                round(main_tail_ate, 4) if main_tail_ate is not None else None
+            ),
+            "pass": (
+                bool(resume_ate <= max(2.0 * main_tail_ate, 0.05))
+                if resume_ate is not None and main_tail_ate is not None
+                else None
             ),
         },
     }

@@ -517,3 +517,121 @@ def test_scale_continuous_reinit():
     med_pre = np.median([e["b"] / e["gap"] for e in pre])
     med_post = np.median([e["b"] / e["gap"] for e in post])
     assert 0.5 < med_post / med_pre < 2.0, (med_pre, med_post)
+
+
+# ---- ground-plane height prior (round 5) ---------------------------------
+
+
+def test_ground_height_obs_mode_cluster():
+    """The height observation must find the GROUND cluster, not the median
+    of everything below the horizon: wall points below camera height
+    spread over (0, h) and drag a plain median low (the measured 0.76x
+    steady-state scale error)."""
+    import jax.numpy as jnp
+
+    from cvsteer_tpu.slam import vo_core
+
+    rng = np.random.default_rng(3)
+    h_true = 1.5
+    n_g, n_w = 50, 90
+    zg = rng.uniform(4, 16, n_g)
+    ground = np.stack(
+        [rng.uniform(-3, 3, n_g), np.full(n_g, h_true) + rng.normal(0, 0.03, n_g), zg], 1
+    )
+    zw = rng.uniform(2, 10, n_w)
+    walls = np.stack(
+        [rng.uniform(-4, 4, n_w), rng.uniform(0.1, 1.2, n_w), zw], 1
+    )
+    X = np.concatenate([ground, walls]).astype(np.float32)
+    cy, fy = 120.0, 300.0
+    v = cy + fy * X[:, 1] / X[:, 2]  # all below horizon
+    use = np.ones(len(X), bool)
+    h = float(vo_core.ground_height_obs(
+        jnp.asarray(X), jnp.asarray(use), jnp.asarray(v, jnp.float32),
+        jnp.eye(3), jnp.zeros(3), cy,
+    ))
+    assert abs(h - h_true) < 0.08, h
+    # and a wall-only scene (no consistent dominant height) yields a
+    # cluster too small to trust -> 0.0 (caller skips the update)
+    h_w = float(vo_core.ground_height_obs(
+        jnp.asarray(walls[:12].astype(np.float32)), jnp.ones(12, bool),
+        jnp.asarray(cy + fy * walls[:12, 1] / walls[:12, 2], jnp.float32),
+        jnp.eye(3), jnp.zeros(3), cy, min_pts=8,
+    ))
+    assert h_w == 0.0, h_w
+
+
+def test_ground_prior_rescales_window_not_history():
+    """apply_ground_prior: gauge rescale of the WINDOW keyframes + live
+    landmarks about the newest center; older keyframes keep their
+    at-time poses (corrections must not rewrite history)."""
+    from cvsteer_tpu.slam.vo import Keyframe, apply_ground_prior
+
+    cfg = VOConfig(intrinsics=K, window=3, ground_height_m=1.5)
+    state = init_vo(cfg)
+    Re = np.eye(3, dtype=np.float32)
+    for i, x in enumerate([0.0, 1.0, 2.0, 3.0, 4.0]):
+        c = np.array([x, 0.0, 0.0], np.float32)
+        state.keyframes.append(
+            Keyframe(i, None, Re.copy(), (-Re @ c).astype(np.float32),
+                     np.full(4, -1, np.int64))
+        )
+    state.frame_count = 5
+    state.trajectory.append((4, Re.copy(), state.keyframes[-1].t.copy()))
+    state.landmarks[0] = np.array([5.0, 1.0, 10.0], np.float32)
+    state.landmark_valid[0] = True
+    # map scale 10% high: h_obs = 1.65 -> r = exp(-0.5*log(1.1)) capped
+    # -> contraction about c0 = (4, 0, 0)
+    assert apply_ground_prior(state, 1.65) is True
+    r = float(np.exp(np.clip(0.5 * np.log(1.5 / 1.65), -0.05, 0.05)))
+    c0 = np.array([4.0, 0.0, 0.0])
+    # history (keyframes 0, 1) untouched
+    np.testing.assert_allclose(-state.keyframes[0].t, [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(-state.keyframes[1].t, [1, 0, 0], atol=1e-6)
+    # window keyframes rescaled about c0
+    np.testing.assert_allclose(
+        -state.keyframes[2].t, c0 + (np.array([2.0, 0, 0]) - c0) * r,
+        rtol=1e-5,
+    )
+    # newest pose unchanged (scaling about its own center)
+    np.testing.assert_allclose(-state.keyframes[-1].t, c0, atol=1e-6)
+    # live landmark rescaled about c0
+    np.testing.assert_allclose(
+        state.landmarks[0], c0 + (np.array([5.0, 1.0, 10.0]) - c0) * r,
+        rtol=1e-5,
+    )
+
+
+def test_ground_prior_gauge_invariance():
+    """A ground correction is a similarity about a point: reprojection of
+    any rescaled landmark from any rescaled camera is EXACTLY unchanged —
+    windowed BA cannot fight the correction."""
+    from cvsteer_tpu.slam.vo import Keyframe, apply_ground_prior
+
+    rng = np.random.default_rng(5)
+    cfg = VOConfig(intrinsics=K, window=4, ground_height_m=1.5)
+    state = init_vo(cfg)
+    Rw = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+    if np.linalg.det(Rw) < 0:
+        Rw[:, 0] *= -1
+    for i in range(3):
+        c = rng.normal(size=3).astype(np.float32)
+        state.keyframes.append(
+            Keyframe(i, None, Rw.copy(), (-Rw @ c).astype(np.float32),
+                     np.full(4, -1, np.int64))
+        )
+    state.frame_count = 3
+    state.trajectory.append((2, Rw.copy(), state.keyframes[-1].t.copy()))
+    X = rng.uniform(-2, 2, (16, 3)).astype(np.float32) + [0, 0, 8]
+    state.landmarks[:16] = X
+    state.landmark_valid[:16] = True
+
+    def reproj(kf):
+        p = state.landmarks[:16] @ kf.R.T + kf.t
+        return p[:, :2] / p[:, 2:3]
+
+    before = [reproj(kf) for kf in state.keyframes]
+    assert apply_ground_prior(state, 1.8) is True
+    after = [reproj(kf) for kf in state.keyframes]
+    for b, a in zip(before, after):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
