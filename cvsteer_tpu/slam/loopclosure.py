@@ -713,9 +713,17 @@ def close_loops_sim3(
         w = w0.copy()
         w[n_odo : n_odo + n_clo][~active] = 0.0
         graph = graph0._replace(weight=jnp.asarray(w))
+        # large graphs take the matrix-free PCG: the dense [7P, 7P]
+        # Cholesky is cubic in the padded pose count (measured 6-11 s per
+        # closure event at P~512 on the v5e; minutes at P=2048), while
+        # PCG stays O(E*49) per CG iteration — campaign-scale events
+        # remain subsecond
+        P_pad = int(graph0.fixed.shape[0])
         opt, stats = optimize_pose_graph_sim3(
             poses, graph, iterations=iterations,
             huber_delta=huber_delta, robust_kernel=robust_kernel,
+            solver="pcg" if P_pad >= 256 else "dense",
+            cg_iterations=100,
         )
         if not bool(np.isfinite(float(stats.cost))):
             return 0

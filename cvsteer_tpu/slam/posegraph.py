@@ -276,12 +276,31 @@ def _gn_step_matfree(
     CG iteration is the only communication (plus the preconditioner psum).
     CG vectors live as [6] lists of [P] leaves — row gathers/slices only.
     """
-    P = _num_poses(graph)
-    E = graph.i.shape[0]
     Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
     w = _robust_weight(r, graph.weight, huber_delta, robust_kernel)
-    freeP = (~graph.fixed).astype(jnp.float32)  # [P]
-    idx2 = jnp.concatenate([graph.i, graph.j])  # [2E]
+    return _pcg_core(
+        Ji, Jj, r, w, graph.i, graph.j, graph.fixed, lam, cg_iterations,
+        axis_name, dof=6,
+    )
+
+
+def _pcg_core(
+    Ji, Jj, r, w, g_i, g_j, fixed, lam, cg_iterations, axis_name, *, dof
+):
+    """Dof-generic matrix-free Jacobi-PCG GN step (see _gn_step_matfree).
+
+    ``Ji/Jj [dof(a)][dof(c)] of [E]``: residual-row lane Jacobians per
+    edge endpoint; ``r [dof] of [E]`` residual rows; ``w [E]`` robust
+    weights. The SE(3) solver calls with dof=6; the Sim(3) solver
+    (slam.posegraph_sim3) with dof=7 — the dense [dof*P]^2 Cholesky walls
+    out at campaign pose counts (measured 6-11 s per closure event at
+    P~512 padded, projected minutes at P=2048), while this path is
+    O(E dof^2) per CG iteration with no materialized normal matrix.
+    """
+    P = fixed.shape[0]
+    E = g_i.shape[0]
+    freeP = (~fixed).astype(jnp.float32)  # [P]
+    idx2 = jnp.concatenate([g_i, g_j])  # [2E]
 
     # Accumulation strategy: the one-hot [2E, P] matrix turns scatter-add
     # into one MXU matmul — a TPU scatter serializes over rows — but its
@@ -294,7 +313,7 @@ def _gn_step_matfree(
     use_onehot = 2 * E * P <= _ONEHOT_MAX_ENTRIES
     if use_onehot:
         S = jnp.concatenate(
-            [ll.onehot(graph.i, P), ll.onehot(graph.j, P)], axis=0
+            [ll.onehot(g_i, P), ll.onehot(g_j, P)], axis=0
         )  # [2E, P]; S^T is the gather both endpoints share
         segsum = None
     else:
@@ -317,27 +336,27 @@ def _gn_step_matfree(
         if use_onehot:
             Y = jnp.concatenate(
                 [jnp.stack(Yi, 0), jnp.stack(Yj, 0)], axis=1
-            )  # [6, 2E]
-            return jnp.matmul(Y, S, precision=_HP)  # [6, P]
+            )  # [dof, 2E]
+            return jnp.matmul(Y, S, precision=_HP)  # [dof, P]
         vals = jnp.concatenate(
             [jnp.stack(Yi, -1), jnp.stack(Yj, -1)]
-        )  # [2E, 6]
+        )  # [2E, dof]
         return segsum(vals).T
 
     # rhs b and Jacobi blocks D
     b2 = scatter6(
-        [-(sum(Ji[a][c] * r[a] for a in range(6))) * w for c in range(6)],
-        [-(sum(Jj[a][c] * r[a] for a in range(6))) * w for c in range(6)],
+        [-(sum(Ji[a][c] * r[a] for a in range(dof))) * w for c in range(dof)],
+        [-(sum(Jj[a][c] * r[a] for a in range(dof))) * w for c in range(dof)],
     )
     d_rows_i, d_rows_j = [], []
-    for ci in range(6):
-        for cj in range(6):
+    for ci in range(dof):
+        for cj in range(dof):
             if cj < ci:
-                d_rows_i.append(d_rows_i[cj * 6 + ci])
-                d_rows_j.append(d_rows_j[cj * 6 + ci])
+                d_rows_i.append(d_rows_i[cj * dof + ci])
+                d_rows_j.append(d_rows_j[cj * dof + ci])
             else:
-                d_rows_i.append(sum(Ji[a][ci] * Ji[a][cj] for a in range(6)) * w)
-                d_rows_j.append(sum(Jj[a][ci] * Jj[a][cj] for a in range(6)) * w)
+                d_rows_i.append(sum(Ji[a][ci] * Ji[a][cj] for a in range(dof)) * w)
+                d_rows_j.append(sum(Jj[a][ci] * Jj[a][cj] for a in range(dof)) * w)
     if use_onehot:
         Dm = jnp.matmul(
             jnp.concatenate(
@@ -345,44 +364,44 @@ def _gn_step_matfree(
             ),
             S,
             precision=_HP,
-        )  # [36, P]
+        )  # [dof*dof, P]
     else:
         dvals = jnp.concatenate(
             [jnp.stack(d_rows_i, -1), jnp.stack(d_rows_j, -1)]
-        )  # [2E, 36]
+        )  # [2E, dof*dof]
         Dm = segsum(dvals).T
     if axis_name is not None:
         b2 = lax.psum(b2, axis_name)
         Dm = lax.psum(Dm, axis_name)
-    b = [b2[c] * freeP for c in range(6)]
-    D = jnp.transpose(Dm).reshape(P, 6, 6) + (lam + 1e-8) * jnp.eye(
-        6, dtype=jnp.float32
+    b = [b2[c] * freeP for c in range(dof)]
+    D = jnp.transpose(Dm).reshape(P, dof, dof) + (lam + 1e-8) * jnp.eye(
+        dof, dtype=jnp.float32
     )
     D_inv = jnp.linalg.inv(D)
-    Dl = [[D_inv[:, a, c] for c in range(6)] for a in range(6)]
+    Dl = [[D_inv[:, a, c] for c in range(dof)] for a in range(dof)]
 
     # CG runs on STACKED lane arrays ([6, P] state, [6(a), 6(c), E]
     # Jacobian stacks — minor dim stays the big axis, so no layout
     # disease): the per-component list form compiled to ~50 kernels per CG
     # iteration, all launch overhead at these sizes.
-    Jist = jnp.stack([jnp.stack(Ji[a], 0) for a in range(6)])  # [6, 6, E]
-    Jjst = jnp.stack([jnp.stack(Jj[a], 0) for a in range(6)])
+    Jist = jnp.stack([jnp.stack(Ji[a], 0) for a in range(dof)])  # [6, 6, E]
+    Jjst = jnp.stack([jnp.stack(Jj[a], 0) for a in range(dof)])
     Dst = jnp.stack(
-        [jnp.stack([Dl[a][c] for c in range(6)], 0) for a in range(6)]
+        [jnp.stack([Dl[a][c] for c in range(dof)], 0) for a in range(dof)]
     )  # [6, 6, P]
-    bst = jnp.stack(b, 0)  # [6, P]
+    bst = jnp.stack(b, 0)  # [dof, P]
 
-    def precond(V):  # [6, P] -> [6, P]
+    def precond(V):  # [dof, P] -> [6, P]
         return (Dst * V[None, :, :]).sum(1) * freeP[None, :]
 
     def hv(V):
         Vm = V * freeP[None, :]
-        rows = Vm.T[idx2]  # [2E, 6] packed gather of both endpoints
-        vi, vj = rows[:E].T, rows[E:].T  # [6, E]
+        rows = Vm.T[idx2]  # [2E, dof] packed gather of both endpoints
+        vi, vj = rows[:E].T, rows[E:].T  # [dof, E]
         u = (
             (Jist * vi[None, :, :]).sum(1) + (Jjst * vj[None, :, :]).sum(1)
         ) * w[None, :]
-        Yi = (Jist * u[:, None, :]).sum(0)  # [6(c), E]
+        Yi = (Jist * u[:, None, :]).sum(0)  # [dof(c), E]
         Yj = (Jjst * u[:, None, :]).sum(0)
         if use_onehot:
             out = jnp.matmul(
@@ -397,7 +416,7 @@ def _gn_step_matfree(
     def dot(u, v):
         return jnp.sum(u * v)
 
-    x = jnp.zeros((6, P), jnp.float32)
+    x = jnp.zeros((dof, P), jnp.float32)
     res = bst
     z = precond(res)
     p = z
@@ -416,7 +435,7 @@ def _gn_step_matfree(
         return x, res, p, rz_new
 
     x, _, _, _ = lax.fori_loop(0, cg_iterations, cg_body, (x, res, p, rz))
-    return x.T  # [P, 6]
+    return x.T  # [P, dof]
 
 
 @partial(

@@ -212,9 +212,38 @@ def _solve_dense_lanes(
     return dx.reshape(7, P).T  # (c, p) -> [P, 7]
 
 
+def _gn_step_matfree_sim3(
+    poses: Sim3,
+    graph: Sim3Graph,
+    lam: jax.Array,
+    cg_iterations: int,
+    huber_delta: float = 0.0,
+    robust_kernel: str = "huber",
+) -> jax.Array:
+    """Damped GN update dx [P, 7] via matrix-free Jacobi-PCG.
+
+    The 7-dof instantiation of posegraph._pcg_core: the dense
+    [7P, 7P] Cholesky path walls out at campaign pose counts (measured
+    6-11 s per closure event at P~512 padded on the v5e, with a
+    cubic wall beyond), while each CG iteration here is O(E * 49) work
+    through one-hot MXU accumulations — the closure event stays
+    subsecond at P in the thousands."""
+    from cvsteer_tpu.slam.posegraph import _pcg_core, _robust_weight
+
+    Ji, Jj, r = _edge_jacobians_lanes(poses, graph)
+    w = _robust_weight(r, graph.weight, huber_delta, robust_kernel)
+    return _pcg_core(
+        Ji, Jj, r, w, graph.i, graph.j, graph.fixed, lam, cg_iterations,
+        None, dof=7,
+    )
+
+
 @partial(
     jax.jit,
-    static_argnames=("iterations", "lam0", "huber_delta", "robust_kernel"),
+    static_argnames=(
+        "iterations", "lam0", "huber_delta", "robust_kernel", "solver",
+        "cg_iterations",
+    ),
 )
 @precise
 def optimize_pose_graph_sim3(
@@ -225,18 +254,28 @@ def optimize_pose_graph_sim3(
     lam0: float = 1e-6,
     huber_delta: float = 0.0,
     robust_kernel: str = "huber",
+    solver: str = "dense",
+    cg_iterations: int = 50,
 ) -> Tuple[Sim3, Sim3Stats]:
-    """LM optimization of the 7-dof pose graph (dense solve, small P).
+    """LM optimization of the 7-dof pose graph.
 
-    Jitted at definition — see posegraph.optimize_pose_graph."""
+    solver='dense': exact Cholesky of the [7P, 7P] system (small P);
+    solver='pcg': matrix-free Jacobi-PCG (large P — see
+    _gn_step_matfree_sim3). Jitted at definition — see
+    posegraph.optimize_pose_graph."""
     c0 = cost(poses, graph, huber_delta, robust_kernel)
     free = (~graph.fixed).astype(jnp.float32)
 
     def body(_, carry):
         ps, cur, lam = carry
-        dx = _solve_dense_lanes(
-            ps, graph, lam, huber_delta, robust_kernel
-        ) * free[:, None]
+        if solver == "pcg":
+            dx = _gn_step_matfree_sim3(
+                ps, graph, lam, cg_iterations, huber_delta, robust_kernel
+            ) * free[:, None]
+        else:
+            dx = _solve_dense_lanes(
+                ps, graph, lam, huber_delta, robust_kernel
+            ) * free[:, None]
         cand = sim3.compose(sim3.exp(dx), ps)
         cand_cost = cost(cand, graph, huber_delta, robust_kernel)
         accept = cand_cost < cur

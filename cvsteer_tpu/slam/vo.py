@@ -1211,6 +1211,13 @@ def apply_speed_prior(state: VOState, fresh_ids=None) -> bool:
     if len(state.keyframes) < 2:
         return False
     lo, hi = state.config.speed_prior_band
+    if state.config.ground_height_m > 0:
+        # governor precedence: the ground prior is an ABSOLUTE reference;
+        # the speed band is RELATIVE (rolling median) and encodes drifted
+        # scale, so stacking them makes the band fight every ground
+        # correction (measured: 33 clamps collapsed a ground-held run to
+        # 0.03x). With ground active the speed prior records only.
+        hi = 0.0
     kf, prev = state.keyframes[-1], state.keyframes[-2]
     gap = max(kf.index - prev.index, 1)
     c_prev = -prev.R.T @ prev.t

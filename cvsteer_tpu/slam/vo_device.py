@@ -658,7 +658,7 @@ def _stack_features(frames, tick, N, D):
 
 
 def _fleet_promote(
-    ms, do_promote, tr, desc, fvalid, sig_new,
+    ms, do_promote, tr, desc, fvalid, sig_new, prio_offset=0,
     *, ba_iterations, huber_delta, tri_angle, promote_cap,
 ):
     """Batched fleet promotion, optionally COMPACTED to a sub-batch.
@@ -699,7 +699,24 @@ def _fleet_promote(
         return ms2, do_promote, comp
 
     PB = int(promote_cap)
-    rank = jnp.cumsum(do_promote.astype(jnp.int32)) - 1
+    # FAIR ranking under sustained load (VERDICT r4 item 3): a plain
+    # cumsum rank always serves the lowest-indexed promoters, so under
+    # bursts the same unlucky streams defer tick after tick — their
+    # keyframe reference staled and the S=32 cap=8 fleet tail ATE ran
+    # 2.5x the uncapped run (FLEET_r04 streams 11/15). Rank in a
+    # CIRCULARLY ROTATED stream order whose origin advances by PB each
+    # tick (prio_offset, traced scalar): every requesting stream is
+    # served within ceil(S/PB) ticks, no per-stream state.
+    order = jnp.mod(
+        jnp.arange(S, dtype=jnp.int32) - prio_offset, S
+    )
+    rank = (
+        jnp.sum(
+            (do_promote[None, :] & (order[None, :] < order[:, None])
+             ).astype(jnp.int32),
+            axis=1,
+        )
+    )
     served = do_promote & (rank < PB)
     # prefix-sum compaction: idx[r] = stream id of the r-th served
     # promotion; pads carry the out-of-bounds sentinel S (dropped on
@@ -731,7 +748,7 @@ def _fleet_promote(
 
 
 def _fleet_step_body(
-    ms, active, yx, desc, fvalid, Rp, tp, force_kf,
+    ms, active, yx, desc, fvalid, Rp, tp, force_kf, prio_offset,
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
     ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
     tri_angle=1.0, promote_cap=0, rescue_radius=0.0, rescue_min_cos=0.6,
@@ -765,7 +782,7 @@ def _fleet_step_body(
     )(ms, desc, fvalid) if ms.sig is not None else (None, None, None)
 
     ms2, served, _comp = _fleet_promote(
-        ms, tr.promote & active, tr, desc, fvalid, sig_new,
+        ms, tr.promote & active, tr, desc, fvalid, sig_new, prio_offset,
         ba_iterations=ba_iterations, huber_delta=huber_delta,
         tri_angle=tri_angle, promote_cap=promote_cap,
     )
@@ -834,7 +851,7 @@ _predict_pose_dev = vo_core.predict_const_velocity
 
 
 def _fleet_step_pipe_body(
-    ms, aux: _FleetAux, active, yx, desc, fvalid,
+    ms, aux: _FleetAux, active, yx, desc, fvalid, prio_offset,
     *, K, ratio, track_iters, huber_delta, min_track, kf_max_gap,
     motion_model, ba_iterations, local_map=False, loop_min_gap=6,
     loop_cands=3, tri_angle=1.0, promote_cap=0,
@@ -875,6 +892,7 @@ def _fleet_step_pipe_body(
 
     ms2, served, comp = _fleet_promote(
         ms, tr.promote & active & ~aux.block, tr, desc, fvalid, sig_new,
+        prio_offset,
         ba_iterations=ba_iterations, huber_delta=huber_delta,
         tri_angle=tri_angle, promote_cap=promote_cap,
     )
@@ -1282,6 +1300,8 @@ class DeviceVO:
         b = float(np.linalg.norm(-kf.R.T @ kf.t + prev.R.T @ prev.t))
         med = hostvo.median_speed(st)
         lo, hi = cfg.speed_prior_band
+        if cfg.ground_height_m > 0:
+            hi = 0.0  # precedence: absolute ground reference wins (vo.py)
         if hi > 0 and med is not None and not (
             lo * med * gap <= b <= hi * med * gap
         ):
@@ -1476,6 +1496,10 @@ class DeviceVOFleet:
         = 31 ms/tick, depth 3 = 16 ms, depth 6 = 7.5 ms dispatch-bound."""
         self.config = config
         self.promote_cap = int(promote_cap)
+        # rotating fair-serve origin for capped promotion (_fleet_promote):
+        # advances by promote_cap per tick so deferred streams are served
+        # within ceil(S / promote_cap) ticks
+        self._promote_rr = 0
         # bench hook: when truthy, each tick stores a zero-arg closure
         # replaying the exact dispatched computation (same state + inputs,
         # no mutation) in ``_captured`` for device-trace profiling
@@ -1514,6 +1538,14 @@ class DeviceVOFleet:
         now = time.perf_counter()
         self.host_profile[phase] = self.host_profile.get(phase, 0.0) + now - t0
         return now
+
+    def _advance_rr(self, S: int) -> int:
+        """Current rotating fair-serve origin; advances by promote_cap
+        per tick (see _fleet_promote's rotated ranking)."""
+        o = self._promote_rr
+        if self.promote_cap:
+            self._promote_rr = (o + self.promote_cap) % max(S, 1)
+        return o
 
     @property
     def states(self):
@@ -1669,12 +1701,13 @@ class DeviceVOFleet:
             ground_prior=cfg.ground_height_m > 0,
             promote_cap=self.promote_cap,
         )
+        prio = jnp.int32(self._advance_rr(S))
         if self.capture_dispatch:
             stack0 = self.stack
             self._captured = lambda: jax.block_until_ready(
-                _fleet_step(stack0, *inputs, **kw)
+                _fleet_step(stack0, *inputs, prio, **kw)
             )
-        self.stack, out = _fleet_step(self.stack, *inputs, **kw)
+        self.stack, out = _fleet_step(self.stack, *inputs, prio, **kw)
         fetched: StepOut = jax.device_get(out)  # ONE round-trip, all streams
 
         for i in range(S):
@@ -1764,13 +1797,14 @@ class DeviceVOFleet:
             ground_prior=cfg.ground_height_m > 0,
             promote_cap=self.promote_cap,
         )
+        prio = jnp.int32(self._advance_rr(len(self.engines)))
         if self.capture_dispatch:
             stack0, aux0 = self.stack, self.aux
             self._captured = lambda: jax.block_until_ready(
-                _fleet_step_pipe(stack0, aux0, *inputs, **kw)
+                _fleet_step_pipe(stack0, aux0, *inputs, prio, **kw)
             )
         self.stack, self.aux, out = _fleet_step_pipe(
-            self.stack, self.aux, *inputs, **kw
+            self.stack, self.aux, *inputs, prio, **kw
         )
         t_phase = self._lap("dispatch", t_phase)
         # start the device->host copy of this tick's result NOW: by the
@@ -1834,13 +1868,14 @@ class DeviceVOFleet:
             ground_prior=cfg.ground_height_m > 0,
             promote_cap=self.promote_cap,
         )
+        prio = jnp.int32(self._advance_rr(len(self.engines)))
         if self.capture_dispatch:
             stack0, aux0 = self.stack, self.aux
             self._captured = lambda: jax.block_until_ready(
-                _fleet_step_pipe(stack0, aux0, *inputs, **kw)
+                _fleet_step_pipe(stack0, aux0, *inputs, prio, **kw)
             )
         self.stack, self.aux, out = _fleet_step_pipe(
-            self.stack, self.aux, *inputs, **kw
+            self.stack, self.aux, *inputs, prio, **kw
         )
         for leaf in jax.tree.leaves(out):
             leaf.copy_to_host_async()

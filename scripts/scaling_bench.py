@@ -217,6 +217,39 @@ def analytic_ba_efficiency(
                         "efficiency": round(eff, 3),
                     })
     meets = [r for r in table if r["efficiency"] >= 0.8]
+    # ---- C-scaling attribution (VERDICT r4 item 8) ----------------------
+    # The measured superlinearity in C fits t(C) = a*C + b*C^2 at fixed L:
+    # the linear term is the per-observation residual/Jacobian work over
+    # the dense [C, L] grid; the QUADRATIC term is the cross-camera Schur
+    # complement assembly (S = sum_l B_l^T D_l^-1 B_l fills all C x C
+    # 6x6 blocks -> O(C^2 L) MXU FLOPs). Fit from the measured C points;
+    # the r4 numbers give a = 345 us, b = 3.67 us at L = 1e5 and predict
+    # C=16 at 2.157x (measured 2.157) / C=32 at 4.94x (measured 4.74,
+    # -4 %): the superlinearity is the algorithmic C^2 term, not padding
+    # or recompilation (compile time is excluded by the device trace).
+    attribution = None
+    if c_scale and len(c_scale) >= 3:
+        Cs = sorted(c_scale)
+        import numpy as _np
+
+        A = _np.array([[c, c * c] for c in Cs], float)
+        y = _np.array([c_scale[c] for c in Cs], float)
+        (a_fit, b_fit), res, *_ = _np.linalg.lstsq(A, y, rcond=None)
+        pred = A @ _np.array([a_fit, b_fit])
+        attribution = {
+            "model": "t(C)/t(8) = a*C + b*C^2 (a: [C,L]-grid residual/"
+                     "Jacobian work; b: O(C^2 L) cross-camera Schur "
+                     "assembly)",
+            "fit": {"a": round(float(a_fit), 5), "b": round(float(b_fit), 6)},
+            "fit_error_pct": [
+                round(100 * float(p / m - 1), 1)
+                for p, m in zip(pred, y)
+            ],
+            "schur_c2_share_at_C": {
+                str(c): round(float(b_fit * c * c / (a_fit * c + b_fit * c * c)), 3)
+                for c in Cs
+            },
+        }
     out = {
         "model": "eff(n) = t1 / (n * (t1/n + lat + 2(n-1)/n * bytes/bw))",
         "inputs": {
@@ -235,7 +268,14 @@ def analytic_ba_efficiency(
             "claim": ">= 0.8 efficiency at 2+ hosts (BASELINE config 5)",
             "holds_when": "L/chip >= ~25k landmarks over ICI; >= ~300k over DCN "
                           "(see table: comm is L-independent, compute is linear in L)",
+            "dcn_small_L": "windowed-BA-sized problems (L ~ 1e4, the VO "
+                           "engine's per-promotion solve) DO NOT scale over "
+                           "DCN (0.11-0.5 efficiency at 2-32 chips): only "
+                           "global map BA (L >= ~3e5/chip) benefits from "
+                           "DCN fan-out; windowed solves stay on one chip "
+                           "or ICI.",
         },
+        "c_scaling_attribution": attribution,
         "table": table,
     }
     with open(out_path, "w") as f:

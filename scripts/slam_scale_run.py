@@ -145,13 +145,17 @@ def main(argv=None) -> int:
     #     scale with gauge-exact window rescales;
     #  3. rejected ~700 ms closure verifications nearly every promotion
     #     -> temporal-consistency gate + rejected-region cooldown.
-    # Keyframing is flow-driven (kf_min_flow_px): straights stretch the
-    # triangulation baseline, turns stay dense; gap 12 is the backstop.
+    # Keyframing stays at gap 3: the 600-frame A/B (probe_scale_campaign)
+    # measured ATE 0.61 m at gap 3 + ground prior vs 10.6 m at
+    # flow-driven gap<=12 — sparse keyframes starve both tracking (53/86
+    # track-loss promotions) and the ground observation itself (needs
+    # >= 8 bottom-image tracked inliers), so dense cadence WINS once the
+    # ground prior owns scale. The speed prior records only (governor
+    # precedence — vo.apply_speed_prior) and re-arms if ground is off.
     cfg = VOConfig(
         intrinsics=Intrinsics(fx, fy, cx, cy),
         frontend=FrontendConfig(upright_desc=True),
-        kf_max_gap=12,
-        kf_min_flow_px=18.0,
+        kf_max_gap=3,
         window=12,
         track_min_landmarks=40,
         min_parallax=0.03,

@@ -348,3 +348,35 @@ def test_lane_jacobians_match_autodiff_reference():
     np.testing.assert_allclose(Ji, np.moveaxis(np.asarray(Ji_ref), 0, -1), atol=3e-5)
     np.testing.assert_allclose(Jj, np.moveaxis(np.asarray(Jj_ref), 0, -1), atol=3e-5)
     np.testing.assert_allclose(r, np.asarray(r_ref).T, atol=1e-5)
+
+
+def test_sim3_pcg_solver_matches_dense(rng):
+    """The matrix-free Jacobi-PCG Sim(3) solver (campaign-scale closure
+    events; the dense [7P, 7P] Cholesky is cubic in P) must reproduce the
+    dense solution on a drifted chain + loop."""
+    P = 24
+    gt = _chain_world(P, rng)
+    edges = [(k, k + 1) for k in range(P - 1)] + [(0, P - 1), (3, 17)]
+    graph = _graph_from(gt, edges, weight=1.0)
+    drift = []
+    for k in range(P):
+        xi = np.concatenate(
+            [rng.normal(0, 0.02, 3), rng.normal(0, 0.04, 3), [0.03 * k]]
+        )
+        if k == 0:
+            xi[:] = 0.0
+        drift.append(jnp.asarray(xi, jnp.float32))
+    init = sim3.compose(sim3.exp(jnp.stack(drift)), gt)
+
+    dense, sd = optimize_pose_graph_sim3(
+        init, graph, iterations=20, solver="dense"
+    )
+    pcg, sp = optimize_pose_graph_sim3(
+        init, graph, iterations=20, solver="pcg", cg_iterations=100
+    )
+    assert float(sp.cost) < 1.05 * float(sd.cost) + 1e-9
+    ang = np.asarray(se3.rotation_geodesic(pcg.R, dense.R))
+    assert ang.max() < 2e-3
+    np.testing.assert_allclose(
+        np.asarray(pcg.s), np.asarray(dense.s), rtol=5e-3
+    )
