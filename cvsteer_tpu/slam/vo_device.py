@@ -107,6 +107,12 @@ class DeviceMap(NamedTuple):
     lm_desc: jax.Array
     sig: Optional[jax.Array] = None
     sig_n: Optional[jax.Array] = None
+    # frames since the last on-device promotion (scalar int32; None on
+    # fleet stacks that drive force_kf from host/aux state). Lets the
+    # single-engine step compute the gap-G forced promotion ITSELF, so a
+    # pipelined host (issue k+1 before complete k) cannot double-promote
+    # off a stale keyframe mirror.
+    since_kf: Optional[jax.Array] = None
 
 
 class StepOut(NamedTuple):
@@ -511,9 +517,16 @@ def _device_step_body(
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
     ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
     tri_angle=1.0, rescue_radius=0.0, rescue_min_cos=0.6,
-    kf_min_flow=0.0, ground_prior=False,
+    kf_min_flow=0.0, ground_prior=False, kf_max_gap=0,
 ):
-    """The whole VO frame in one dispatch; see module docstring."""
+    """The whole VO frame in one dispatch; see module docstring.
+
+    ``kf_max_gap`` (static, 0 = off): compute the forced-promotion gap
+    from the carry's own since_kf counter instead of the host's
+    ``force_kf`` — exact under host pipelining (a stale keyframe mirror
+    otherwise force-promotes twice per cycle)."""
+    if kf_max_gap and m.since_kf is not None:
+        force_kf = force_kf | (m.since_kf + 1 >= kf_max_gap)
     tr = _track_phase(
         m, yx, desc, fvalid, Rp, tp, force_kf,
         K=K, ratio=ratio, track_iters=track_iters,
@@ -535,6 +548,10 @@ def _device_step_body(
         lambda mm: mm,
         m,
     )
+    if m.since_kf is not None:
+        m2 = m2._replace(
+            since_kf=jnp.where(tr.promote, 0, m.since_kf + 1)
+        )
     obs_new = m2.kf_obs[-1]
     out = StepOut(
         R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
@@ -556,7 +573,7 @@ _device_step = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map", "loop_min_gap",
         "loop_cands", "tri_angle", "rescue_radius", "rescue_min_cos",
-        "kf_min_flow", "ground_prior",
+        "kf_min_flow", "ground_prior", "kf_max_gap",
     ),
 )(precise(_device_step_body))
 
@@ -1047,6 +1064,9 @@ class DeviceVO:
             lm_desc=jnp.asarray(lm_desc),
             sig=sig,
             sig_n=sig_n,
+            since_kf=jnp.int32(
+                max(st.frame_count - 1 - kf_last.index, 0)
+            ),
         )
         self._host_dirty = False
 
@@ -1131,7 +1151,7 @@ class DeviceVO:
         self.map, out = _device_step(
             self.map, feats.yx, feats.desc, feats.valid,
             jnp.asarray(Rp), jnp.asarray(tp),
-            jnp.asarray(gap >= cfg.kf_max_gap),
+            jnp.asarray(False),  # forced promotion is device-counted
             K=K, ratio=cfg.match_ratio, track_iters=10,
             huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
             dual_init=dual, ba_iterations=cfg.ba_iterations,
@@ -1143,6 +1163,7 @@ class DeviceVO:
             rescue_min_cos=cfg.rescue_min_cos,
             kf_min_flow=cfg.kf_min_flow_norm,
             ground_prior=cfg.ground_height_m > 0,
+            kf_max_gap=cfg.kf_max_gap,
         )
         self._host_dirty = True
         return out

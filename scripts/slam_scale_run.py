@@ -87,11 +87,18 @@ def _summarize_diag(diag) -> dict:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2400)
-    ap.add_argument("--laps", type=float, default=1.75)
+    ap.add_argument("--laps", type=float, default=None,
+                    help="default scales with --frames to hold the "
+                    "canonical 0.194 m/frame (1.75 laps at 4200 frames); "
+                    "a short trial otherwise drives proportionally "
+                    "FASTER around the same circuit and measures a "
+                    "different, much harder problem")
     ap.add_argument("--output", default="SLAM_r04.json")
     ap.add_argument("--platform", default="default",
                     help="'cpu' forces the CPU backend (smoke runs)")
     ap.add_argument("--checkpoint-dir", default="/tmp/slam_scale_ckpt")
+    ap.add_argument("--sequential", action="store_true",
+                    help="disable the depth-2 issue/fetch pipeline")
     ap.add_argument("--resume-frames", type=int, default=200)
     args = ap.parse_args(argv)
 
@@ -117,6 +124,8 @@ def main(argv=None) -> int:
 
     from cvsteer_tpu.features.frontend import FrontendConfig
 
+    if args.laps is None:
+        args.laps = 1.75 * args.frames / 4200.0
     seq = CityLoop(n_frames=args.frames, laps=args.laps)
     fx, fy, cx, cy = seq.intrinsics4
     # Tuned on 250-frame probes (round 4): upright descriptors (roll-
@@ -192,18 +201,47 @@ def main(argv=None) -> int:
              "fetch": 0.0, "complete": 0.0, "bootstrap": 0.0}
     ckpt_s = 0.0
     t_run0 = time.perf_counter()
-    next_img = None
+
+    # Depth-2 pipeline: frame k's fetch overlaps frame k+1's render +
+    # feature dispatch + step dispatch, so the steady-state frame cost is
+    # max(tunnel RTT, host work) instead of their SUM (the r4 campaign's
+    # 285 ms/frame was fetch-RTT-dominated). Sound because a lost step
+    # does not mutate the device carry (promote requires ~lost) and the
+    # event corrections complete() issues (ground rescale, closure
+    # upload) are device-ordered AFTER the already-dispatched next step —
+    # the standard one-tick-stale trade the fleet pipe path makes. When
+    # complete() drops the engine to bootstrap (map=None), the in-flight
+    # frame completes through the normal path and the loop falls back to
+    # sequential host processing until re-init.
+    pending = None  # (frame_idx, feats, un-fetched StepOut)
+
+    def _complete_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        kq, fq, hq = pending
+        pending = None
+        t0 = time.perf_counter()
+        out = jax.device_get(hq)
+        phase["fetch"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        vo.complete(fq, out)
+        phase["complete"] += time.perf_counter() - t0
+        n_tracked_hist.append(int(out.n_tracked))
+        if bool(out.promoted):
+            promoted_frames.append(kq)
+
     for k in range(args.frames):
-        if next_img is None:
-            t0 = time.perf_counter()
-            next_img = seq.render(k)
-            phase["render"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        img = seq.render(k)
+        phase["render"] += time.perf_counter() - t0
         t0 = time.perf_counter()
         feats = hostvo._extract_features_jit(
-            jnp.asarray(next_img, jnp.float32), cfg.frontend
+            jnp.asarray(img, jnp.float32), cfg.frontend
         )
         phase["features"] += time.perf_counter() - t0
-        next_img = None
+        if vo.map is None:
+            _complete_pending()
         if vo.map is None:
             t0 = time.perf_counter()
             vo.process_frame(feats)
@@ -212,22 +250,14 @@ def main(argv=None) -> int:
             t0 = time.perf_counter()
             handle = vo.issue(feats)  # async dispatch
             phase["issue"] += time.perf_counter() - t0
-            if k + 1 < args.frames:
-                # render the NEXT frame while the device computes and the
-                # result streams back (hides the host render under the RTT)
-                t0 = time.perf_counter()
-                next_img = seq.render(k + 1)
-                phase["render"] += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            out = jax.device_get(handle)
-            phase["fetch"] += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            vo.complete(feats, out)
-            phase["complete"] += time.perf_counter() - t0
-            n_tracked_hist.append(int(out.n_tracked))
-            if bool(out.promoted):
-                promoted_frames.append(k)
+            if args.sequential:
+                pending = (k, feats, handle)
+                _complete_pending()
+            else:
+                _complete_pending()  # previous frame: fetch overlapped
+                pending = (k, feats, handle)
         if k == ckpt_frame:
+            _complete_pending()  # checkpoint needs the settled state
             t0 = time.perf_counter()
             ckpt.save(k, vo.sync_host())
             ckpt_s = time.perf_counter() - t0
@@ -240,6 +270,7 @@ def main(argv=None) -> int:
                 f"lm={vo.state.num_landmarks} closures={vo.closures_accepted} "
                 f"{(k+1)/el:.1f} f/s", file=sys.stderr,
             )
+    _complete_pending()  # drain the pipeline
     wall_s = time.perf_counter() - t_run0
     highwater.sample()
     mem = highwater.peak
