@@ -200,6 +200,11 @@ def _vo_config(cfg):
         loop_min_gap=cfg.slam.loop_min_gap,
         loop_min_inliers=cfg.slam.loop_min_inliers,
         loop_robust_delta=cfg.slam.loop_robust_delta,
+        kf_min_flow_px=cfg.slam.kf_min_flow_px,
+        loop_consistency=cfg.slam.loop_consistency,
+        loop_reject_cooldown=cfg.slam.loop_reject_cooldown,
+        ground_height_m=cfg.slam.ground_height_m,
+        speed_prior_band=(cfg.slam.speed_prior_lo, cfg.slam.speed_prior_hi),
         motion_model=cfg.slam.motion_model,
         track_local_map=cfg.slam.track_local_map,
     )

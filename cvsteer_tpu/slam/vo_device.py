@@ -581,6 +581,44 @@ _device_step = functools.partial(
 _gather_rows_jit = jax.jit(lambda yx, d, f, ii: (yx[ii], d[ii], f[ii]))
 
 
+def _device_step_n_body(m: DeviceMap, yx, desc, fvalid, **kw):
+    """N frames through the fused step in ONE dispatch (lax.scan).
+
+    ``yx/desc/fvalid`` carry a leading chunk axis [N, ...]. The carry is
+    the same DeviceMap the single step advances; per-frame PnP inits come
+    from the carry's own newest ring pose (exactly what the single-step
+    path passes when the motion model is off), and forced-gap promotion
+    uses the carry's since_kf counter — so an N-frame chunk is
+    STEP-FOR-STEP the sequential engine, fetched once. Per-frame host
+    work (trajectory append, promotion mirrors, ground/speed/closure
+    events) happens afterwards from the stacked StepOut rows
+    (DeviceVO.complete per row); event corrections are device-ordered
+    after the chunk — the same one-chunk-stale trade the fleet's
+    pipelined tick makes. Chunking divides the tunnel's per-dispatch +
+    per-fetch cost by N (measured r5: 113 ms/frame sequential on a
+    ~30 ms-RTT tunnel, dispatch-overhead-bound)."""
+
+    def one(mm, fr):
+        yx1, d1, fv1 = fr
+        return _device_step_body(
+            mm, yx1, d1, fv1, mm.kf_R[-1], mm.kf_t[-1],
+            jnp.asarray(False), **kw,
+        )
+
+    return lax.scan(one, m, (yx, desc, fvalid))
+
+
+_device_step_n = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "K", "ratio", "track_iters", "huber_delta", "min_track",
+        "dual_init", "ba_iterations", "local_map", "loop_min_gap",
+        "loop_cands", "tri_angle", "rescue_radius", "rescue_min_cos",
+        "kf_min_flow", "ground_prior", "kf_max_gap",
+    ),
+)(precise(_device_step_n_body))
+
+
 @jax.jit
 def _ground_rescale_jit(m: DeviceMap, r, c0):
     """Gauge-exact similarity about point ``c0``: live landmarks and the
@@ -1167,6 +1205,50 @@ class DeviceVO:
         )
         self._host_dirty = True
         return out
+
+    def issue_chunk(self, yx, desc, fvalid) -> StepOut:
+        """Dispatch N frames (leading chunk axis) in ONE fused scan step;
+        the carry advances immediately (see _device_step_n_body). PnP
+        inits come from the device ring itself, so the chunk needs no
+        host-side per-frame state — requires motion_model off (the
+        chunked step cannot consult host trajectory mirrors)."""
+        st = self.state
+        cfg = st.config
+        assert not cfg.motion_model, "chunked stepping: motion_model off"
+        self.map, out = _device_step_n(
+            self.map, yx, desc, fvalid,
+            K=cfg.intrinsics, ratio=cfg.match_ratio, track_iters=10,
+            huber_delta=cfg.huber_delta, min_track=cfg.track_min_landmarks,
+            dual_init=False, ba_iterations=cfg.ba_iterations,
+            local_map=cfg.track_local_map,
+            loop_min_gap=cfg.loop_min_gap,
+            loop_cands=cfg.loop_max_candidates,
+            tri_angle=cfg.tri_min_ray_angle_deg,
+            rescue_radius=cfg.rescue_radius_norm,
+            rescue_min_cos=cfg.rescue_min_cos,
+            kf_min_flow=cfg.kf_min_flow_norm,
+            ground_prior=cfg.ground_height_m > 0,
+            kf_max_gap=cfg.kf_max_gap,
+        )
+        self._host_dirty = True
+        return out
+
+    def complete_chunk(self, frames, fetched: StepOut) -> int:
+        """Host-mirror tail for a FETCHED chunk: run :meth:`complete` on
+        each stacked row in order; returns the number of rows consumed.
+        ``frames`` indexes per-frame Features (e.g. _LazyFeatureRows over
+        the batched front-end output — only promoted/lost rows
+        materialize). Stops once the engine drops to bootstrap
+        (map=None): later rows were computed on a map the recovery path
+        will overwrite; the caller re-processes those frames through
+        process_frame."""
+        n = int(fetched.R.shape[0])
+        for i in range(n):
+            if self.map is None:
+                return i
+            row = jax.tree.map(lambda a, i=i: a[i], fetched)
+            self.complete(frames[i], row)
+        return n
 
     def complete(self, feats: Features, fetched: StepOut) -> None:
         """Host-mirror tail of the step from a FETCHED result."""

@@ -78,6 +78,7 @@ class VOServer:
         # needs no pixel round-trip)
         kf_req = {}
         pix = {}
+        ground = {}
         for i, res in fetched.items():
             st = self.states[i]
             out = _track_complete(st, res)
@@ -85,6 +86,7 @@ class VOServer:
             if req is not None:
                 kf_req[i] = req
                 pix[i] = out[6:8]  # (x_new, fvalid)
+                ground[i] = out[9]  # ground-height observation
 
         if kf_req:
             fused = {}
@@ -101,7 +103,7 @@ class VOServer:
             for i, (h, ctx) in fused.items():
                 _kf_fused_complete(self.states[i], fused_f.get(i), ctx)
             for i in kf_req:
-                _keyframe_epilogue(self.states[i])
+                _keyframe_epilogue(self.states[i], ground_h=ground.get(i, 0.0))
 
         for i in fetched:
             self.states[i].frame_count += 1

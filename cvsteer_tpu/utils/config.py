@@ -103,6 +103,22 @@ class SlamConfig:
     # descriptor store instead of only the last keyframe (robust to
     # feature dropout / viewpoint change)
     track_local_map: bool = False
+    # flow-driven keyframe promotion threshold in pixels (0 = off): see
+    # slam.vo.VOConfig.kf_min_flow_px
+    kf_min_flow_px: float = 0.0
+    # closure-event gate: consecutive same-region detections required
+    # before paying verification, and the rejected-region cooldown in
+    # keyframes (slam.loopclosure.closure_gate)
+    loop_consistency: int = 1
+    loop_reject_cooldown: int = 0
+    # ground-plane height prior in meters (0 = off): the absolute
+    # monocular scale anchor for fixed-height rigs
+    # (slam.vo.apply_ground_prior)
+    ground_height_m: float = 0.0
+    # kinematic speed-prior band (0 = off; record-only when the ground
+    # prior is active — governor precedence)
+    speed_prior_lo: float = 0.0
+    speed_prior_hi: float = 0.0
 
 
 @dataclasses.dataclass

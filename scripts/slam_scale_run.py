@@ -97,8 +97,11 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default="default",
                     help="'cpu' forces the CPU backend (smoke runs)")
     ap.add_argument("--checkpoint-dir", default="/tmp/slam_scale_ckpt")
-    ap.add_argument("--sequential", action="store_true",
-                    help="disable the depth-2 issue/fetch pipeline")
+    ap.add_argument("--chunk", type=int, default=4,
+                    help="frames per fused device dispatch (lax.scan "
+                    "chunk; 1 = per-frame stepping). The tunnel charges "
+                    "~90 ms of dispatch+fetch overhead per frame "
+                    "sequentially; chunking divides it by N")
     ap.add_argument("--resume-frames", type=int, default=200)
     args = ap.parse_args(argv)
 
@@ -202,75 +205,97 @@ def main(argv=None) -> int:
     ckpt_s = 0.0
     t_run0 = time.perf_counter()
 
-    # Depth-2 pipeline: frame k's fetch overlaps frame k+1's render +
-    # feature dispatch + step dispatch, so the steady-state frame cost is
-    # max(tunnel RTT, host work) instead of their SUM (the r4 campaign's
-    # 285 ms/frame was fetch-RTT-dominated). Sound because a lost step
-    # does not mutate the device carry (promote requires ~lost) and the
-    # event corrections complete() issues (ground rescale, closure
-    # upload) are device-ordered AFTER the already-dispatched next step —
-    # the standard one-tick-stale trade the fleet pipe path makes. When
-    # complete() drops the engine to bootstrap (map=None), the in-flight
-    # frame completes through the normal path and the loop falls back to
-    # sequential host processing until re-init.
-    pending = None  # (frame_idx, feats, un-fetched StepOut)
+    # Chunked stepping (VERDICT r4 item 4): N frames per fused device
+    # dispatch via lax.scan (vo_device._device_step_n). Sequentially the
+    # tunnel charges ~90 ms of dispatch+fetch overhead per frame
+    # (measured r5 trial: 113 ms/frame total, RTT-bound); a chunk pays it
+    # once per N frames, and the NEXT chunk's host render + feature
+    # dispatch overlap the current chunk's device time — no reordering of
+    # VO operations, so no pipeline hazards. Per-frame host completion
+    # runs from the stacked StepOut rows; bootstrap and loss-recovery
+    # frames take the sequential host path.
+    from cvsteer_tpu.slam.vo_device import _LazyFeatureRows
 
-    def _complete_pending():
-        nonlocal pending
-        if pending is None:
-            return
-        kq, fq, hq = pending
-        pending = None
-        t0 = time.perf_counter()
-        out = jax.device_get(hq)
-        phase["fetch"] += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        vo.complete(fq, out)
-        phase["complete"] += time.perf_counter() - t0
-        n_tracked_hist.append(int(out.n_tracked))
-        if bool(out.promoted):
-            promoted_frames.append(kq)
+    chunk = max(int(args.chunk), 1)
 
-    for k in range(args.frames):
+    def render_feats(k0, span):
         t0 = time.perf_counter()
-        img = seq.render(k)
+        imgs = np.stack([seq.render(k0 + j) for j in range(span)])
         phase["render"] += time.perf_counter() - t0
         t0 = time.perf_counter()
-        feats = hostvo._extract_features_jit(
-            jnp.asarray(img, jnp.float32), cfg.frontend
+        fb = hostvo._extract_features_jit(
+            jnp.asarray(imgs, jnp.float32), cfg.frontend
         )
         phase["features"] += time.perf_counter() - t0
+        return fb
+
+    k = 0
+    prefetched = None  # (k0, span, Features batch) for the NEXT chunk
+    while k < args.frames:
         if vo.map is None:
-            _complete_pending()
-        if vo.map is None:
+            # bootstrap / recovery: one frame at a time on the host path
+            if prefetched is not None:
+                k0, span, fb = prefetched
+                rows = _LazyFeatureRows(fb.yx, fb.desc, fb.valid)
+                t0 = time.perf_counter()
+                for j in range(span):
+                    vo.process_frame(rows[j])
+                phase["bootstrap"] += time.perf_counter() - t0
+                prefetched = None
+                k = k0 + span
+                continue
+            fb = render_feats(k, 1)
+            rows = _LazyFeatureRows(fb.yx, fb.desc, fb.valid)
             t0 = time.perf_counter()
-            vo.process_frame(feats)
+            vo.process_frame(rows[0])
             phase["bootstrap"] += time.perf_counter() - t0
-        else:
+            k += 1
+            continue
+        if prefetched is None:
+            span = min(chunk, args.frames - k)
+            if span < chunk:
+                print(f"dropping {span}-frame tail (< chunk)", file=sys.stderr)
+                break
+            prefetched = (k, span, render_feats(k, span))
+        k0, span, fb = prefetched
+        prefetched = None
+        t0 = time.perf_counter()
+        handle = vo.issue_chunk(fb.yx, fb.desc, fb.valid)
+        phase["issue"] += time.perf_counter() - t0
+        # overlap: the next chunk's render + feature dispatch ride under
+        # the in-flight chunk's device time and fetch RTT
+        if k0 + span + chunk <= args.frames:
+            prefetched = (
+                k0 + span, chunk, render_feats(k0 + span, chunk)
+            )
+        t0 = time.perf_counter()
+        fetched = jax.device_get(handle)
+        phase["fetch"] += time.perf_counter() - t0
+        rows = _LazyFeatureRows(fb.yx, fb.desc, fb.valid)
+        t0 = time.perf_counter()
+        done = vo.complete_chunk(rows, fetched)
+        for j in range(done):
+            n_tracked_hist.append(int(fetched.n_tracked[j]))
+            if bool(fetched.promoted[j]):
+                promoted_frames.append(k0 + j)
+        for j in range(done, span):  # loss/bootstrap fallback (rare)
+            vo.process_frame(rows[j])
+        phase["complete"] += time.perf_counter() - t0
+        k = k0 + span
+        if k > ckpt_frame and ckpt_s == 0.0:
             t0 = time.perf_counter()
-            handle = vo.issue(feats)  # async dispatch
-            phase["issue"] += time.perf_counter() - t0
-            if args.sequential:
-                pending = (k, feats, handle)
-                _complete_pending()
-            else:
-                _complete_pending()  # previous frame: fetch overlapped
-                pending = (k, feats, handle)
-        if k == ckpt_frame:
-            _complete_pending()  # checkpoint needs the settled state
-            t0 = time.perf_counter()
-            ckpt.save(k, vo.sync_host())
+            ckpt_frame = k - 1  # actual boundary (chunk-aligned)
+            ckpt.save(ckpt_frame, vo.sync_host())
             ckpt_s = time.perf_counter() - t0
             highwater.sample()
-        if (k + 1) % 200 == 0:
+        if k % 200 < chunk:
             highwater.sample()
             el = time.perf_counter() - t_run0
             print(
-                f"[{k+1}/{args.frames}] kf={len(vo.state.keyframes)} "
+                f"[{k}/{args.frames}] kf={len(vo.state.keyframes)} "
                 f"lm={vo.state.num_landmarks} closures={vo.closures_accepted} "
-                f"{(k+1)/el:.1f} f/s", file=sys.stderr,
+                f"{k/el:.1f} f/s", file=sys.stderr,
             )
-    _complete_pending()  # drain the pipeline
     wall_s = time.perf_counter() - t_run0
     highwater.sample()
     mem = highwater.peak

@@ -1003,3 +1003,59 @@ def test_device_vo_rebootstrap_after_persistent_loss():
     ]
     steps = [np.linalg.norm(cs[i + 1] - cs[i]) for i in range(len(cs) - 1)]
     assert max(steps) > 1e-4
+
+
+def test_device_vo_chunked_matches_sequential():
+    """issue_chunk/complete_chunk (N frames per lax.scan dispatch — the
+    campaign's tunnel-overhead amortization) must reproduce the
+    sequential engine step for step: same keyframes, same trajectory."""
+    cfg = VOConfig(
+        intrinsics=K, kf_max_gap=5, window=8, track_min_landmarks=30
+    )
+    X, desc = _make_world()
+    n_frames = 32
+
+    def frames_for(seed=42):
+        rng = np.random.default_rng(seed)
+        out = []
+        for k in range(n_frames):
+            R, t = _gt_pose(k, n_frames)
+            out.append(_render_features(X, desc, R, t, rng))
+        return out
+
+    seq_vo = DeviceVO(cfg)
+    for f in frames_for():
+        seq_vo.process_frame(f)
+    seq_state = seq_vo.finalize()
+
+    chunk_vo = DeviceVO(cfg)
+    frames = frames_for()
+    k = 0
+    CH = 4
+    while k < n_frames:
+        if chunk_vo.map is None:
+            chunk_vo.process_frame(frames[k])
+            k += 1
+            continue
+        span = min(CH, n_frames - k)
+        fb = jax.tree.map(lambda *xs: jnp.stack(xs), *frames[k:k + span])
+        out = jax.device_get(
+            chunk_vo.issue_chunk(fb.yx, fb.desc, fb.valid)
+        )
+        done = chunk_vo.complete_chunk(frames[k:k + span], out)
+        for j in range(done, span):
+            chunk_vo.process_frame(frames[k + j])
+        k += span
+    chunk_state = chunk_vo.finalize()
+
+    assert len(chunk_state.keyframes) == len(seq_state.keyframes)
+    assert [kf.index for kf in chunk_state.keyframes] == [
+        kf.index for kf in seq_state.keyframes
+    ]
+    assert len(chunk_state.trajectory) == len(seq_state.trajectory)
+    for (fa, Ra, ta), (fb_, Rb, tb) in zip(
+        chunk_state.trajectory, seq_state.trajectory
+    ):
+        assert fa == fb_
+        np.testing.assert_allclose(Ra, Rb, atol=1e-5)
+        np.testing.assert_allclose(ta, tb, atol=1e-4)
