@@ -35,22 +35,13 @@ from cvsteer_tpu.utils.precision import precise
 #: consecutive lost frames (no reloc) before the engine restarts its map
 REBOOT_AFTER_LOST = 5
 
-#: ground prior: ignore scale errors below this (log-ratio) — bounds the
-#: correction cadence; drift accumulates to the deadband in ~3-4
-#: keyframes at the measured -0.46 %/kf decay
-GROUND_DEADBAND = 0.015
-#: ground prior: proportional gain on the log-scale error. Height
-#: observations carry ~+-10-20 % single-frame cluster noise while the
-#: drift being fought is ~0.5 %/keyframe; full-gain corrections limit-
-#: cycled +-15 % (measured), half gain with the fine step cap converges
-GROUND_GAIN = 0.5
-#: per-promotion step cap near convergence (log-ratio)
-GROUND_MAX_STEP = 0.05
-#: step cap while FAR from the reference (|error| > GROUND_FAR): the
-#: init transient (no absolute anchor until enough ground points) spans
-#: a ~2.5x scale error — crawl out at 15 %/promotion, then fine-step
-GROUND_FAR = 0.15
-GROUND_MAX_STEP_FAR = 0.15
+# ground-prior control constants: single home is vo_core (the device-side
+# controller shares them); re-exported here for the host law + tests
+GROUND_DEADBAND = vo_core.GROUND_DEADBAND
+GROUND_GAIN = vo_core.GROUND_GAIN
+GROUND_MAX_STEP = vo_core.GROUND_MAX_STEP
+GROUND_FAR = vo_core.GROUND_FAR
+GROUND_MAX_STEP_FAR = vo_core.GROUND_MAX_STEP_FAR
 
 
 class VOConfig(NamedTuple):
@@ -1465,7 +1456,10 @@ def finalize(state: VOState) -> VOState:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _extract_features_jit(image, cfg: FrontendConfig):
-    return extract_features(image, cfg=cfg)
+    # accept uint8 and cast ON DEVICE: callers ship camera frames over
+    # the tunnel at 1 byte/px instead of 4 (the host->device image
+    # transfer was ~30 ms/frame of the campaign loop as float32)
+    return extract_features(image.astype(jnp.float32), cfg=cfg)
 
 
 def process_image(state: VOState, image: jax.Array) -> VOState:

@@ -45,6 +45,46 @@ MAX_PRED_ROT_DEG = 30.0
 #: constant-velocity guard: reject per-frame translations beyond this
 MAX_PRED_SHIFT = 10.0
 
+# --- ground-prior control law (see slam.vo.apply_ground_prior) -------------
+#: ignore scale errors below this log-ratio
+GROUND_DEADBAND = 0.015
+#: proportional gain on the log-scale error (half gain: full-gain
+#: corrections limit-cycled +-15 % against the +-10-20 % observation noise)
+GROUND_GAIN = 0.5
+#: per-promotion step cap near convergence (log-ratio)
+GROUND_MAX_STEP = 0.05
+#: FAR regime threshold and its larger step cap (init transient crawl-out)
+GROUND_FAR = 0.15
+GROUND_MAX_STEP_FAR = 0.15
+
+
+def ground_controller(h_obs, do_obs, hist, *, target):
+    """Device-side ground-prior step: (hist', r).
+
+    ``h_obs`` this frame's height observation (0 = none), ``do_obs``
+    whether to record it (promotion with a valid cluster), ``hist [3]``
+    the rolling observation window carried in the device state. Returns
+    the updated window and the correction ratio r to apply as a
+    similarity about the newest camera center (1.0 inside the deadband
+    or while the window is cold). jnp twin of the host law
+    (slam.vo.ground_correction_ratio + smoothed_ground); keeping it in
+    the fused step makes a correction ZERO extra dispatches and exactly
+    frame-aligned (the host-driven variant is one event dispatch and one
+    frame stale)."""
+    hist2 = jnp.where(
+        do_obs, jnp.roll(hist, 1).at[0].set(h_obs), hist
+    )
+    h_sm = jnp.sort(hist2)[1]  # median of 3; 0 while any slot is cold
+    e = jnp.where(
+        h_sm > 1e-9, jnp.log(target / jnp.maximum(h_sm, 1e-9)), 0.0
+    )
+    cap = jnp.where(
+        jnp.abs(e) > GROUND_FAR, GROUND_MAX_STEP_FAR, GROUND_MAX_STEP
+    )
+    r = jnp.exp(jnp.clip(GROUND_GAIN * e, -cap, cap))
+    apply = do_obs & (jnp.abs(e) >= GROUND_DEADBAND)
+    return hist2, jnp.where(apply, r, 1.0)
+
 
 def pnp_dual_refine(
     X, uv, use, Rp, tp, R1, t1,

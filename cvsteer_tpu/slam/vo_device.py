@@ -113,6 +113,11 @@ class DeviceMap(NamedTuple):
     # pipelined host (issue k+1 before complete k) cannot double-promote
     # off a stale keyframe mirror.
     since_kf: Optional[jax.Array] = None
+    # rolling ground-height observation window [3] (vo_core
+    # .ground_controller; None on fleet stacks — fleets correct via the
+    # host event path). Carrying the controller in the step makes a
+    # scale correction zero extra dispatches.
+    ground_hist: Optional[jax.Array] = None
 
 
 class StepOut(NamedTuple):
@@ -137,6 +142,10 @@ class StepOut(NamedTuple):
     # ground-plane scale observation (median y_c of bottom-image tracked
     # landmarks; 0.0 = off / too few points) — vo_core.ground_height_obs
     ground_h: jax.Array
+    # ground-prior correction ratio applied ON DEVICE this frame (1.0 =
+    # none; None = the step does not carry the controller — fleet rows,
+    # which correct via the host event path)
+    ground_r: Optional[jax.Array] = None
     # closure candidates for THIS frame as a new keyframe (None when the
     # signature store is off; meaningful only when ``promoted``): top-M
     # store rows by signature cosine, masked rows scored -inf — detection
@@ -517,7 +526,7 @@ def _device_step_body(
     *, K, ratio, track_iters, huber_delta, min_track, dual_init,
     ba_iterations, local_map=False, loop_min_gap=6, loop_cands=3,
     tri_angle=1.0, rescue_radius=0.0, rescue_min_cos=0.6,
-    kf_min_flow=0.0, ground_prior=False, kf_max_gap=0,
+    kf_min_flow=0.0, ground_prior=False, kf_max_gap=0, ground_target=0.0,
 ):
     """The whole VO frame in one dispatch; see module docstring.
 
@@ -552,10 +561,35 @@ def _device_step_body(
         m2 = m2._replace(
             since_kf=jnp.where(tr.promote, 0, m.since_kf + 1)
         )
+    if float(ground_target) > 0.0 and m.ground_hist is not None:
+        # in-step ground-prior controller (vo_core.ground_controller):
+        # record the observation on promotion, correct by a gauge-exact
+        # similarity about the newest camera center — zero extra
+        # dispatches, exactly frame-aligned (the host event path is one
+        # dispatch and a frame stale)
+        hist2, g_r = vo_core.ground_controller(
+            tr.ground_h, tr.promote & (tr.ground_h > 0), m.ground_hist,
+            target=float(ground_target),
+        )
+        c0 = -m2.kf_R[-1].T @ m2.kf_t[-1]
+        Xc = jnp.where(
+            m2.lm_valid[:, None], c0 + (m2.X - c0) * g_r, m2.X
+        )
+        C = -jnp.einsum("wij,wi->wj", m2.kf_R, m2.kf_t)
+        Cs = c0 + (C - c0) * g_r
+        kf_t2 = jnp.where(
+            m2.kf_live[:, None],
+            -jnp.einsum("wij,wj->wi", m2.kf_R, Cs),
+            m2.kf_t,
+        )
+        m2 = m2._replace(X=Xc, kf_t=kf_t2, ground_hist=hist2)
+    else:
+        g_r = None
     obs_new = m2.kf_obs[-1]
     out = StepOut(
         R=tr.R, t=tr.t, n_tracked=tr.n, n_valid=tr.n_valid,
         promoted=tr.promote, lost=tr.lost, ground_h=tr.ground_h,
+        ground_r=g_r,
         kf_R=m2.kf_R, kf_t=m2.kf_t, obs_new=obs_new,
         obs_gen=m2.lm_gen[jnp.maximum(obs_new, 0)],
         lm_count=jnp.sum(m2.lm_valid.astype(jnp.int32)),
@@ -573,7 +607,7 @@ _device_step = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map", "loop_min_gap",
         "loop_cands", "tri_angle", "rescue_radius", "rescue_min_cos",
-        "kf_min_flow", "ground_prior", "kf_max_gap",
+        "kf_min_flow", "ground_prior", "kf_max_gap", "ground_target",
     ),
 )(precise(_device_step_body))
 
@@ -614,7 +648,7 @@ _device_step_n = functools.partial(
         "K", "ratio", "track_iters", "huber_delta", "min_track",
         "dual_init", "ba_iterations", "local_map", "loop_min_gap",
         "loop_cands", "tri_angle", "rescue_radius", "rescue_min_cos",
-        "kf_min_flow", "ground_prior", "kf_max_gap",
+        "kf_min_flow", "ground_prior", "kf_max_gap", "ground_target",
     ),
 )(precise(_device_step_n_body))
 
@@ -1105,6 +1139,38 @@ class DeviceVO:
             since_kf=jnp.int32(
                 max(st.frame_count - 1 - kf_last.index, 0)
             ),
+            ground_hist=jnp.asarray(
+                (list(st.ground_hist[-3:]) + [0.0, 0.0, 0.0])[:3],
+                jnp.float32,
+            ),
+        )
+        self._host_dirty = False
+
+    def _upload_poses_landmarks(self) -> None:
+        """Light re-upload after an event that moved ONLY poses and
+        landmark positions (loop closure): replace X / lm_valid / ring
+        poses on the existing map and keep every other device array
+        (lm_desc [Lmax, D] alone is ~50 MB at the campaign's
+        Lmax=262144 — re-shipping it per closure event made each event
+        seconds of tunnel time; descriptors, signatures, uv/obs tables
+        and generation stamps are untouched by a closure). Ring
+        membership must be unchanged since the preceding sync (true
+        inside _closure: sync -> solve -> upload)."""
+        st = self.state
+        assert self.map is not None
+        W = int(self.map.kf_R.shape[0])
+        live = st.keyframes[-min(len(st.keyframes), W):]
+        Rw = np.broadcast_to(
+            np.eye(3, dtype=np.float32), (W, 3, 3)
+        ).copy()
+        tw = np.zeros((W, 3), np.float32)
+        for w, kf in zip(range(W - len(live), W), live):
+            Rw[w], tw[w] = kf.R, kf.t
+        self.map = self.map._replace(
+            X=jnp.asarray(st.landmarks),
+            lm_valid=jnp.asarray(st.landmark_valid),
+            kf_R=jnp.asarray(Rw),
+            kf_t=jnp.asarray(tw),
         )
         self._host_dirty = False
 
@@ -1202,6 +1268,7 @@ class DeviceVO:
             kf_min_flow=cfg.kf_min_flow_norm,
             ground_prior=cfg.ground_height_m > 0,
             kf_max_gap=cfg.kf_max_gap,
+            ground_target=cfg.ground_height_m,
         )
         self._host_dirty = True
         return out
@@ -1229,6 +1296,7 @@ class DeviceVO:
             kf_min_flow=cfg.kf_min_flow_norm,
             ground_prior=cfg.ground_height_m > 0,
             kf_max_gap=cfg.kf_max_gap,
+            ground_target=cfg.ground_height_m,
         )
         self._host_dirty = True
         return out
@@ -1243,11 +1311,21 @@ class DeviceVO:
         will overwrite; the caller re-processes those frames through
         process_frame."""
         n = int(fetched.R.shape[0])
+        # materialize ONLY event rows' features, in one gather: complete()
+        # touches feats solely on promotion/loss, and a per-row
+        # ``frames[i]`` costs 2 tunnel RPCs — eagerly indexing every row
+        # was measured at ~60 ms/frame of pure RPC overhead
+        need = [
+            i for i in range(n)
+            if bool(fetched.promoted[i]) or bool(fetched.lost[i])
+        ]
+        mat = frames.materialize(need) if hasattr(frames, "materialize") \
+            else {i: frames[i] for i in need}
         for i in range(n):
             if self.map is None:
                 return i
             row = jax.tree.map(lambda a, i=i: a[i], fetched)
-            self.complete(frames[i], row)
+            self.complete(mat.get(i), row)
         return n
 
     def complete(self, feats: Features, fetched: StepOut) -> None:
@@ -1304,7 +1382,20 @@ class DeviceVO:
             st.trajectory[-1] = (st.frame_count, kf_R[-1].copy(), kf_t[-1].copy())
             st.traj_ref[-1] = None  # keyframe entry: anchored to itself
             if cfg.ground_height_m > 0:
-                self._ground_prior(float(fetched.ground_h))
+                if fetched.ground_r is not None:
+                    # the step's in-carry controller already corrected the
+                    # device state; mirror bookkeeping + diag only
+                    if float(fetched.ground_h) > 0:
+                        hostvo.smoothed_ground(st, float(fetched.ground_h))
+                    r = float(fetched.ground_r)
+                    if abs(r - 1.0) > 1e-9:
+                        st.track_version += 1
+                        hostvo._diag(
+                            st, ev="ground",
+                            h=float(fetched.ground_h), r=r,
+                        )
+                else:  # fleet rows: host event path (needs_map gathered)
+                    self._ground_prior(float(fetched.ground_h))
             self._speed_prior()  # record-only when the band is off
             if st.diag is not None and len(st.keyframes) >= 2:
                 kf, prev = st.keyframes[-1], st.keyframes[-2]
@@ -1466,7 +1557,10 @@ class DeviceVO:
         # refresh the latest trajectory entry from the corrected keyframe
         kf = st.keyframes[-1]
         st.trajectory[-1] = (st.frame_count, kf.R.copy(), kf.t.copy())
-        self._upload()
+        if self.map is not None:
+            self._upload_poses_landmarks()  # closure moved poses + X only
+        else:
+            self._upload()
 
     def process_image(self, image: jax.Array) -> None:
         """Image seam: extract features (compile-once jit), then step."""

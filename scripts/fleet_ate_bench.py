@@ -159,6 +159,37 @@ def main() -> int:
         r = run_fleet(S, promote_cap=cap, pipeline=pipe, batched=bat, depth=depth)
         out["results"].append(r)
         print(json.dumps(r), flush=True)
+    # JOINT serving gate (VERDICT r4 item 3): the headline config must
+    # deliver BOTH camera-rate throughput AND the tail ATE bound — the
+    # r4 notes quoted throughput from one config and tail from another.
+    # The capped-promotion fairness fix (vo_device._fleet_promote's
+    # rotating origin) targets the S=32 cap=8 tail regression (0.0532 vs
+    # 0.0209 uncapped: lowest-index streams always won the cap slots and
+    # the same unlucky streams deferred tick after tick).
+    gate = {}
+    for S in (32, 64):
+        cands = [
+            r for r in out["results"]
+            if r["streams"] == S and r["frames_per_s_per_stream"] >= 30.0
+            and r["ate_max_m"] <= 0.03
+        ]
+        best = max(
+            cands, key=lambda r: r["frames_per_s_per_stream"], default=None
+        )
+        gate[f"S{S}"] = (
+            {
+                "pass": True,
+                "config": {k: best[k] for k in
+                           ("promote_cap", "pipeline", "batched",
+                            "fetch_depth")},
+                "frames_per_s_per_stream": best["frames_per_s_per_stream"],
+                "ate_max_m": best["ate_max_m"],
+            }
+            if best is not None
+            else {"pass": False}
+        )
+    out["joint_gate"] = gate
+    print(json.dumps({"joint_gate": gate}))
     path = sys.argv[1] if len(sys.argv) > 1 else "FLEET_r04.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

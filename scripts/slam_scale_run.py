@@ -224,7 +224,7 @@ def main(argv=None) -> int:
         phase["render"] += time.perf_counter() - t0
         t0 = time.perf_counter()
         fb = hostvo._extract_features_jit(
-            jnp.asarray(imgs, jnp.float32), cfg.frontend
+            jnp.asarray(imgs), cfg.frontend  # uint8: 1 byte/px on the wire
         )
         phase["features"] += time.perf_counter() - t0
         return fb
