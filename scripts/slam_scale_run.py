@@ -218,9 +218,26 @@ def main(argv=None) -> int:
 
     chunk = max(int(args.chunk), 1)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    render_pool = ThreadPoolExecutor(1)
+    render_fut = {}  # k0 -> Future of [span, H, W] uint8
+
+    def render_async(k0, span):
+        if k0 not in render_fut:
+            render_fut[k0] = render_pool.submit(
+                lambda: np.stack(
+                    [seq.render(k0 + j) for j in range(span)]
+                )
+            )
+
     def render_feats(k0, span):
+        # rendering runs on a worker thread (numpy/cv2 release the GIL),
+        # so it overlaps the main thread's blocking RPC waits; here we
+        # only collect + dispatch the feature extraction
         t0 = time.perf_counter()
-        imgs = np.stack([seq.render(k0 + j) for j in range(span)])
+        render_async(k0, span)
+        imgs = render_fut.pop(k0).result()
         phase["render"] += time.perf_counter() - t0
         t0 = time.perf_counter()
         fb = hostvo._extract_features_jit(
@@ -262,8 +279,11 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         handle = vo.issue_chunk(fb.yx, fb.desc, fb.valid)
         phase["issue"] += time.perf_counter() - t0
-        # overlap: the next chunk's render + feature dispatch ride under
-        # the in-flight chunk's device time and fetch RTT
+        # overlap: the chunk-after-next starts RENDERING on the worker
+        # thread now; the next chunk's feature dispatch rides under the
+        # in-flight chunk's device time and fetch RTT
+        if k0 + span + 2 * chunk <= args.frames:
+            render_async(k0 + span + chunk, chunk)
         if k0 + span + chunk <= args.frames:
             prefetched = (
                 k0 + span, chunk, render_feats(k0 + span, chunk)
