@@ -654,16 +654,48 @@ def close_loops_sim3(
     )
     from cvsteer_tpu.slam.sim3 import Sim3
 
+    from cvsteer_tpu.slam.vo import _diag
+
     closures = find_loop_closures(
         state, min_gap=min_gap, min_inliers=min_inliers,
         candidates=candidates, signature_threshold=signature_threshold,
     )
+    if not closures:
+        _diag(state, ev="closure_reject", stage="verify")
+        return 0
     edges = [(c, sim3_closure_edge(state, c)) for c in closures]
     edges = [(c, e) for c, e in edges if e is not None]
     if not edges:
+        _diag(state, ev="closure_reject", stage="edge_scale")
         return 0
 
-    kfs = state.keyframes
+    kfs_all = state.keyframes
+    P_all = len(kfs_all)
+    # SKELETON pose graph (round 5): at campaign scale a full-history
+    # solve is both SLOW (the dense [7P]^2 Cholesky is cubic; the PCG
+    # alternative under-converges on chain-conditioned graphs at
+    # cg_iterations any wall-clock budget allows) and unnecessary — the
+    # correction field varies smoothly along the chain. Solve over every
+    # ``stride``-th keyframe plus all closure endpoints (<= ~SK_MAX
+    # nodes, dense Cholesky, fully converged), then propagate each
+    # skipped keyframe by composing its STORED relative pose onto its
+    # skeleton predecessor's Sim(3) correction — the standard
+    # hierarchical pose-graph design, and the same first-order local
+    # propagation finalize() applies to non-keyframe trajectory entries.
+    SK_MAX = 250  # P_pad stays in the 256 bucket (dense ~1 s/solve)
+    if P_all > SK_MAX:
+        stride = -(-P_all // SK_MAX)
+        sk = sorted(
+            set(range(0, P_all, stride)) | {P_all - 1}
+            | {c.i for c in closures} | {c.j for c in closures}
+        )
+    else:
+        sk = list(range(P_all))
+    sk_of = {k: n for n, k in enumerate(sk)}
+    kfs = [kfs_all[k] for k in sk]
+    edges = [
+        (c._replace(i=sk_of[c.i], j=sk_of[c.j]), e) for c, e in edges
+    ]
     P = len(kfs)
     poses = Sim3(
         s=jnp.ones(P),
@@ -722,7 +754,7 @@ def close_loops_sim3(
         opt, stats = optimize_pose_graph_sim3(
             poses, graph, iterations=iterations,
             huber_delta=huber_delta, robust_kernel=robust_kernel,
-            solver="pcg" if P_pad >= 256 else "dense",
+            solver="pcg" if P_pad > 256 else "dense",
             cg_iterations=100,
         )
         if not bool(np.isfinite(float(stats.cost))):
@@ -738,6 +770,13 @@ def close_loops_sim3(
             worst = int(np.argmax(np.where(active, clo_res, -np.inf)))
             active[worst] = False
     if not active.any():
+        _diag(
+            state, ev="closure_reject", stage="post_solve",
+            n_verified=n_clo,
+            clo_res=[round(float(x), 4) for x in clo_res[:8]],
+            odo_res_max=round(float(odo_res.max()), 4) if n_odo else 0.0,
+            bar=max_closure_residual,
+        )
         return 0
     edges = [e for e, a in zip(edges, active) if a]
 
@@ -748,6 +787,33 @@ def close_loops_sim3(
     sn = np.asarray(opt.s)[:P_real]
     Rn = np.asarray(opt.R)[:P_real]
     tn = np.asarray(opt.t)[:P_real]
+    if P_all > len(sk):
+        # expand skeleton corrections to every keyframe: T_k_new =
+        # Z_(k|a) o T_a_new with Z the STORED relative pose to the
+        # skeleton predecessor a (x -> s R x + t convention, so the
+        # local offset re-metricates by the node's recovered scale —
+        # exactly how solved nodes are treated)
+        sk_arr = np.asarray(sk)
+        sn_f = np.ones(P_all, np.float32)
+        Rn_f = np.stack([o[0] for o in old]).astype(np.float32)
+        tn_f = np.stack([o[1] for o in old]).astype(np.float32)
+        for k in range(P_all):
+            a_pos = int(np.searchsorted(sk_arr, k, side="right")) - 1
+            a = int(sk_arr[max(a_pos, 0)])
+            n = sk_of[a]
+            if k == a:
+                sn_f[k], Rn_f[k], tn_f[k] = sn[n], Rn[n], tn[n]
+                continue
+            Ra_o, ta_o = old[a]
+            Rz = old[k][0] @ Ra_o.T
+            tz = old[k][1] - Rz @ ta_o
+            sn_f[k] = sn[n]
+            Rn_f[k] = Rz @ Rn[n]
+            # t of (Z o A): x -> Rz(s_a Ra' x + ta') + tz; the local
+            # offset tz re-metricates by 1/s_a with the node (the whole
+            # local map around ``a`` carries the same recovered scale)
+            tn_f[k] = Rz @ tn[n] + tz
+        sn, Rn, tn = sn_f, Rn_f, tn_f
 
     anchor = _landmark_anchors(state)
     for k in np.unique(anchor[anchor >= 0]):

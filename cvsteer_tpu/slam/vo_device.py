@@ -1064,6 +1064,10 @@ class DeviceVO:
         # post-acceptance cooldown countdown (VOConfig.loop_cooldown)
         self.closures_accepted = 0
         self._closure_cooldown = 0
+        # chunk replay (complete_chunk): closure events are deferred to
+        # the chunk boundary so their sync/upload sees a settled state
+        self._defer_closure = False
+        self._pending_closure = None
 
     @property
     def initialized(self) -> bool:
@@ -1321,12 +1325,25 @@ class DeviceVO:
         ]
         mat = frames.materialize(need) if hasattr(frames, "materialize") \
             else {i: frames[i] for i in need}
-        for i in range(n):
-            if self.map is None:
-                return i
-            row = jax.tree.map(lambda a, i=i: a[i], fetched)
-            self.complete(mat.get(i), row)
-        return n
+        done = n
+        self._defer_closure = True
+        try:
+            for i in range(n):
+                if self.map is None:
+                    return i
+                if bool(fetched.lost[i]):
+                    # stop BEFORE replaying a lost row: its recovery
+                    # path syncs/uploads and must see a settled state —
+                    # the caller reprocesses frames [i:] sequentially
+                    return i
+                row = jax.tree.map(lambda a, i=i: a[i], fetched)
+                self.complete(mat.get(i), row)
+        finally:
+            self._defer_closure = False
+        pend, self._pending_closure = self._pending_closure, None
+        if pend is not None and self.map is not None:
+            self._closure(pend)  # boundary: state is settled
+        return done
 
     def complete(self, feats: Features, fetched: StepOut) -> None:
         """Host-mirror tail of the step from a FETCHED result."""
@@ -1446,8 +1463,17 @@ class DeviceVO:
                     threshold=cfg.loop_signature_threshold,
                 ):
                     # the gate ran on in-step candidates: a skipped event
-                    # costs zero syncs and zero dispatches
-                    self._closure(cand)
+                    # costs zero syncs and zero dispatches. Inside a
+                    # CHUNK the event is deferred to the boundary:
+                    # _closure's sync/upload mid-replay would mix the
+                    # post-chunk device state into mid-chunk host
+                    # mirrors and push the mix back (the r5 campaign's
+                    # mid-run scale collapse came from exactly this,
+                    # 424 events deep).
+                    if self._defer_closure:
+                        self._pending_closure = cand
+                    else:
+                        self._closure(cand)
         st.frame_count += 1
 
     def _ground_prior(self, h_obs: float) -> None:
@@ -1547,12 +1573,23 @@ class DeviceVO:
         if n:
             self.closures_accepted += n
             self._closure_cooldown = cfg.loop_cooldown
+        elif cfg.loop_reject_cooldown:
+            # engine-wide breather after a REJECTED event: on a
+            # perceptually-aliased revisit street the region-scoped
+            # cooldown alone still admitted an event every few
+            # promotions (r5 first campaign: 424 events, 4 accepted,
+            # ~3.8 s median each = 60 % of the run's wall time)
+            self._closure_cooldown = max(
+                self._closure_cooldown, cfg.loop_reject_cooldown // 3
+            )
         if st.diag is not None:
             hostvo._diag(
                 st, ev="closure", accepted=int(n), K=len(st.keyframes),
                 sync_ms=round((t_sync - t0) * 1e3, 2),
                 solve_ms=round((time.perf_counter() - t_sync) * 1e3, 2),
             )
+        if not n:
+            return  # rejected: nothing changed — no upload, no version bump
         st.track_version += 1
         # refresh the latest trajectory entry from the corrected keyframe
         kf = st.keyframes[-1]

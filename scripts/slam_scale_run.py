@@ -356,9 +356,17 @@ def main(argv=None) -> int:
     ]
 
     # ---- measured bound inputs (no assumed constants) -------------------
-    # sigma_px / Z: reprojection residuals of keyframe landmarks
+    # sigma_px / Z: reprojection residuals of keyframe landmarks.
+    # CONSISTENT-EPOCH subset only: ground-prior corrections rescale the
+    # live map + WINDOW poses and deliberately leave older keyframes at
+    # their at-time poses (history is not rewritten), so old-keyframe x
+    # current-landmark residuals mix epochs and are meaningless — the
+    # r5 first run measured sigma_px 13.9 px that way and inflated the
+    # bound 150x. Tracking noise is stationary; the last 2 windows of
+    # keyframes (poses and landmarks in the same epoch after the final
+    # sync) estimate it correctly.
     res_px, depths = [], []
-    for kf in state.keyframes[:: max(1, len(state.keyframes) // 100)]:
+    for kf in state.keyframes[-2 * cfg.window:]:
         sel = kf.landmark_ids >= 0
         if sel.sum() < 8:
             continue

@@ -546,3 +546,62 @@ def test_signature_index_capacity_warns():
     kfs = [KF(i) for i in range(6)]
     with pytest.warns(RuntimeWarning, match="loop_sig_capacity"):
         idx.extend(kfs)
+
+
+def test_sim3_skeleton_graph_corrects_large_histories(loop_world):
+    """Above ~250 keyframes close_loops_sim3 solves a SKELETON graph
+    (every stride-th keyframe + closure endpoints, dense and fully
+    converged) and propagates corrections to skipped keyframes by their
+    stored relative poses — the correction must reach EVERY keyframe,
+    not only skeleton nodes."""
+    from cvsteer_tpu.slam.loopclosure import close_loops_sim3
+
+    X, desc = loop_world
+    rng = np.random.default_rng(11)
+    P = 300  # > SK_MAX -> skeleton path
+    poses = _circle_poses(P)
+    poses.append(poses[0])
+
+    drifted = []
+    for n, (R, t) in enumerate(poses):
+        s = n / len(poses)
+        dR, dt = se3.exp_se3(
+            jnp.asarray(
+                np.concatenate(
+                    [0.04 * s * np.ones(3) * [1, -1, 0.5],
+                     0.35 * s * np.array([1, 0.3, -0.5])]
+                ),
+                jnp.float32,
+            )
+        )
+        Rn, tn = se3.compose(dR, dt, jnp.asarray(R), jnp.asarray(t))
+        drifted.append((np.asarray(Rn), np.asarray(tn)))
+    state = _state_with_keyframes(poses, X, desc, rng, drift=drifted)
+    # minimal landmark map: the Sim(3) closure edge estimates each side's
+    # local scale from landmark depths (sim3_closure_edge needs >= 10)
+    n_lm = min(len(X), state.landmarks.shape[0])
+    state.landmarks[:n_lm] = X[:n_lm]
+    state.landmark_valid[:n_lm] = True
+    state.num_landmarks = n_lm
+    for kf in state.keyframes:
+        kf.landmark_ids[:40] = np.arange(40)
+
+    def errs():
+        rot = [
+            float(se3.rotation_geodesic(
+                jnp.asarray(state.keyframes[k].R), jnp.asarray(poses[k][0])
+            ))
+            for k in range(len(poses))
+        ]
+        return np.asarray(rot)
+
+    before = errs()
+    n_closed = close_loops_sim3(state, min_gap=6, min_inliers=20)
+    assert n_closed >= 1
+    after = errs()
+    # the tail half of the loop (where drift concentrated) must improve,
+    # INCLUDING non-skeleton keyframes (stride > 1 at P = 301)
+    sel = np.arange(len(poses) // 2, len(poses))
+    non_skel = [k for k in sel if k % 2 == 1]  # odd ks: mostly skipped
+    assert after[sel].mean() < 0.6 * before[sel].mean()
+    assert after[non_skel].mean() < 0.6 * before[non_skel].mean()
