@@ -110,6 +110,11 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(a.features.yx), np.asarray(b.features.yx)
         )
+    # scale-governor rolling histories survive the roundtrip (round 5:
+    # scale-continuous re-init + warm ground smoothing after a restore)
+    assert restored.kf_baselines == pytest.approx(state.kf_baselines)
+    assert restored.ground_hist == pytest.approx(state.ground_hist)
+    assert len(state.kf_baselines) > 0  # the run actually recorded speeds
 
     # resumed VO keeps tracking
     for k in range(12, 16):
