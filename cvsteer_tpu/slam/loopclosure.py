@@ -388,8 +388,17 @@ def sim3_closure_edge(state: VOState, c: LoopClosure):
     if res is None:
         return None
     s_i, s_j = closure_scales(state, c.i, c.j, res)
-    if s_i is None or s_j is None or s_i <= 0 or s_j <= 0:
+    if s_j is None or s_j <= 0:
         return None
+    if s_i is None or s_i <= 0:
+        # the OLDER side lost its landmark links: slot reuse invalidates
+        # out-of-window observation tables over long runs (sync stamps
+        # stale generations to -1), so lap-1 keyframes eventually carry
+        # no depth support — the r5 campaign rejected every revisit
+        # closure at this stage. The newer side still anchors the metric
+        # baseline; relative scale 1 is the right prior (exact under an
+        # active ground prior, unbiased otherwise).
+        return 1.0, np.asarray(res.R), np.asarray(res.t) * s_j
     return s_j / s_i, np.asarray(res.R), np.asarray(res.t) * s_j
 
 
