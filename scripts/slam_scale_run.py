@@ -65,8 +65,13 @@ def _summarize_diag(diag) -> dict:
     for e in diag:
         by.setdefault(e["ev"], []).append(e)
     grounds = by.get("ground", [])
+    rejects = by.get("closure_reject", [])
     return {
         "counts": {k: len(v) for k, v in by.items()},
+        "closure_reject_stages": {
+            st: sum(1 for e in rejects if e["stage"] == st)
+            for st in ("verify", "edge_scale", "post_solve")
+        },
         "closure_events": [
             {"f": e["f"], "accepted": e["accepted"], "K": e["K"],
              "sync_ms": e.get("sync_ms"), "solve_ms": e.get("solve_ms")}
