@@ -399,7 +399,22 @@ def sim3_closure_edge(state: VOState, c: LoopClosure):
         # baseline; relative scale 1 is the right prior (exact under an
         # active ground prior, unbiased otherwise).
         return 1.0, np.asarray(res.R), np.asarray(res.t) * s_j
-    return s_j / s_i, np.asarray(res.R), np.asarray(res.t) * s_j
+    s_z = s_j / s_i
+    lo, hi = getattr(state.config, "loop_scale_band", (0.5, 2.0))
+    if lo > 0 and not (lo <= s_z <= hi):
+        # implausible measured relative scale: the old side's depth
+        # support mixes epochs (its pose is frozen at-time while the
+        # landmarks kept moving under ground/BA corrections), and a
+        # near-zero-baseline revisit triangulates at noise depths. The
+        # r5 campaign measured s_z down to 0.009 on TRUE revisits; the
+        # solver satisfied the edge by warping the map (d_center 139 m,
+        # node scales 0.14-15.7). Discard the measurement for the
+        # unit-scale prior, as in the no-support branch above.
+        from cvsteer_tpu.slam.vo import _diag
+
+        _diag(state, ev="closure_edge_clamp", s_z=round(float(s_z), 4))
+        s_z = 1.0
+    return s_z, np.asarray(res.R), np.asarray(res.t) * s_j
 
 
 def _closure_scale(state: VOState, i: int, res) -> float:
@@ -680,6 +695,7 @@ def close_loops_sim3(
 
     kfs_all = state.keyframes
     P_all = len(kfs_all)
+    edges_orig = [(c.i, c.j) for c, _ in edges]  # pre-remap, for diag
     # SKELETON pose graph (round 5): at campaign scale a full-history
     # solve is both SLOW (the dense [7P]^2 Cholesky is cubic; the PCG
     # alternative under-converges on chain-conditioned graphs at
@@ -787,6 +803,7 @@ def close_loops_sim3(
             bar=max_closure_residual,
         )
         return 0
+    edges_orig = [e for e, a in zip(edges_orig, active) if a]
     edges = [e for e, a in zip(edges, active) if a]
 
     # write back: landmarks move with their anchor's inverse-similarity
@@ -796,6 +813,20 @@ def close_loops_sim3(
     sn = np.asarray(opt.s)[:P_real]
     Rn = np.asarray(opt.R)[:P_real]
     tn = np.asarray(opt.t)[:P_real]
+    # global scale-sanity gate (belt to the edge-level band clamp): a
+    # legitimate closure on a scale-anchored map redistributes percent-
+    # level drift — recovered node scales outside the configured band
+    # mean the solver satisfied a broken constraint by warping the map
+    # (the r5 campaign's 0.14-15.7 node-scale event). Residual checks
+    # miss this: a smooth warp keeps every edge residual small.
+    lo_b, hi_b = getattr(state.config, "loop_scale_band", (0.5, 2.0))
+    if lo_b > 0 and (sn.min() < lo_b or sn.max() > hi_b):
+        _diag(
+            state, ev="closure_reject", stage="scale_sanity",
+            sn_min=round(float(sn.min()), 4),
+            sn_max=round(float(sn.max()), 4),
+        )
+        return 0
     if P_all > len(sk):
         # expand skeleton corrections to every keyframe: T_k_new =
         # Z_(k|a) o T_a_new with Z the STORED relative pose to the
@@ -832,6 +863,28 @@ def close_loops_sim3(
         # X' = T_new^{-1} Xc with T_new = (s, R, t): X' = R^T (Xc - t) / s
         state.landmarks[sel] = ((Xc - tn[k]) @ Rn[k]) / sn[k]
 
+    c_old = np.stack([-(o[0].T @ o[1]) for o in old])
     for k, kf in enumerate(state.keyframes):
         kf.R, kf.t = Rn[k], (tn[k] / sn[k]).astype(np.float32)
+    # solve diagnostics (r5): what the accepted event DID — recovered
+    # scale range, worst keyframe displacement, and each surviving
+    # edge's (s_z, |t_z|) against the pre/post loop gap it closed
+    c_new = np.stack([
+        -(kf.R.T @ kf.t) for kf in state.keyframes
+    ])
+    ed_diag = []
+    for (i0, j0), (c_r, (s_z, _R_z, t_z)) in zip(edges_orig, edges):
+        ed_diag.append({
+            "i": int(i0), "j": int(j0), "s_z": round(float(s_z), 4),
+            "t_z": round(float(np.linalg.norm(t_z)), 3),
+            "gap_pre": round(float(np.linalg.norm(c_old[i0] - c_old[j0])), 3),
+            "gap_post": round(float(np.linalg.norm(c_new[i0] - c_new[j0])), 3),
+        })
+    _diag(
+        state, ev="closure_solve",
+        sn_min=round(float(sn.min()), 4), sn_max=round(float(sn.max()), 4),
+        d_center_max=round(float(
+            np.linalg.norm(c_new - c_old, axis=1).max()), 3),
+        edges=ed_diag,
+    )
     return len(edges)

@@ -117,6 +117,15 @@ class VOConfig(NamedTuple):
     # solver-level robust kernel width for the closure pose graph (0 = off;
     # loopclosure defaults the kernel to redescending tukey)
     loop_robust_delta: float = 0.0
+    # plausibility band for a Sim(3) closure edge's MEASURED relative
+    # scale s_j/s_i. The old-side scale mixes epochs over long runs
+    # (frozen at-time keyframe pose x current landmark positions) and a
+    # near-zero-baseline revisit triangulates at noise depths — the r5
+    # campaign measured s_z = 0.009 on a true revisit and the solver
+    # warped the whole map 139 m to satisfy it. Outside the band the
+    # measurement is discarded for the unit-scale prior (exact under an
+    # active ground prior; VO scale drift is percent-level, never 2x).
+    loop_scale_band: Tuple[float, float] = (0.5, 2.0)
     # constant-velocity PnP initialization: helps under fast motion, but the
     # extrapolation amplifies tracking noise on easy sequences — opt-in
     motion_model: bool = False

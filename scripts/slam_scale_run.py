@@ -70,12 +70,19 @@ def _summarize_diag(diag) -> dict:
         "counts": {k: len(v) for k, v in by.items()},
         "closure_reject_stages": {
             st: sum(1 for e in rejects if e["stage"] == st)
-            for st in ("verify", "edge_scale", "post_solve")
+            for st in ("verify", "edge_scale", "post_solve", "scale_sanity")
         },
         "closure_events": [
             {"f": e["f"], "accepted": e["accepted"], "K": e["K"],
              "sync_ms": e.get("sync_ms"), "solve_ms": e.get("solve_ms")}
             for e in by.get("closure", [])
+        ],
+        # what each ACCEPTED solve did: recovered scale range, worst
+        # keyframe displacement, per-edge gap closed (loopclosure diag)
+        "closure_solves": [
+            {k: e[k] for k in
+             ("f", "sn_min", "sn_max", "d_center_max", "edges")}
+            for e in by.get("closure_solve", [])
         ],
         "ground_corrections": {
             "n": len(grounds),

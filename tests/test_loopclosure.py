@@ -605,3 +605,79 @@ def test_sim3_skeleton_graph_corrects_large_histories(loop_world):
     non_skel = [k for k in sel if k % 2 == 1]  # odd ks: mostly skipped
     assert after[sel].mean() < 0.6 * before[sel].mean()
     assert after[non_skel].mean() < 0.6 * before[non_skel].mean()
+
+
+def test_sim3_edge_scale_band_clamp(loop_world, monkeypatch):
+    """A measured relative scale outside VOConfig.loop_scale_band is a
+    broken measurement (epoch-mixed old-keyframe depth support / near-
+    zero-baseline revisit triangulation — the r5 campaign measured
+    s_z = 0.009 on a TRUE revisit), and must be replaced by the unit-
+    scale prior, not fed to the solver."""
+    from cvsteer_tpu.slam import loopclosure as lc
+
+    X, desc = loop_world
+    rng = np.random.default_rng(5)
+    poses = _circle_poses(8)
+    state = _state_with_keyframes(poses, X, desc, rng)
+    state.diag = []
+
+    class _Res:
+        R = np.eye(3, dtype=np.float32)
+        t = np.array([0.0, 0.0, 1.0], np.float32)
+
+    class _C:
+        i, j = 0, 7
+        result = _Res()
+
+    # broken measurement: s_j/s_i = 0.005, far outside (0.5, 2.0)
+    monkeypatch.setattr(lc, "closure_scales", lambda *a: (100.0, 0.5))
+    s_z, R_z, t_z = lc.sim3_closure_edge(state, _C())
+    assert s_z == 1.0
+    assert any(e["ev"] == "closure_edge_clamp" for e in state.diag)
+    np.testing.assert_allclose(np.linalg.norm(t_z), 0.5, rtol=1e-6)
+
+    # in-band measurement passes through untouched
+    monkeypatch.setattr(lc, "closure_scales", lambda *a: (1.0, 0.8))
+    s_z, _, _ = lc.sim3_closure_edge(state, _C())
+    assert abs(s_z - 0.8) < 1e-6
+
+
+def test_sim3_solve_scale_sanity_rejects_warp(loop_world, monkeypatch):
+    """Belt to the edge clamp: if a broken closure constraint DOES reach
+    the solver and it responds by warping node scales outside the band,
+    the whole event must be rejected (residual gates miss smooth warps —
+    every edge residual stays small while the map collapses)."""
+    from cvsteer_tpu.slam import loopclosure as lc
+    from cvsteer_tpu.slam.loopclosure import close_loops_sim3
+
+    X, desc = loop_world
+    rng = np.random.default_rng(7)
+    poses = _circle_poses(12)
+    poses.append(poses[0])
+    state = _state_with_keyframes(poses, X, desc, rng)
+    state.diag = []
+    n_lm = min(len(X), state.landmarks.shape[0])
+    state.landmarks[:n_lm] = X[:n_lm]
+    state.landmark_valid[:n_lm] = True
+    state.num_landmarks = n_lm
+    for kf in state.keyframes:
+        kf.landmark_ids[:40] = np.arange(40)
+
+    # bypass the edge-level clamp: hand the solver a poisoned edge
+    monkeypatch.setattr(
+        lc, "sim3_closure_edge",
+        lambda st, c: (
+            0.01,
+            np.asarray(c.result.R),
+            np.asarray(c.result.t, np.float32),
+        ),
+    )
+    before = [(kf.R.copy(), kf.t.copy()) for kf in state.keyframes]
+    n = close_loops_sim3(state, min_gap=6, min_inliers=20)
+    assert n == 0
+    stages = {e.get("stage") for e in state.diag
+              if e.get("ev") == "closure_reject"}
+    assert "scale_sanity" in stages or "post_solve" in stages
+    for (R0, t0), kf in zip(before, state.keyframes):
+        np.testing.assert_allclose(kf.R, R0)
+        np.testing.assert_allclose(kf.t, t0)
